@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query registry: every implemented operator from SURVEY.md §2 (plus the
+  * training-data-pipeline extensions) is one entry in [[queries]]; entries
+  * with a DuckDB-expressible equivalent also appear in [[oracleSql]] for the
+  * driver's hash-match correctness gate.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val allDefs: Seq[QueryDef] =
+    analytics.RelationalQueries.defs ++
+      analytics.CdcShapeQueries.defs ++
+      pipeline.TextPipelineQueries.defs ++
+      pipeline.DedupQueries.defs ++
+      pipeline.SimilarityQueries.defs ++
+      pipeline.Multimodal.defs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Multi-way broadcast join + exact-decimal aggregation + top-k — the
+    * engine's bread-and-butter plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_join_multiway")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(q => q.name -> q.build).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the probabilistic operators
+    * (MinHash-LSH, SimHash, IVF) → driver records a rows-only check;
+    * their exactness is asserted against in-repo baselines by ScalaTest.
+    */
+  def oracleSql: Map[String, String] =
+    allDefs.collect { case QueryDef(n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,145 @@
+package graft.analytics
+
+import graft.QueryDef
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC semantics exercised as oracle-checkable batch queries over the `events`
+  * table (SURVEY.md §2.11 T2–T6). The streaming applier in [[graft.cdc]] uses
+  * exactly the same latest-wins window inside `foreachBatch`; expressing it
+  * here proves the core merge kernel against the DuckDB oracle.
+  *
+  * Scale: the latest-per-key window shuffles once on the key — the same
+  * shuffle a MERGE would need — and AQE handles key skew. No driver-side
+  * state; everything is a distributed plan.
+  */
+object CdcShapeQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- T2/T3: latest-wins per key, ordered by (ts, event_id) -----
+    // The exact kernel of the CDC applier: one row per key, highest
+    // (commit_ts, lsn) wins. Ref: sql/3.live_appointments.sql:412 semantics.
+    QueryDef(
+      "q_cdc_latest_per_key",
+      """SELECT user_id, event_type AS last_event_type,
+        |       CAST(value AS DOUBLE) AS last_value,
+        |       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1 AND user_id <= 200
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("user_id") <= 200)
+        .select(
+          col("user_id"),
+          col("event_type").as("last_event_type"),
+          col("value").cast("double").as("last_value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+        .orderBy("user_id")
+    },
+
+    // ----- T4: soft-delete visible state -----
+    // Treat a terminal 'error' event as a tombstone: the row survives with a
+    // deleted flag, exactly like `_SNOWFLAKE_DELETED` (sql/4.analytics_queries.sql:400).
+    QueryDef(
+      "q_cdc_soft_delete_state",
+      """WITH latest AS (
+        |  SELECT user_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT (event_type = 'error') AS is_deleted,
+        |       COUNT(*) AS n_keys
+        |FROM latest WHERE rn = 1
+        |GROUP BY 1
+        |ORDER BY is_deleted""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy((col("event_type") === "error").as("is_deleted"))
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy("is_deleted")
+    },
+
+    // ----- T5: journal analytics — change volume by hour × type -----
+    // Shape of sql/4.analytics_queries.sql:420-430 (hourly change patterns).
+    QueryDef(
+      "q_cdc_journal_by_hour",
+      """SELECT DATE_TRUNC('hour', ts) AS change_hour, event_type,
+        |       COUNT(*) AS n_changes,
+        |       COUNT(DISTINCT user_id) AS n_keys
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'
+        |GROUP BY 1, 2
+        |ORDER BY change_hour, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("ts") >= lit("2024-01-30 00:00:00").cast("timestamp"))
+        .groupBy(date_trunc("hour", col("ts")).as("change_hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_changes"),
+          countDistinct(col("user_id")).as("n_keys"))
+        .orderBy("change_hour", "event_type")
+    },
+
+    // ----- T6 shape: metadata-stamp style audit — first/last touch per key -----
+    // Mirrors _SNOWFLAKE_INSERTED_AT / _SNOWFLAKE_UPDATED_AT invariants
+    // (sql/2.verify_snapshot.sql:41-49): updated IS NULL until a second event.
+    QueryDef(
+      "q_cdc_audit_metadata",
+      """WITH touches AS (
+        |  SELECT user_id, MIN(ts) AS inserted_at,
+        |         CASE WHEN COUNT(*) > 1 THEN MAX(ts) END AS updated_at,
+        |         COUNT(*) AS n_events
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT (updated_at IS NOT NULL) AS was_updated,
+        |       COUNT(*) AS n_keys,
+        |       MIN(n_events) AS min_events,
+        |       MAX(n_events) AS max_events
+        |FROM touches
+        |GROUP BY 1
+        |ORDER BY was_updated""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(col("ts")).as("inserted_at"),
+          when(count(lit(1)) > 1, max(col("ts"))).as("updated_at"),
+          count(lit(1)).as("n_events"))
+        .groupBy(col("updated_at").isNotNull.as("was_updated"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          min(col("n_events")).as("min_events"),
+          max(col("n_events")).as("max_events"))
+        .orderBy("was_updated")
+    },
+
+    // ----- JSON props extraction (event envelope parsing) -----
+    // The CDC event feed carries JSON payloads; extraction must stay a
+    // codegen'd expression, not a UDF.
+    QueryDef(
+      "q_cdc_props_json",
+      """SELECT event_type,
+        |       COUNT(*) AS n,
+        |       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(k).as("sum_k"),
+          min(k).as("min_k"),
+          max(k).as("max_k"))
+        .orderBy("event_type")
+    }
+  )
+}

@@ -1,0 +1,541 @@
+package graft.analytics
+
+import graft.QueryDef
+import graft.functions.SnowflakeFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.3–§2.10) re-expressed over the
+  * driver testdata. Each query mirrors an expression shape used by the
+  * reference's analytics suite (sql/2.verify_snapshot.sql,
+  * sql/4.analytics_queries.sql) and carries a DuckDB oracle.
+  *
+  * Scale notes (100 TB design intent), applied throughout:
+  *  - dimension joins (`region`, `nation`, `customer`, `supplier`, `part`)
+  *    are explicitly `broadcast()` — no shuffle of the fact table;
+  *  - aggregations are plain `groupBy` so Catalyst plans partial+final
+  *    hash aggregation (map-side combine) automatically;
+  *  - top-k is `orderBy().limit(k)` which plans TakeOrderedAndProject —
+  *    no global sort;
+  *  - percent-of-total windows run AFTER aggregation, over the (tiny)
+  *    aggregated result, never over the fact table;
+  *  - money arithmetic goes through DECIMAL so results are exact and
+  *    reproducible at any parallelism (see SnowflakeFunctions.dec2).
+  */
+object RelationalQueries {
+
+  // Deterministic anchor dates (the reference uses CURRENT_DATE; SURVEY §7.4.3
+  // requires an injectable clock for reproducible results — these are the
+  // frozen "now" for oracle-checked runs, inside the data's 1995–2001 range).
+  private val AnchorTs = "TIMESTAMP '2000-01-01 00:00:00'"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- A1/A3/A4 + F11/F14: grouped aggregate with exact money math -----
+    // Shape of sql/2.verify_snapshot.sql:121-137 + sql/4.analytics_queries.sql:211-215.
+    QueryDef(
+      "q_agg_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val discPrice = dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+      l.filter(col("l_shipdate") <= lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          sum(discPrice * (lit(1) + dec2(col("l_tax")))).cast("double").as("sum_charge"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ----- P2/P3: IN-list + date-range predicates (pushed to the scan) -----
+    // Shape of sql/4.analytics_queries.sql:90-92 (status IN + DATEADD range).
+    QueryDef(
+      "q_filter_in_range",
+      """SELECT o_orderpriority, COUNT(*) AS order_count,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_orderstatus IN ('O','P')
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus").isin("O", "P") &&
+          col("o_orderdate") >= lit("1998-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01 00:00:00").cast("timestamp"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("order_count"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ----- P1: narrow projection + comparison filter (column pruning) -----
+    QueryDef(
+      "q_proj_filter",
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_totalprice > 450000
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
+
+    // ----- P4/P5: NULL + compound boolean predicates -----
+    // Shape of sql/2.verify_snapshot.sql:85-119 (data-quality NULL checks) via
+    // NULLIF-manufactured nulls, plus OR-of-ranges (sql/4.analytics_queries.sql:402-403).
+    QueryDef(
+      "q_filter_null_compound",
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS n_customers,
+        |       COUNT(NULLIF(c_acctbal < 0, FALSE)) AS n_negative,
+        |       SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS n_null_bal,
+        |       SUM(CASE WHEN c_acctbal > 9000 OR c_acctbal < -900 THEN 1 ELSE 0 END) AS n_extreme
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          count(nullif(col("c_acctbal") < 0, lit(false))).as("n_negative"),
+          sum(when(col("c_acctbal").isNull, 1).otherwise(0)).as("n_null_bal"),
+          sum(when(col("c_acctbal") > 9000 || col("c_acctbal") < -900, 1).otherwise(0)).as("n_extreme"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ----- J1: 2-way inner equi-join, broadcast dimension -----
+    // Shape of sql/4.analytics_queries.sql:198-199 (visits ⋈ doctors revenue).
+    QueryDef(
+      "q_join_2way",
+      """SELECT c_mktsegment, COUNT(*) AS order_count,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("order_count"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ----- J2: multi-way inner join through the dimension chain -----
+    // Shape of sql/4.analytics_queries.sql:56-58 (appointments⋈patients⋈doctors),
+    // widened to the classic local-supplier revenue shape to exercise 4 joins.
+    QueryDef(
+      "q_join_multiway",
+      """SELECT n_name, COUNT(*) AS order_count,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name IN ('ASIA','EUROPE')
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name").isin("ASIA", "EUROPE"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("order_count"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ----- J3 + A1: LEFT join keeping unmatched left rows; COUNT(col) NULL-skipping -----
+    // Shape of sql/4.analytics_queries.sql:74-75 (doctors LEFT JOIN appointments).
+    QueryDef(
+      "q_join_left",
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS n_rows,
+        |       COUNT(o_orderkey) AS n_orders,
+        |       COUNT(DISTINCT c_custkey) AS n_customers
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_customers"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ----- J4: LEFT join with extra predicate in the ON clause (not WHERE) -----
+    // The semantic trap of sql/4.analytics_queries.sql:75,163-165 — the date
+    // filter must ride in the join condition to preserve unmatched left rows.
+    QueryDef(
+      "q_join_left_on_pred",
+      """SELECT c_mktsegment,
+        |       COUNT(DISTINCT c.c_custkey) AS n_customers,
+        |       COUNT(DISTINCT CASE WHEN o.o_orderkey IS NOT NULL THEN c.c_custkey END) AS n_active_2000,
+        |       COUNT(o.o_orderkey) AS n_orders_2000
+        |FROM customer c LEFT JOIN orders o
+        |  ON c.c_custkey = o.o_custkey
+        | AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        | AND o.o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      Tables.customer(s, d)
+        .join(o,
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("2001-01-01 00:00:00").cast("timestamp"),
+          "left")
+        .groupBy("c_mktsegment")
+        .agg(
+          countDistinct(col("c_custkey")).as("n_customers"),
+          countDistinct(when(col("o_orderkey").isNotNull, col("c_custkey"))).as("n_active_2000"),
+          count(col("o_orderkey")).as("n_orders_2000"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ----- J5 + A9: join to a derived aggregate (CTE) + HAVING -----
+    // Shape of sql/4.analytics_queries.sql:343-346 (visits ⋈ patient_visits CTE).
+    QueryDef(
+      "q_join_derived_having",
+      """WITH cust_orders AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+        |)
+        |SELECT c_mktsegment,
+        |       COUNT(*) AS heavy_customers,
+        |       CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS heavy_spend,
+        |       MAX(n_orders) AS max_orders
+        |FROM cust_orders j JOIN customer c ON j.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val heavy = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("spend"))
+        .filter(col("n_orders") >= 12) // HAVING = post-aggregate filter
+      heavy
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("heavy_customers"),
+          sum(dec2(col("spend"))).cast("double").as("heavy_spend"),
+          max(col("n_orders")).as("max_orders"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ----- A2: multi COUNT(DISTINCT) in one aggregate -----
+    // Shape of sql/4.analytics_queries.sql:439-450 (CDC executive summary).
+    QueryDef(
+      "q_count_distinct_multi",
+      """SELECT event_type,
+        |       COUNT(*) AS n_events,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("ts").cast("date")).as("n_days"))
+        .orderBy("event_type")
+    },
+
+    // ----- A4/A5/A6/A7: conditional aggregation + guarded rate -----
+    // Shape of sql/2.verify_snapshot.sql:147-148 + sql/4.analytics_queries.sql:70-72,117-118.
+    QueryDef(
+      "q_cond_agg_rates",
+      """SELECT o_orderpriority,
+        |       COUNT(*) AS n_orders,
+        |       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+        |       COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_large,
+        |       100.0 * SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) / NULLIF(COUNT(*), 0) AS finished_rate,
+        |       100.0 * COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) / NULLIF(COUNT(*), 0) AS large_rate
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val finished = sum(when(col("o_orderstatus") === "F", 1).otherwise(0))
+      val large = count(when(col("o_totalprice") > 200000, 1))
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          finished.as("n_finished"),
+          large.as("n_large"),
+          (lit(100.0) * finished / nullif(count(lit(1)).cast("double"), lit(0.0))).as("finished_rate"),
+          (lit(100.0) * large / nullif(count(lit(1)).cast("double"), lit(0.0))).as("large_rate"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ----- A8: GROUP BY expression (year/month derived keys) -----
+    // Shape of sql/4.analytics_queries.sql:250-258 (monthly trends via TO_CHAR).
+    QueryDef(
+      "q_group_by_expr",
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+        |       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1999-01-01 00:00:00").cast("timestamp"))
+        .groupBy(
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy("order_year", "order_month")
+    },
+
+    // ----- A10: global (no-group) KPI aggregate -----
+    // Shape of sql/4.analytics_queries.sql:438-454 (executive one-row summary).
+    QueryDef(
+      "q_global_kpi",
+      s"""SELECT COUNT(*) AS n_orders,
+         |       COUNT(DISTINCT o_custkey) AS n_customers,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value,
+         |       CAST(MIN(o_orderdate) AS DATE) AS first_order,
+         |       CAST(MAX(o_orderdate) AS DATE) AS last_order,
+         |       SUM(CASE WHEN o_orderdate >= $AnchorTs THEN 1 ELSE 0 END) AS orders_since_2000
+         |FROM orders""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total_revenue"),
+          (sum(dec2(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_order_value"),
+          min(col("o_orderdate")).cast("date").as("first_order"),
+          max(col("o_orderdate")).cast("date").as("last_order"),
+          sum(when(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"), 1).otherwise(0)).as("orders_since_2000"))
+    },
+
+    // ----- W1: percent-of-total via SUM(COUNT(*)) OVER () after aggregation -----
+    // Shape of sql/2.verify_snapshot.sql:121-137 (status distribution + pct).
+    QueryDef(
+      "q_pct_of_total",
+      """SELECT o_orderstatus, COUNT(*) AS status_count,
+        |       100.0 * COUNT(*) / SUM(COUNT(*)) OVER () AS pct
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      // Two-step plan: hash-aggregate the fact table first (shuffles 3 rows),
+      // then window over the aggregated result — the window never sees raw data.
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("status_count"))
+        .withColumn("pct",
+          lit(100.0) * col("status_count") / sum(col("status_count")).over(Window.partitionBy()))
+        .orderBy("o_orderstatus")
+    },
+
+    // ----- W2/W3: SUM(SUM(x)) OVER (PARTITION BY …) — pct within a partition -----
+    // Shape of sql/4.analytics_queries.sql:228,294-302 (% within specialization).
+    QueryDef(
+      "q_pct_within_partition",
+      """SELECT event_type, CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
+        |       100.0 * COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS pct_of_type
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+        |GROUP BY event_type, CAST(ts AS DATE)
+        |ORDER BY event_type, event_date""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"), col("ts").cast("date").as("event_date"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("pct_of_type",
+          lit(100.0) * col("n") / sum(col("n")).over(Window.partitionBy("event_type")))
+        .orderBy("event_type", "event_date")
+    },
+
+    // ----- L1: LISTAGG(DISTINCT … ) WITHIN GROUP (ORDER BY …) -----
+    // Shape of sql/4.analytics_queries.sql:37 (distinct ordered time slots).
+    QueryDef(
+      "q_listagg_distinct",
+      """SELECT r_name,
+        |       STRING_AGG(DISTINCT n_name, ', ' ORDER BY n_name) AS nations,
+        |       COUNT(DISTINCT n_name) AS n_nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin) { (s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          listaggDistinctOrdered(col("n_name"), ", ").as("nations"),
+          countDistinct(col("n_name")).as("n_nations"))
+        .orderBy("r_name")
+    },
+
+    // ----- O3: top-k = ORDER BY + LIMIT (TakeOrderedAndProject, no global sort) -----
+    // Shape of sql/4.analytics_queries.sql:246-247 (top-10 revenue).
+    QueryDef(
+      "q_topk_customers",
+      """SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey, c.c_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    },
+
+    // ----- O2: ORDER BY … DESC NULLS LAST over a null-producing LEFT join -----
+    // Shape of semantic-models/healthcare_cdc_semantic_model.yaml:617,646.
+    QueryDef(
+      "q_order_nulls_last",
+      """SELECT c.c_custkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS jan95_spend
+        |FROM customer c LEFT JOIN orders o
+        |  ON c.c_custkey = o.o_custkey
+        | AND o.o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+        |WHERE c.c_custkey <= 100
+        |GROUP BY c.c_custkey
+        |ORDER BY jan95_spend DESC NULLS LAST, c_custkey
+        |LIMIT 50""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") <= 100)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderdate") < lit("1995-02-01 00:00:00").cast("timestamp"),
+          "left")
+        .groupBy("c_custkey")
+        .agg(sum(dec2(col("o_totalprice"))).cast("double").as("jan95_spend"))
+        .orderBy(col("jan95_spend").desc_nulls_last, col("c_custkey"))
+        .limit(50)
+    },
+
+    // ----- U1: UNION ALL of labeled aggregates -----
+    // Shape of sql/2.verify_snapshot.sql:22-29 (per-table record counts).
+    QueryDef(
+      "q_union_all_counts",
+      """SELECT 'orders' AS table_name, COUNT(*) AS record_count FROM orders
+        |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'customer', COUNT(*) FROM customer
+        |UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        |UNION ALL SELECT 'events', COUNT(*) FROM events
+        |ORDER BY table_name""".stripMargin) { (s, d) =>
+      def labeled(name: String) =
+        Tables.load(s, d, name).agg(count(lit(1)).as("record_count"))
+          .select(lit(name).as("table_name"), col("record_count"))
+      labeled("orders")
+        .unionAll(labeled("lineitem"))
+        .unionAll(labeled("customer"))
+        .unionAll(labeled("supplier"))
+        .unionAll(labeled("events"))
+        .orderBy("table_name")
+    },
+
+    // ----- F2/F5/F7/F8: date/time scalar shims -----
+    // TO_CHAR patterns, DATE_TRUNC hour, TIMESTAMPDIFF minutes, DATEADD.
+    QueryDef(
+      "q_scalar_datetime",
+      """SELECT event_type,
+        |       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M') AS first_seen,
+        |       STRFTIME(MAX(ts), '%Y-%m-%d %H:%M') AS last_seen,
+        |       DATE_DIFF('minute', MIN(ts), MAX(ts)) AS span_minutes,
+        |       COUNT(DISTINCT DATE_TRUNC('hour', ts)) AS active_hours,
+        |       SUM(CASE WHEN ts >= TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS last_week_events
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          sfToChar(min(col("ts")), "YYYY-MM-DD HH24:MI").as("first_seen"),
+          sfToChar(max(col("ts")), "YYYY-MM-DD HH24:MI").as("last_seen"),
+          sfTimestampDiffMinutes(min(col("ts")), max(col("ts"))).as("span_minutes"),
+          countDistinct(date_trunc("hour", col("ts"))).as("active_hours"),
+          sum(when(col("ts") >= lit("2024-01-31 00:00:00").cast("timestamp") - expr("INTERVAL 7 DAYS"), 1).otherwise(0)).as("last_week_events"))
+        .orderBy("event_type")
+    },
+
+    // ----- F1/F13: string concat + searched-CASE bucketing -----
+    // Shape of sql/2.verify_snapshot.sql:143,190-196 (names; age buckets).
+    QueryDef(
+      "q_case_buckets",
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |            WHEN c_acctbal < 3000 THEN 'low'
+        |            WHEN c_acctbal < 7000 THEN 'mid'
+        |            ELSE 'high' END AS balance_bucket,
+        |       COUNT(*) AS n_customers,
+        |       STRING_AGG(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+        |       MIN(c_name || '#' || c_mktsegment) AS sample_tag
+        |FROM customer
+        |GROUP BY 1
+        |ORDER BY balance_bucket""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 3000, "low")
+            .when(col("c_acctbal") < 7000, "mid")
+            .otherwise("high").as("balance_bucket"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          listaggDistinctOrdered(col("c_mktsegment"), ",").as("segments"),
+          min(concat(col("c_name"), lit("#"), col("c_mktsegment"))).as("sample_tag"))
+        .orderBy("balance_bucket")
+    },
+
+    // ----- F6/F9: Snowflake DATEDIFF(year) + DAYOFWEEK numbering shims -----
+    QueryDef(
+      "q_sf_date_shims",
+      """SELECT CAST(EXTRACT(year FROM TIMESTAMP '2000-06-15 00:00:00') - EXTRACT(year FROM o_orderdate) AS INT) AS years_ago,
+        |       COUNT(*) AS n_orders,
+        |       COUNT(DISTINCT CAST(EXTRACT(dow FROM o_orderdate) AS INT)) AS distinct_weekdays,
+        |       MIN(CAST(EXTRACT(dow FROM o_orderdate) AS INT)) AS min_dow
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY years_ago""".stripMargin) { (s, d) =>
+      // Snowflake DATEDIFF(year,a,b)=year(b)-year(a); DAYOFWEEK 0=Sun..6=Sat
+      // (DuckDB's EXTRACT(dow) shares the 0=Sunday convention).
+      Tables.orders(s, d)
+        .groupBy(sfDateDiffYears(col("o_orderdate"),
+          lit("2000-06-15 00:00:00").cast("timestamp")).as("years_ago"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(sfDayOfWeek(col("o_orderdate"))).as("distinct_weekdays"),
+          min(sfDayOfWeek(col("o_orderdate"))).as("min_dow"))
+        .orderBy("years_ago")
+    }
+  )
+}

@@ -1,0 +1,83 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** End-to-end CDC ingestion (reference EP1):
+  * snapshot load → ordered change-event stream → per-batch latest-wins merge
+  * with soft delete + journal, on a 60 s micro-batch cadence
+  * (/root/reference sql/3.live_appointments.sql:21-22,48-49).
+  *
+  * The stream side is Structured Streaming over a `Dataset[CdcEvent]`-shaped
+  * source; `foreachBatch` gives the merge transactional per-batch semantics
+  * with checkpoint-based restart (each batch id is applied exactly once per
+  * checkpoint, and the merge itself is idempotent via the per-row lsn
+  * high-water mark, so retries converge).
+  */
+final class CdcPipeline(
+    spark: SparkSession,
+    store: TableStore,
+    schemas: Map[String, StructType], // destination DATA schema per table (incl. key)
+    keyCols: Map[String, String],
+    clock: () => Column = () => current_timestamp()) {
+
+  /** Initial snapshot (reference S2): auto-creates destination tables with
+    * metadata columns, like the connector's snapshot phase.
+    */
+  def loadSnapshot(sources: Map[String, DataFrame]): Unit =
+    sources.foreach { case (table, df) =>
+      store.commit(table, CdcApplier.snapshot(df, clock()))
+    }
+
+  /** Apply one micro-batch of raw events (all tables mixed, commit order by
+    * lsn) to every affected destination table + journals. Public so batch
+    * tests and the streaming path share one code path.
+    */
+  def applyEventBatch(events: Dataset[CdcEvent]): Unit = {
+    val raw = events.toDF()
+    raw.cache()
+    try {
+      val tables = raw.select("table").distinct().collect().map(_.getString(0))
+      tables.foreach { t =>
+        val schema = schemas(t)
+        val keyCol = keyCols(t)
+        val tEvents = raw.filter(col("table") === t)
+        store.appendJournal(t, tEvents.withColumn("after", to_json(col("after"))))
+        val typed = tEvents.select(
+          Seq(col("op"), col("lsn"), col("commitTs"), col("key")) ++
+            CdcApplier.afterImageColumns(schema, keyCol): _*)
+        val merged = CdcApplier.applyBatch(store.read(t), typed, keyCol, clock())
+        store.commit(t, merged)
+      }
+    } finally raw.unpersist()
+  }
+
+  /** Start the streaming apply loop from an event-feed stream. */
+  def start(eventStream: Dataset[CdcEvent], checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    import spark.implicits._
+    eventStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[CdcEvent], _: Long) =>
+        applyEventBatch(batch)
+      }
+      .start()
+  }
+}
+
+object CdcPipeline {
+  /** File-based ordered event feed as a stream (the zero-egress stand-in for
+    * Debezium/Kafka, per SURVEY §2.1 S1): JSON lines with the CdcEvent
+    * envelope, read incrementally per file.
+    */
+  def fileEventStream(spark: SparkSession, dir: String): Dataset[CdcEvent] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[CdcEvent].schema)
+      .json(dir)
+      .as[CdcEvent]
+  }
+}

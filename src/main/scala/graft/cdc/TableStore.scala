@@ -1,0 +1,55 @@
+package graft.cdc
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Versioned parquet-backed destination tables.
+  *
+  * Spark cannot overwrite a parquet path while reading it, so each merge
+  * commit writes a NEW version directory `<root>/<table>/v<N>/` and then
+  * atomically swaps a pointer file — a miniature copy-on-write table format
+  * (the same shape as a Delta/Iceberg commit: immutable data files + a
+  * pointer swap). Readers resolve the pointer at read time; a crash between
+  * write and swap leaves the previous version intact.
+  *
+  * At scale, version directories also give time travel and safe concurrent
+  * readers for free; vacuuming old versions is the retention knob.
+  */
+final class TableStore(spark: SparkSession, root: String) {
+
+  private def ptr(table: String) = Paths.get(root, table, "_CURRENT")
+
+  def currentVersion(table: String): Option[Long] = {
+    val p = ptr(table)
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+
+  def exists(table: String): Boolean = currentVersion(table).isDefined
+
+  def read(table: String): DataFrame = {
+    val v = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"table $table has no committed version under $root"))
+    spark.read.parquet(Paths.get(root, table, s"v$v").toString)
+  }
+
+  /** Write df as the next version of `table` and commit the pointer swap. */
+  def commit(table: String, df: DataFrame): Long = {
+    val next = currentVersion(table).map(_ + 1).getOrElse(0L)
+    val dir = Paths.get(root, table, s"v$next")
+    df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val tmp = Paths.get(root, table, s"_CURRENT.tmp$next")
+    Files.createDirectories(tmp.getParent)
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, ptr(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Append-only journal sink (reference S5): every raw CDC event is kept. */
+  def appendJournal(table: String, events: DataFrame): Unit =
+    events.write.mode(SaveMode.Append)
+      .parquet(Paths.get(root, s"${table}_journal").toString)
+
+  def readJournal(table: String): DataFrame =
+    spark.read.parquet(Paths.get(root, s"${table}_journal").toString)
+}

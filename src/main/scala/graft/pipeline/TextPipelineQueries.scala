@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import graft.QueryDef
+import graft.analytics.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language-ID, fingerprinting, exact dedup.
+  * All per-document work is embarrassingly parallel map-side expression
+  * evaluation — zero shuffles except the final (tiny) aggregations.
+  */
+object TextPipelineQueries {
+
+  private val stopwordsSql = stopwords.map(s => s"'$s'").mkString(", ")
+
+  // DuckDB equivalent of TextFunctions.tokens
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- Token counting + quality scoring -----
+    QueryDef(
+      "q_text_stats",
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents)
+         |SELECT doc_id, lang,
+         |       len(toks) AS n_tokens,
+         |       len(list_distinct(toks)) AS n_unique_tokens,
+         |       CAST(len(list_filter(toks, x -> x IN ($stopwordsSql))) AS DOUBLE) / NULLIF(len(toks), 0) AS stopword_ratio,
+         |       CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / NULLIF(len(toks), 0) AS mean_token_len,
+         |       CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / NULLIF(length(text), 0) AS punct_density
+         |FROM t
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = tokens(col("text"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("lang"),
+          size(t).as("n_tokens"),
+          size(array_distinct(t)).as("n_unique_tokens"),
+          stopwordRatio(t).as("stopword_ratio"),
+          meanTokenLen(t).as("mean_token_len"),
+          ((length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("double") /
+            nullif(length(col("text")).cast("double"), lit(0.0))).as("punct_density"))
+        .orderBy("doc_id")
+    },
+
+    // ----- Exact dedup: hash-groupBy on content digest -----
+    QueryDef(
+      "q_dedup_exact",
+      """SELECT source,
+        |       COUNT(*) AS n_docs,
+        |       COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+        |       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"))
+        .orderBy("source")
+    },
+
+    // ----- Order-insensitive bag fingerprint (rolling-copy detection) -----
+    QueryDef(
+      "q_fingerprint",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+         |       len(list_distinct(toks)) AS n_unique_tokens
+         |FROM t
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = tokens(col("text"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          bagFingerprint(t).as("fingerprint"),
+          size(array_distinct(t)).as("n_unique_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // ----- Language-ID heuristic vs. labeled language -----
+    QueryDef(
+      "q_langid",
+      s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
+         |p AS (
+         |  SELECT lang,
+         |         len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS en_hits,
+         |         len(list_filter(toks, x -> x IN ('el','la','de','y'))) AS es_hits,
+         |         len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS de_hits,
+         |         len(list_filter(toks, x -> x IN ('le','la','de','et'))) AS fr_hits
+         |  FROM t)
+         |SELECT lang,
+         |       CASE WHEN es_hits > en_hits AND es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+         |            WHEN de_hits > en_hits AND de_hits >= fr_hits THEN 'de'
+         |            WHEN fr_hits > en_hits THEN 'fr'
+         |            ELSE 'en' END AS predicted_lang,
+         |       COUNT(*) AS n_docs
+         |FROM p
+         |GROUP BY 1, 2
+         |ORDER BY lang, predicted_lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), langIdHeuristic(tokens(col("text"))).as("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    }
+  )
+}

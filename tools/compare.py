@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+For each <name> subdir in verifyOutDir (Spark parquet result) with an entry in
+oracle_sql.json, runs the oracle SQL in DuckDB (tables = parquet files in
+sfDir), sorts columns by name, sorts rows, and compares values (exact for
+ints/strings, 1e-9 rel for floats). Prints per-query PASS/FAIL.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    return v
+
+
+def values_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None:
+            return False
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return str(a) == str(b)
+
+
+def main(sf_dir, out_dir):
+    out = Path(out_dir)
+    oracle = json.loads((out / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        res_dir = out / name
+        if not res_dir.exists():
+            print(f"MISSING {name}: no Spark output")
+            n_fail += 1
+            continue
+        files = sorted(res_dir.glob("*.parquet"))
+        spark_tbl = pq.read_table(files[0]) if files else None
+        if spark_tbl is None:
+            print(f"MISSING {name}: empty output dir")
+            n_fail += 1
+            continue
+        try:
+            duck = con.sql(oracle[name]).arrow()
+        except Exception as e:
+            print(f"ORACLE-ERR {name}: {e}")
+            n_fail += 1
+            continue
+        s_cols = sorted(spark_tbl.column_names)
+        d_cols = sorted(duck.column_names)
+        if s_cols != d_cols:
+            print(f"SCHEMA {name}: spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        s_rows = sorted(map(tuple, map(lambda r: [str(norm(x)) if not isinstance(x, float) else x for x in r],
+                                       zip(*[spark_tbl.column(c).to_pylist() for c in s_cols]))), key=str)
+        d_rows = sorted(map(tuple, map(lambda r: [str(norm(x)) if not isinstance(x, float) else x for x in r],
+                                       zip(*[duck.column(c).to_pylist() for c in d_cols]))), key=str)
+        if len(s_rows) != len(d_rows):
+            print(f"ROWS {name}: spark={len(s_rows)} duck={len(d_rows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+            for c, (sv, dv) in zip(s_cols, zip(sr, dr)):
+                if not values_equal(sv, dv):
+                    bad = (i, c, sv, dv)
+                    break
+            if bad:
+                break
+        if bad:
+            print(f"VALUES {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} duck={bad[3]!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
