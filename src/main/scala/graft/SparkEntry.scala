@@ -17,7 +17,8 @@ object SparkEntry {
       pipeline.TextPipelineQueries.defs ++
       pipeline.DedupQueries.defs ++
       pipeline.SimilarityQueries.defs ++
-      pipeline.Multimodal.defs
+      pipeline.Multimodal.defs ++
+      analytics.HealthcareEntry.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Multi-way broadcast join + exact-decimal aggregation + top-k — the

@@ -40,13 +40,35 @@ object CdcApplier {
       .withColumn(MetaDeleted, lit(false))
       .withColumn(MetaLsn, lit(0L))
 
-  /** Reduce a batch of events for ONE table to the latest event per key.
-    * `events` columns: op, lsn, commitTs, key, plus the after-image columns
-    * already cast to the destination schema.
+  /** Reduce a batch of events for ONE table to one delta row per key:
+    * the latest event decides op/lsn, while the data columns come from the
+    * latest NON-DELETE image in the batch (if any). Keeping the last image
+    * separate from the tombstone is what makes the merge convergent under
+    * arbitrary batch splits: INSERT→UPDATE→DELETE collapsed into one batch
+    * leaves the same (image, deleted, updated) state as applying the three
+    * events across three batches. `_ev_count` counts the key's events (used
+    * for the updated_at stamping rule) and `_has_image` marks whether a
+    * non-delete image exists in the batch.
+    *
+    * `events` columns: op, lsn, commitTs, key + after-image data columns.
     */
   def latestPerKey(events: DataFrame): DataFrame = {
+    val dataCols = events.columns.filterNot(Seq("op", "lsn", "commitTs", "key").contains)
     val w = Window.partitionBy("key").orderBy(col("lsn").desc)
-    events.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val wAll = Window.partitionBy("key")
+    val lastEvent = events
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_ev_count", count(lit(1)).over(wAll))
+      .filter(col("_rn") === 1)
+      .select(Seq(col("key"), col("op"), col("lsn"), col("commitTs"), col("_ev_count")): _*)
+    val lastImage = events.filter(col("op") =!= CdcOp.Delete)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("key").as("_img_key") +: dataCols.map(col): _*)
+    lastEvent
+      .join(lastImage, lastEvent("key") === col("_img_key"), "left")
+      .withColumn("_has_image", col("_img_key").isNotNull)
+      .drop("_img_key")
   }
 
   /** Merge one table's batch into its destination table.
@@ -72,14 +94,19 @@ object CdcApplier {
     val existed = dest(keyCol).isNotNull
 
     val mergedKey = coalesce(dest(keyCol), col("_ev_key")).as(keyCol)
+    // data: any non-delete image in the batch wins (even under a trailing
+    // DELETE — split-invariance); a pure-delete batch keeps the prior image
     val mergedData = dataCols.map { c =>
-      when(isUpsert, latest(c)).otherwise(dest(c)).as(c)
+      when(hasEvent && col("_has_image"), latest(c)).otherwise(dest(c)).as(c)
     }
+    // updated_at stamps when a CDC change touches a PRE-EXISTING row, or when
+    // a new key saw more than one event in the batch (its split-applied
+    // equivalent would have stamped on the second event)
+    val stampsUpdate = hasEvent && (existed || col("_ev_count") > 1)
     val mergedMeta = Seq(
       // inserted_at: keep original; stamp on first appearance via CDC insert
       when(existed, dest(MetaInserted)).otherwise(applyTs.cast("timestamp_ntz")).as(MetaInserted),
-      // updated_at: only a post-snapshot change to an EXISTING row stamps it
-      when(hasEvent && existed, applyTs.cast("timestamp_ntz"))
+      when(stampsUpdate, applyTs.cast("timestamp_ntz"))
         .otherwise(dest(MetaUpdated)).as(MetaUpdated),
       // soft delete: flag, never drop the row (reference S4)
       when(isDelete, lit(true))

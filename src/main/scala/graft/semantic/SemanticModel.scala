@@ -1,0 +1,97 @@
+package graft.semantic
+
+import java.io.InputStream
+import scala.jdk.CollectionConverters._
+import org.yaml.snakeyaml.Yaml
+
+/** Semantic-model graph mirroring the structure of the reference's
+  * Cortex-Analyst YAML (/root/reference
+  * semantic-models/healthcare_cdc_semantic_model.yaml:1-582): logical tables
+  * with dimensions / time dimensions / facts and a primary key, FK-edge
+  * relationships, and verified golden queries.
+  */
+final case class SemanticModel(
+    name: String,
+    description: String,
+    tables: Seq[SemTable],
+    relationships: Seq[Relationship],
+    verifiedQueries: Seq[VerifiedQuery]) {
+
+  def table(name: String): SemTable =
+    tables.find(_.name == name).getOrElse(
+      throw new NoSuchElementException(s"semantic table $name"))
+
+  def relationship(name: String): Relationship =
+    relationships.find(_.name == name).getOrElse(
+      throw new NoSuchElementException(s"relationship $name"))
+}
+
+final case class SemTable(
+    name: String,
+    baseTable: String,
+    primaryKey: Seq[String],
+    dimensions: Seq[SemColumn],
+    timeDimensions: Seq[SemColumn],
+    facts: Seq[SemColumn])
+
+final case class SemColumn(name: String, expr: String, dataType: String)
+
+final case class Relationship(
+    name: String,
+    leftTable: String,
+    rightTable: String,
+    joinType: String, // left_outer | inner
+    columns: Seq[(String, String)]) // (left_column, right_column)
+
+final case class VerifiedQuery(name: String, question: String, sql: String)
+
+object SemanticModel {
+
+  /** Load from YAML (snakeyaml ships with Spark). */
+  def load(in: InputStream): SemanticModel = {
+    val root = new Yaml().load[java.util.Map[String, Object]](in).asScala
+
+    def seqOfMaps(v: Object): Seq[scala.collection.mutable.Map[String, Object]] =
+      Option(v).map(_.asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+        .asScala.toSeq.map(_.asScala)).getOrElse(Seq.empty)
+
+    def str(m: scala.collection.Map[String, Object], k: String, dflt: String = ""): String =
+      m.get(k).map(_.toString).getOrElse(dflt)
+
+    def cols(m: scala.collection.Map[String, Object], k: String): Seq[SemColumn] =
+      seqOfMaps(m.getOrElse(k, null)).map(c =>
+        SemColumn(str(c, "name"), str(c, "expr", str(c, "name")), str(c, "data_type")))
+
+    val tables = seqOfMaps(root.getOrElse("tables", null)).map { t =>
+      val base = t.get("base_table").map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
+      val pk = t.get("primary_key").map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
+        .flatMap(_.get("columns"))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq).getOrElse(Seq.empty)
+      SemTable(
+        name = str(t, "name"),
+        baseTable = base.map(b => str(b, "table")).getOrElse(str(t, "name")),
+        primaryKey = pk,
+        dimensions = cols(t, "dimensions"),
+        timeDimensions = cols(t, "time_dimensions"),
+        facts = cols(t, "facts"))
+    }
+
+    val rels = seqOfMaps(root.getOrElse("relationships", null)).map { r =>
+      val rc = seqOfMaps(r.getOrElse("relationship_columns", null))
+        .map(c => (str(c, "left_column"), str(c, "right_column")))
+      Relationship(str(r, "name"), str(r, "left_table"), str(r, "right_table"),
+        str(r, "join_type", "left_outer"), rc)
+    }
+
+    val vqs = seqOfMaps(root.getOrElse("verified_queries", null)).map(q =>
+      VerifiedQuery(str(q, "name"), str(q, "question"), str(q, "sql")))
+
+    SemanticModel(str(root, "name"), str(root, "description"), tables, rels, vqs)
+  }
+
+  def loadResource(path: String): SemanticModel = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"resource $path not found")
+    try load(in) finally in.close()
+  }
+}

@@ -1,0 +1,154 @@
+package graft.cdc
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.SparkSpec
+import graft.fixtures.HealthcareFixtures
+import graft.model.HealthcareSchema
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** End-to-end replay of the reference's live CDC demo
+  * (/root/reference sql/3.live_appointments.sql): snapshot → batched
+  * insert/update/delete events → final-state assertions matching the
+  * script's summary (3+2+5 inserts, status updates, visit inserts from
+  * completions, 2 soft deletes, 1 doctor update — lines 39-42,163-165,
+  * 282-287,324-334,349-351,366-402).
+  */
+class CdcScenarioSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def apptEvent(op: String, lsn: Long, id: Long, status: String,
+      date: String = "2025-01-15", time: String = "08:00:00"): CdcEvent =
+    CdcEvent("appointments", op, lsn, ts("2025-01-15 08:00:00"), id,
+      if (op == CdcOp.Delete) Map.empty
+      else Map(
+        "patient_id" -> (id % 100 + 1).toString,
+        "doctor_id" -> (id % 10 + 1).toString,
+        "appointment_date" -> date,
+        "appointment_time" -> time,
+        "status" -> status,
+        "reason_for_visit" -> "Walk-in",
+        "appointment_type" -> "urgent",
+        "created_at" -> "2025-01-15 07:00:00",
+        "updated_at" -> "2025-01-15 07:00:00"))
+
+  private def visitEvent(lsn: Long, id: Long, apptId: Long): CdcEvent =
+    CdcEvent("visits", CdcOp.Insert, lsn, ts("2025-01-15 10:00:00"), id, Map(
+      "appointment_id" -> apptId.toString,
+      "patient_id" -> (apptId % 100 + 1).toString,
+      "doctor_id" -> (apptId % 10 + 1).toString,
+      "visit_date" -> "2025-01-15",
+      "visit_start_time" -> "2025-01-15 08:00:00",
+      "visit_end_time" -> "2025-01-15 08:25:00",
+      "diagnosis" -> "Acute bronchitis",
+      "treatment_notes" -> "Rest and fluids",
+      "follow_up_required" -> "false",
+      "prescription_given" -> "true",
+      "total_charge" -> "125.00"))
+
+  private def doctorEvent(lsn: Long, id: Long): CdcEvent =
+    CdcEvent("doctors", CdcOp.Update, lsn, ts("2025-01-15 10:05:00"), id, Map(
+      "first_name" -> s"DocFirst$id", "last_name" -> s"DocLast$id",
+      "specialization" -> "Dermatology", "department" -> "Dermatology",
+      "phone" -> "555-0209", "email" -> s"doc$id@clinic.example",
+      "years_of_experience" -> "12", "accepting_new_patients" -> "false"))
+
+  test("live_appointments scenario: snapshot + 5 batches converge to the scripted state") {
+    val root = Files.createTempDirectory("graft-cdc").toString
+    val store = new TableStore(spark, root)
+    val pipeline = new CdcPipeline(spark, store, HealthcareSchema.all,
+      HealthcareSchema.keyColumns,
+      clock = () => lit("2025-01-15 08:00:00").cast("timestamp_ntz"))
+
+    pipeline.loadSnapshot(HealthcareFixtures.all(spark))
+    assert(store.read("appointments").count() == 170)
+    assert(store.read("patients").count() == 100)
+    assert(store.read("doctors").count() == 10)
+    assert(store.read("visits").count() == 100)
+    // snapshot invariant: inserted_at set, updated_at all NULL
+    assert(store.read("appointments").filter(col(CdcApplier.MetaUpdated).isNotNull).count() == 0)
+
+    def applyBatch(evs: Seq[CdcEvent]): Unit =
+      pipeline.applyEventBatch(spark.createDataset(evs))
+
+    // batch 1: 8:00 AM — 3 new appointments (script lines 39-42)
+    applyBatch(Seq(
+      apptEvent(CdcOp.Insert, 101, 201, "scheduled"),
+      apptEvent(CdcOp.Insert, 102, 202, "scheduled"),
+      apptEvent(CdcOp.Insert, 103, 203, "confirmed")))
+    // batch 2: morning flow — check-ins / in-progress (lines 56-107)
+    applyBatch(Seq(
+      apptEvent(CdcOp.Update, 104, 201, "checked_in"),
+      apptEvent(CdcOp.Update, 105, 202, "checked_in"),
+      apptEvent(CdcOp.Update, 106, 201, "in_progress")))
+    // batch 3: completions + visit creation (UPDATE..RETURNING feeding INSERT, lines 122-149)
+    applyBatch(Seq(
+      apptEvent(CdcOp.Update, 107, 201, "completed"),
+      visitEvent(108, 201, 201),
+      apptEvent(CdcOp.Update, 109, 202, "completed"),
+      visitEvent(110, 202, 202)))
+    // batch 4: walk-ins + cancellation + retention deletes (lines 163-334)
+    applyBatch(Seq(
+      apptEvent(CdcOp.Insert, 111, 204, "scheduled"),
+      apptEvent(CdcOp.Insert, 112, 205, "scheduled"),
+      apptEvent(CdcOp.Update, 113, 203, "cancelled"),
+      apptEvent(CdcOp.Delete, 114, 1, null),
+      apptEvent(CdcOp.Delete, 115, 2, null)))
+    // batch 5: doctor 9 stops accepting patients (lines 349-351)
+    applyBatch(Seq(doctorEvent(116, 9)))
+
+    val appts = store.read("appointments")
+    // 170 + 5 inserts = 175 rows; soft deletes keep rows
+    assert(appts.count() == 175)
+    assert(appts.filter(col(CdcApplier.MetaDeleted) === true).count() == 2)
+    assert(appts.filter($"appointment_id" === 201 && $"status" === "completed").count() == 1)
+    assert(appts.filter($"appointment_id" === 203 && $"status" === "cancelled").count() == 1)
+    // updated_at only on touched rows: 201,202,203 updated; 1,2 deleted ⇒ 5
+    assert(appts.filter(col(CdcApplier.MetaUpdated).isNotNull).count() == 5)
+
+    assert(store.read("visits").count() == 102)
+    val doc9 = store.read("doctors").filter($"doctor_id" === 9)
+    assert(doc9.select("accepting_new_patients").collect()(0).getBoolean(0) === false)
+    assert(doc9.select(CdcApplier.MetaUpdated).collect()(0).get(0) != null)
+
+    // journal holds every event (S5/T5)
+    assert(store.readJournal("appointments").count() == 13)
+    assert(store.readJournal("visits").count() == 2)
+    assert(store.readJournal("doctors").count() == 1)
+
+    // CHECK-constraint parity: nothing invalid slipped through the cast layer
+    assert(HealthcareFixtures.checkViolations(
+      appts.filter(col(CdcApplier.MetaDeleted) === false), store.read("visits")) == 0)
+  }
+
+  test("streaming apply: file event feed through foreachBatch reaches the same state") {
+    val root = Files.createTempDirectory("graft-cdc-stream").toString
+    val feedDir = Files.createTempDirectory("graft-feed").toString
+    val store = new TableStore(spark, root)
+    val pipeline = new CdcPipeline(spark, store, HealthcareSchema.all,
+      HealthcareSchema.keyColumns,
+      clock = () => lit("2025-01-15 08:00:00").cast("timestamp_ntz"))
+    pipeline.loadSnapshot(HealthcareFixtures.all(spark))
+
+    // one JSON-lines feed file = one source batch
+    val evs = Seq(
+      apptEvent(CdcOp.Insert, 201, 301, "scheduled"),
+      apptEvent(CdcOp.Update, 202, 301, "completed"),
+      apptEvent(CdcOp.Delete, 203, 3, null))
+    spark.createDataset(evs).write.mode("overwrite").json(feedDir)
+
+    val q = pipeline.start(
+      CdcPipeline.fileEventStream(spark, feedDir),
+      Files.createTempDirectory("graft-ckpt").toString,
+      Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val appts = store.read("appointments")
+    assert(appts.count() == 171)
+    assert(appts.filter($"appointment_id" === 301 && $"status" === "completed").count() == 1)
+    assert(appts.filter($"appointment_id" === 3 && col(CdcApplier.MetaDeleted)).count() == 1)
+  }
+}

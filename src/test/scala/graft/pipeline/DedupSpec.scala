@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Probabilistic dedup paths validated against the exact baseline
+  * (SparkEntry exposes them rows-only; these are their correctness gate).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(name: String): Set[(Long, Long)] = {
+    val df = SparkEntryPairs(name)
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def SparkEntryPairs(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf())
+
+  test("MinHash-LSH recovers the exact-Jaccard near-dup pair set") {
+    val exact = pairs("q_dedup_ngram_jaccard")
+    val lsh = pairs("q_dedup_minhash_lsh")
+    // verification step guarantees no false positives; banding with 8×4 at
+    // j≥0.8 makes false negatives ~(1-0.8^4)^8 ≈ 0.8% per pair
+    assert(lsh.subsetOf(exact), s"LSH produced false positives: ${lsh -- exact}")
+    assert(exact.nonEmpty, "test corpus should contain planted near-dups")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
+  test("SimHash: hamming distance tracks document similarity") {
+    // simhash stability grows with document length; use realistic sizes
+    // (one substitution in 60 tokens) rather than 10-token toys
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok30", "tok30x")
+    val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val fp = docs.select($"doc_id", simHash64(tokens($"text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val near = ham(fp(1L), fp(2L))
+    val far = ham(fp(1L), fp(3L))
+    assert(near <= 10, s"near-dup hamming $near")
+    assert(far > near + 5, s"unrelated docs not separated: near=$near far=$far")
+  }
+
+  test("simhash is order-insensitive enough: identical token bags collide") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha")).toDF("doc_id", "text")
+    val fp = docs.select(simHash64(tokens($"text")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(fp(0) == fp(1))
+  }
+
+  test("bag fingerprint detects reordered duplicates that md5 misses") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma alpha beta"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val out = docs.select(
+      md5($"text").as("exact"),
+      bagFingerprint(tokens($"text")).as("bag")).collect()
+    assert(out(0).getString(0) != out(1).getString(0)) // exact differs
+    assert(out(0).getString(1) == out(1).getString(1)) // bag matches
+    assert(out(0).getString(1) != out(2).getString(1))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.semantic
+
+import graft.SparkSpec
+import graft.analytics.{HealthcareQueries, HealthcareTables}
+import graft.fixtures.HealthcareFixtures
+import org.apache.spark.sql.functions._
+
+/** EP3 golden contract: the YAML loads into the model graph and each
+  * verified query's builder output matches independently-written SQL over
+  * the same tables (SURVEY §5.5).
+  */
+class SemanticModelSpec extends SparkSpec {
+
+  private lazy val model = SemanticModel.loadResource("/healthcare_semantic_model.yaml")
+  private lazy val tables = HealthcareFixtures.snapshotTables(spark)
+  private lazy val qb = new QueryBuilder(model, tables(_))
+
+  test("YAML loads the full model graph") {
+    assert(model.name == "healthcare_cdc")
+    assert(model.tables.map(_.name).toSet ==
+      Set("patients", "doctors", "appointments", "visits"))
+    assert(model.table("visits").facts.map(_.name) == Seq("total_charge"))
+    assert(model.table("appointments").primaryKey == Seq("appointment_id"))
+    assert(model.relationships.size == 4)
+    assert(model.relationship("visits_to_doctors").joinType == "left_outer")
+    assert(model.verifiedQueries.size == 3)
+  }
+
+  test("verified: total_appointments_summary") {
+    val out = qb.verified("total_appointments_summary").collect()(0)
+    assert(out.getAs[Long]("total_appointments") == 170)
+    assert(out.getAs[Long]("unique_doctors") == 10)
+  }
+
+  test("verified: appointments_modified_recently is empty right after snapshot") {
+    assert(qb.verified("appointments_modified_recently").count() == 0)
+  }
+
+  test("verified: revenue_by_doctor matches the reference SQL via spark.sql") {
+    tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    // independent implementation: the verified SQL itself (Spark SQL dialect)
+    val expected = spark.sql(
+      """SELECT d.doctor_id,
+        |       COUNT(v.visit_id) AS total_visits,
+        |       SUM(v.total_charge) AS total_revenue
+        |FROM doctors d LEFT OUTER JOIN visits v
+        |  ON d.doctor_id = v.doctor_id AND v.`_snowflake_deleted` = FALSE
+        |WHERE d.`_snowflake_deleted` = FALSE
+        |GROUP BY d.doctor_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), Option(r.getDecimal(2))))).toMap
+    val got = qb.verified("revenue_by_doctor")
+      .collect().map(r => r.getAs[Long]("doctor_id") ->
+        ((r.getAs[Long]("total_visits"), Option(r.getAs[java.math.BigDecimal]("total_revenue"))))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (n, rev)) =>
+      assert(n == expected(k)._1, s"doctor $k visit count")
+      assert(rev.map(_.doubleValue).getOrElse(0.0) ==
+        expected(k)._2.map(_.doubleValue).getOrElse(0.0), s"doctor $k revenue")
+    }
+    // ordering: revenue DESC NULLS LAST
+    val revs = qb.verified("revenue_by_doctor").collect()
+      .map(r => Option(r.getAs[java.math.BigDecimal]("total_revenue")).map(_.doubleValue))
+    val nonNull = revs.flatten
+    assert(nonNull.sameElements(nonNull.sorted(Ordering[Double].reverse)))
+    assert(revs.dropWhile(_.isDefined).forall(_.isEmpty))
+  }
+
+  test("soft-delete filter is always injected by the builder") {
+    // builder must exclude soft-deleted rows without the caller asking
+    val before = qb.verified("total_appointments_summary")
+      .collect()(0).getAs[Long]("total_appointments")
+    val withDeleted = tables("appointments")
+      .withColumn("_snowflake_deleted", col("appointment_id") <= 10)
+    val qb2 = new QueryBuilder(model,
+      name => if (name == "appointments") withDeleted else tables(name))
+    val after = qb2.verified("total_appointments_summary")
+      .collect()(0).getAs[Long]("total_appointments")
+    assert(before == 170 && after == 160)
+  }
+}
