@@ -2,50 +2,74 @@ package graft.pipeline
 
 import graft.QueryDef
 import graft.analytics.Tables
-import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over `documents` (SURVEY: training-data pipeline
   * operators). Three strategies, all shared-nothing:
   *
-  *  1. exact n-gram Jaccard via an INVERTED-INDEX join — explode distinct
-  *     shingles, self-join on the shingle, count per pair = |A∩B|. No O(n²)
+  *  1. exact n-gram Jaccard via an INVERTED-INDEX join — (doc, shingle)
+  *     postings self-joined on the shingle; count per pair = |A∩B|. No O(n²)
   *     cross join ever materializes; the shuffle key is the shingle, so the
   *     plan scales with total postings, not documents².
-  *  2. MinHash + LSH banding — constant-size signature per doc (k=32 hashes,
+  *  2. MinHash + LSH banding — constant-size signature per doc (k=32 slots,
   *     8 bands × 4 rows), candidates = band-bucket collisions, then exact
   *     Jaccard verification of the (tiny) candidate set. This is the 100 TB
-  *     path: signature build is map-only, the only shuffle groups ~8 band
-  *     keys per doc.
+  *     path: the signature is a single hash-aggregate over postings.
   *  3. SimHash — one 64-bit fingerprint per doc; near-dup iff Hamming ≤ r.
-  *     Candidate generation via 4×16-bit chunk blocking (pigeonhole: any pair
-  *     with Hamming ≤ 3 shares at least one exact chunk).
+  *     Candidate generation via 4×16-bit chunk blocking (pigeonhole: any
+  *     pair with Hamming ≤ 3 shares at least one exact chunk).
+  *
+  * All three are built from exploded rows + codegen'd projections + hash
+  * aggregates — deliberately NOT from higher-order array functions, whose
+  * lambda evaluation is interpreted and measured ~10× slower here.
   */
 object DedupQueries {
 
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
 
-  /** doc_id → distinct 3-word shingles. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), wordShingles(tokens(col("text")), 3).as("shingles"))
+  /** Distinct (doc_id, sh) 3-word-shingle postings, built with
+    * posexplode + windowed lead — every expression codegen-friendly. The
+    * window partitions by doc_id (tokens of one doc are never large), and
+    * the resulting exchange is reused by the downstream per-doc aggregates.
+    */
+  private def shinglePostings(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    toks
+      .withColumn("tok1", lead("tok", 1).over(w))
+      .withColumn("tok2", lead("tok", 2).over(w))
+      .filter(col("tok2").isNotNull) // guard: <3-token docs yield no shingles
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("tok1"), col("tok2")).as("sh"))
+      .distinct()
+  }
 
-  /** Exact-Jaccard pair verification given candidate (doc_a, doc_b) pairs. */
-  private def verifyPairs(cands: DataFrame, sh: DataFrame, minJaccard: Double): DataFrame = {
-    val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
-      size(col("shingles")).as("n_a"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
-      size(col("shingles")).as("n_b"))
-    cands.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+  /** (candidate pairs, postings) → exact-Jaccard-verified pairs ≥ minJ.
+    * Intersections come from joining the candidates back to the postings on
+    * both sides — proportional to the candidates' postings, never n².
+    */
+  private def verifyByJaccard(cands: DataFrame, sh: DataFrame, sizes: DataFrame,
+      minJ: Double): DataFrame = {
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= minJaccard)
+      .filter(col("jaccard") >= minJ)
       .select("doc_a", "doc_b", "n_a", "n_b", "n_inter", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
+
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -69,11 +93,10 @@ object DedupQueries {
          |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val sh = shingled(s, d)
-      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-      val pairs = ex.as("a").join(ex.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      val sh = shinglePostings(s, d)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_inter"))
       pairs
@@ -90,26 +113,34 @@ object DedupQueries {
     // Probabilistic candidate generation → no oracle; DedupSpec asserts it
     // recovers the exact-Jaccard pair set on the test corpus.
     QueryDef.rowsOnly("q_dedup_minhash_lsh") { (s, d) =>
-      val sh = shingled(s, d).filter(size(col("shingles")) > 0)
-      val banded = sh
-        .select(col("doc_id"),
-          explode(lshBandKeys(minHashSignature(col("shingles"), k = 32), bands = 8, rowsPerBand = 4))
-            .as("band"))
+      val sh = shinglePostings(s, d)
+      val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      // 32 min-aggregates in ONE hash aggregate = the whole signature build.
+      // Slot hashes re-hash the 64-bit shingle hash with a seed literal —
+      // affine h*a+b would be cheaper still, but wrapping multiplication
+      // throws under ANSI mode (Spark 4 default)
+      val slotAggs = (0 until 32).map(i =>
+        min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+      val sig = hashed.groupBy("doc_id")
+        .agg(slotAggs.head, (slotAggs.tail :+ count(lit(1)).as("n")): _*)
+      val bands = sig.select(col("doc_id"),
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("band_id"),
+            xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as("band_key"))): _*)).as("band"))
         .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-      // candidates: same (band_id, band_key) bucket — the ONLY shuffle over docs
-      val cands = banded.as("x").join(banded.as("y"),
+      val cands = bands.as("x").join(bands.as("y"),
           col("x.band_id") === col("y.band_id") &&
             col("x.band_key") === col("y.band_key") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      verifyPairs(cands, sh, minJaccard = 0.8)
+      val sizes = sig.select(col("doc_id"), col("n"))
+      verifyByJaccard(cands, sh, sizes, minJ = 0.8)
     },
 
     // ----- SimHash fingerprints + Hamming-blocked near-dup pairs -----
     QueryDef.rowsOnly("q_dedup_simhash") { (s, d) =>
-      val fp = Tables.documents(s, d)
-        .select(col("doc_id"), simHash64(tokens(col("text"))).as("simhash"))
+      val fp = simHashByExplode(Tables.documents(s, d).select("doc_id", "text"))
       // 4 chunks of 16 bits; Hamming ≤ 3 ⇒ some chunk matches exactly
       val chunks = fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(i =>
@@ -123,10 +154,28 @@ object DedupQueries {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
         .distinct()
-        .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")))
+        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
         .filter(col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     }
   )
+
+  /** SimHash via explode + 64 conditional sums — numerically identical to
+    * TextFunctions.simHash64 (same per-token xxhash64 bit votes) but shaped
+    * as a codegen'd hash aggregate instead of interpreted lambda folds.
+    */
+  def simHashByExplode(docs: DataFrame): DataFrame = {
+    val toksH = docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"c$i"))
+    val sums = toksH.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val simhash = (0 until 64).map(i =>
+      when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)): Column)
+      .reduce(_ bitwiseOR _)
+    sums.select(col("doc_id"), simhash.as("simhash"))
+  }
 }

@@ -55,6 +55,15 @@ class DedupSpec extends SparkSpec {
     assert(fp(0) == fp(1))
   }
 
+  test("exploded simhash (scale path) equals the expression-tree simHash64") {
+    val docs = graft.analytics.Tables.documents(spark, sf()).select("doc_id", "text").limit(100)
+    val hof = docs.select($"doc_id", simHash64(tokens($"text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exploded = DedupQueries.simHashByExplode(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hof == exploded)
+  }
+
   test("bag fingerprint detects reordered duplicates that md5 misses") {
     val docs = Seq(
       (1L, "alpha beta gamma"),
