@@ -14,10 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  def dot(a: Column, b: Column): Column =
+  /** Declarative formulation (kept as the reference implementation; the
+    * engine uses the codegen'd [[graft.expressions.FloatVectorDot]] which is
+    * bit-identical but ~10× faster — VectorFunctionsSpec asserts equality).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.fastDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -3,6 +3,8 @@ package graft.pipeline
 import graft.QueryDef
 import graft.analytics.Tables
 import graft.functions.VectorFunctions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -28,6 +30,21 @@ object SimilarityQueries {
     s"""(list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        | / (sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
        |   * sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin.replace("\n", " ")
+
+  /** 16-bit random-hyperplane signature: bit j = sign of ⟨v, r_j⟩ with
+    * fixed seeded gaussian hyperplanes (64-dim). Each projection is one
+    * codegen'd FloatVectorDot against a literal vector.
+    */
+  private val hyperplanes: Array[Array[Float]] = {
+    val r = new scala.util.Random(31337)
+    Array.fill(16, 64)(r.nextGaussian().toFloat)
+  }
+
+  def rpSignature(v: Column): Column =
+    (0 until 16).map { j =>
+      val proj = dot(v, org.apache.spark.sql.graft.VectorExpressions.litFloatArray(hyperplanes(j)))
+      when(proj > 0, lit(1 << j)).otherwise(lit(0)): Column
+    }.reduce(_ bitwiseOR _)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -67,6 +84,60 @@ object SimilarityQueries {
           round(cosine(col("embedding"), col("qv")), 9).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
+    },
+
+    // ----- Distributed KNN JOIN: top-k neighbors for EVERY query vector -----
+    // The batch shape of similarity search: broadcast the (small) query set,
+    // score map-side with the codegen'd dot product, per-query top-k via a
+    // window over the query id. At scale the corpus side stays partitioned;
+    // nothing but the k results per query ever shuffles.
+    QueryDef(
+      "q_ann_knn_join",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+         |scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+         |                  ROUND(${cosSql("c.embedding", "qv")}, 9) AS cosine
+         |           FROM c, q)
+         |SELECT query_id, neighbor_id, cosine FROM scored
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 5
+         |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = e.filter(col("vec_id") >= 20)
+        .crossJoin(broadcast(q))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosine(col("embedding"), col("qv")), 9).as("cosine"))
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).drop("rn")
+        .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+    },
+
+    // ----- Random-hyperplane LSH KNN (the bucketed scale path for cosine) -----
+    // 16 signed projections → 2 bands of 8 bits; candidates share a band,
+    // then get exactly re-scored. Probabilistic recall → rows-only;
+    // SimilaritySpec measures recall on genuinely clustered data.
+    QueryDef.rowsOnly("q_ann_rp_lsh_topk") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      def banded(df: org.apache.spark.sql.DataFrame, idCol: String) = df
+        .withColumn("sig", rpSignature(col("embedding")))
+        .select(col(idCol), col("embedding"),
+          explode(array(
+            struct(lit(0).as("band_id"), col("sig").bitwiseAND(0xFF).as("band_key")),
+            struct(lit(1).as("band_id"), shiftright(col("sig"), 8).bitwiseAND(0xFF).as("band_key")))).as("b"))
+        .select(col(idCol), col("embedding"), col("b.band_id"), col("b.band_key"))
+      val qs = banded(e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding")), "query_id")
+        .withColumnRenamed("embedding", "qv")
+      val corpus = banded(e.filter(col("vec_id") >= 20), "vec_id")
+      val cands = corpus.join(qs, Seq("band_id", "band_key"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("embedding"), col("qv"))
+        .distinct()
+      val scored = cands.select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("embedding"), col("qv")), 9).as("cosine"))
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).drop("rn")
+        .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
     },
 
     // ----- IVF-style partitioned ANN: probe best partitions only -----

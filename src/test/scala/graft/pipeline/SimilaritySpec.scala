@@ -56,6 +56,47 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfCorpus.select(countDistinct($"label")).collect()(0).getLong(0) <= 2)
   }
 
+  test("codegen FloatVectorDot is bit-identical to the declarative HOF dot") {
+    val e = graft.analytics.Tables.embeddings(spark, sf())
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val both = e.crossJoin(broadcast(q))
+      .select(dot($"embedding", $"qv").as("fast"), dotHof($"embedding", $"qv").as("hof"))
+      .filter($"fast" =!= $"hof")
+    assert(both.count() == 0)
+  }
+
+  test("random-hyperplane LSH: near-perfect recall on clustered data, sane on corpus") {
+    // clustered synthetic corpus: neighbors share the query's orthant, so
+    // signed projections must bucket them together
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    def member(axis: Int): Array[Float] =
+      Array.tabulate(dim)(i => (if (i == axis % dim) 3f else 0f) + (rnd.nextFloat() - 0.5f) * 0.2f)
+    val vecs = (0L until 300L).map(i => (i, member((i % 3).toInt)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    def score(base: org.apache.spark.sql.DataFrame) = base
+      .filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id", round(cosine($"embedding", $"qv"), 9).as("c"))
+      .orderBy($"c".desc, $"vec_id").limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val brute = score(df)
+    val sigs = df.withColumn("sig", graft.pipeline.SimilarityQueries.rpSignature($"embedding"))
+    val qSig = sigs.filter($"vec_id" === 0).collect()(0).getAs[Int]("sig")
+    // candidates share one of the two 8-bit bands with the query
+    val cands = sigs.filter($"vec_id" =!= 0)
+      .filter(($"sig".bitwiseAND(0xFF) === (qSig & 0xFF)) ||
+        (shiftright($"sig", 8).bitwiseAND(0xFF) === ((qSig >> 8) & 0xFF)))
+    val lsh = score(cands)
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"rp-LSH recall@10 on clustered data = $recall")
+
+    // corpus query runs and returns 5 results per covered query
+    val corpus = graft.SparkEntry.queries("q_ann_rp_lsh_topk")(spark, sf())
+    val perQuery = corpus.groupBy("query_id").count()
+    assert(perQuery.filter($"count" > 5).count() == 0)
+  }
+
   test("centroid computation: sumVectors/count equals elementwise mean") {
     val df = Seq((1, Array(1f, 3f)), (1, Array(3f, 5f))).toDF("label", "v")
     val out = df.groupBy("label")
