@@ -18,6 +18,7 @@ object SparkEntry {
       pipeline.DedupQueries.defs ++
       pipeline.SimilarityQueries.defs ++
       pipeline.Multimodal.defs ++
+      streaming.StreamShapeQueries.defs ++
       analytics.HealthcareEntry.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

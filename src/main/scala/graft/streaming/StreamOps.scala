@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming transforms over an event stream (the Structured Streaming face
+  * of the engine, complementing the CDC applier of [[graft.cdc]]).
+  *
+  * All operators work identically on batch and streaming DataFrames — the
+  * declarative `window`/`session_window` functions are Catalyst expressions,
+  * so the SAME function is oracle-checkable in batch mode and deployable
+  * with `readStream` + watermark at scale. State size is bounded by the
+  * watermark; keys partition the state store, so state scales horizontally
+  * with executors.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts per event type. With a watermark, late data
+    * beyond `lateness` is dropped and window state is evicted — the knob
+    * that keeps state bounded on an unbounded stream.
+    */
+  def tumblingCounts(events: DataFrame, width: String, lateness: String = "10 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", lateness) else events
+    // streaming state stores can't hold exact distinct sets → HLL sketch on
+    // the stream, exact count in batch (where the DuckDB oracle checks it)
+    val distinctUsers =
+      if (events.isStreaming) approx_count_distinct(col("user_id"))
+      else countDistinct(col("user_id"))
+    withWm
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        distinctUsers.as("n_users"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("n_users"))
+  }
+
+  /** Sliding-window event rates (width/slide), e.g. 10-minute windows every
+    * 5 minutes. Each event lands in width/slide windows; Spark expands this
+    * map-side — no self-join.
+    */
+  def slidingCounts(events: DataFrame, width: String, slide: String,
+      lateness: String = "10 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", lateness) else events
+    withWm
+      .groupBy(window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"), col("n_events"))
+  }
+
+  /** Session windows per user: a session closes after `gap` of inactivity.
+    * Built-in `session_window` keeps this fully declarative (state merging,
+    * watermark eviction for free).
+    */
+  def userSessions(events: DataFrame, gap: String, lateness: String = "10 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", lateness) else events
+    withWm
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("n_events"), col("session_value"))
+  }
+
+  // ----- custom state: running per-user aggregates with anomaly flags -----
+
+  case class UserEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  case class UserRunningState(nEvents: Long, totalValue: Double)
+  case class UserUpdate(user_id: Long, nEvents: Long, totalValue: Double, anomalous: Boolean)
+
+  /** Per-key custom state via flatMapGroupsWithState — the escape hatch for
+    * semantics the declarative windows can't express (here: a running
+    * lifetime total with an anomaly flag once a user's cumulative value
+    * crosses a threshold). State is per-key and checkpointed; timeouts would
+    * evict idle users in production.
+    */
+  def runningUserTotals(events: Dataset[UserEvent], anomalyThreshold: Double): Dataset[UserUpdate] = {
+    implicit val stateEnc: Encoder[UserRunningState] = Encoders.product[UserRunningState]
+    implicit val outEnc: Encoder[UserUpdate] = Encoders.product[UserUpdate]
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserRunningState]) => {
+          val prev = state.getOption.getOrElse(UserRunningState(0L, 0.0))
+          var n = prev.nEvents
+          var total = prev.totalValue
+          batch.foreach { e => n += 1; total += e.value }
+          state.update(UserRunningState(n, total))
+          Iterator.single(UserUpdate(userId, n, total, total > anomalyThreshold))
+        })
+  }
+}

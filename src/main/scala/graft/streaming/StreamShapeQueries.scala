@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.QueryDef
+import graft.analytics.Tables
+import org.apache.spark.sql.functions._
+
+/** Driver-visible entries for the streaming operators, run in batch mode
+  * over `events` — the window expressions are identical in both modes, so
+  * the DuckDB oracle validates exactly what the stream computes
+  * (StreamOpsSpec drives the same functions through MemoryStream with
+  * watermarks to cover the streaming-only semantics).
+  */
+object StreamShapeQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // tumbling windows align to the epoch → DATE_TRUNC is the exact oracle
+    QueryDef(
+      "q_stream_tumbling",
+      """SELECT DATE_TRUNC('hour', ts) AS window_start,
+        |       DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |       event_type,
+        |       COUNT(*) AS n_events,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      StreamOps.tumblingCounts(
+        Tables.events(s, d).filter(col("ts") < lit("2024-01-05 00:00:00").cast("timestamp")),
+        "1 hour")
+        .orderBy("window_start", "event_type")
+    },
+
+    // sliding windows: each event expands into width/slide buckets; the
+    // DuckDB oracle replicates the expansion with generate_series
+    QueryDef(
+      "q_stream_sliding",
+      """WITH e AS (SELECT ts FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'),
+        |expanded AS (
+        |  SELECT DATE_TRUNC('hour', ts) - INTERVAL (h.h) HOUR AS window_start
+        |  FROM e, (SELECT UNNEST(generate_series(0, 5)) AS h) h
+        |)
+        |SELECT window_start, window_start + INTERVAL 6 HOUR AS window_end,
+        |       COUNT(*) AS n_events
+        |FROM expanded
+        |GROUP BY 1, 2
+        |ORDER BY window_start""".stripMargin) { (s, d) =>
+      StreamOps.slidingCounts(
+        Tables.events(s, d).filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp")),
+        width = "6 hours", slide = "1 hour")
+        .orderBy("window_start")
+    },
+
+    // session windows (data-dependent boundaries) → rows-only; exactness is
+    // asserted by StreamOpsSpec on a hand-built trace
+    QueryDef.rowsOnly("q_stream_sessions") { (s, d) =>
+      StreamOps.userSessions(
+        Tables.events(s, d).filter(col("user_id") <= 50), gap = "30 minutes")
+        .orderBy("user_id", "session_start")
+    }
+  )
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import graft.streaming.StreamOps.UserEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(t: String, user: Long, typ: String = "view", v: Double = 1.0) =
+    UserEvent(user, ts(t), typ, v)
+
+  test("tumbling counts over a real stream honor the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val query = StreamOps.tumblingCounts(input.toDF(), "1 hour", lateness = "30 minutes")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        ev("2024-01-01 10:05:00", 1), ev("2024-01-01 10:35:00", 2),
+        ev("2024-01-01 11:10:00", 1))
+      query.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .groupBy("window_start", "event_type").agg(max("n_events").as("n"))
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(2)).toMap
+      assert(rows("2024-01-01 10:00:00.0") == 2)
+      assert(rows("2024-01-01 11:00:00.0") == 1)
+
+      // an event older than watermark (11:10 - 30m) must be dropped
+      input.addData(ev("2024-01-01 09:00:00", 3))
+      query.processAllAvailable()
+      val afterLate = spark.table("tumbling_out")
+        .filter($"window_start" === lit("2024-01-01 09:00:00").cast("timestamp")).count()
+      assert(afterLate == 0, "late event beyond watermark should be dropped")
+    } finally query.stop()
+  }
+
+  test("session windows split on the inactivity gap (batch = stream semantics)") {
+    val events = Seq(
+      ev("2024-01-01 10:00:00", 1, v = 5.0),
+      ev("2024-01-01 10:10:00", 1, v = 2.0), // same session (gap 30m)
+      ev("2024-01-01 11:30:00", 1, v = 1.0), // new session
+      ev("2024-01-01 10:00:00", 2, v = 9.0)
+    ).toDF()
+    val out = StreamOps.userSessions(events, gap = "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2 && out(0).getAs[Double]("session_value") == 7.0)
+    assert(out(0).getAs[Timestamp]("session_end") == ts("2024-01-01 10:40:00")) // last event + gap
+    assert(out(1).getAs[Long]("n_events") == 1)
+    assert(out(2).getAs[Long]("user_id") == 2)
+  }
+
+  test("flatMapGroupsWithState keeps running totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val query = StreamOps.runningUserTotals(input.toDS(), anomalyThreshold = 10.0)
+      .writeStream.format("memory").queryName("running_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev("2024-01-01 10:00:00", 1, v = 4.0), ev("2024-01-01 10:01:00", 1, v = 3.0))
+      query.processAllAvailable()
+      input.addData(ev("2024-01-01 10:02:00", 1, v = 5.0)) // crosses threshold: 12 > 10
+      query.processAllAvailable()
+      val updates = spark.table("running_out").orderBy("nEvents").collect()
+      assert(updates.length == 2)
+      assert(updates(0).getAs[Long]("nEvents") == 2 && updates(0).getAs[Double]("totalValue") == 7.0)
+      assert(!updates(0).getAs[Boolean]("anomalous"))
+      assert(updates(1).getAs[Long]("nEvents") == 3 && updates(1).getAs[Double]("totalValue") == 12.0)
+      assert(updates(1).getAs[Boolean]("anomalous"))
+    } finally query.stop()
+  }
+
+  test("sliding windows cover each event width/slide times") {
+    val events = Seq(ev("2024-01-01 10:30:00", 1)).toDF()
+    val out = StreamOps.slidingCounts(events, "6 hours", "1 hour").collect()
+    assert(out.length == 6) // one event appears in exactly 6 hourly-sliding 6h windows
+    assert(out.forall(_.getAs[Long]("n_events") == 1))
+  }
+}
