@@ -516,6 +516,77 @@ object RelationalQueries {
         .orderBy("balance_bucket")
     },
 
+    // ----- Set operations beyond UNION ALL: INTERSECT / EXCEPT -----
+    // (absent from the reference's surface — SURVEY §2.9 — but part of a
+    // complete analytics engine; both plan as joins, not materialized sets)
+    QueryDef(
+      "q_set_intersect_except",
+      """SELECT 'repeat_customers' AS op, COUNT(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        |UNION ALL
+        |SELECT 'never_ordered', COUNT(*) FROM (
+        |  SELECT c_custkey FROM customer
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders)
+        |ORDER BY op""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val recent = o.filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+      val early = o.filter(col("o_orderdate") < lit("1996-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+      val repeat = recent.intersect(early)
+        .agg(count(lit(1)).as("n")).select(lit("repeat_customers").as("op"), col("n"))
+      val never = Tables.customer(s, d).select(col("c_custkey"))
+        .except(o.select(col("o_custkey")))
+        .agg(count(lit(1)).as("n")).select(lit("never_ordered").as("op"), col("n"))
+      repeat.unionAll(never).orderBy("op")
+    },
+
+    // ----- ROLLUP / CUBE: hierarchical + full subtotal grids -----
+    QueryDef(
+      "q_rollup_revenue",
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("revenue"))
+        .orderBy("status", "priority")
+    },
+
+    QueryDef(
+      "q_cube_counts",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("qty"))
+        .orderBy("returnflag", "linestatus")
+    },
+
     // ----- F6/F9: Snowflake DATEDIFF(year) + DAYOFWEEK numbering shims -----
     QueryDef(
       "q_sf_date_shims",

@@ -1,0 +1,71 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audits: the scale properties the engine claims are
+  * asserted against the actual plans, not just documented —
+  * filter/projection pushdown into the parquet scan, broadcast joins for
+  * dimension tables, TakeOrderedAndProject for top-k (no global sort),
+  * whole-stage codegen on the hot paths.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = graft.SparkEntry.queries(name)(spark, sf())
+    df.queryExecution.sparkPlan.toString
+  }
+
+  private def executedPlanOf(name: String): String = {
+    val df: DataFrame = graft.SparkEntry.queries(name)(spark, sf())
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters and projections push into the parquet scan") {
+    val p = planOf("q_proj_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"), p)
+    // column pruning: the scan must read only the 3 projected columns
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double,o_orderpriority:string"), p)
+  }
+
+  test("date-range predicates reach the scan for the pricing query") {
+    val p = planOf("q_agg_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("dimension joins broadcast — no shuffle of the fact side") {
+    assert(planOf("q_join_2way").contains("BroadcastHashJoin"))
+    val multiway = planOf("q_join_multiway")
+    assert(multiway.contains("BroadcastHashJoin"))
+    assert(!multiway.contains("SortMergeJoin"), "dimension chain must not sort-merge")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(planOf("q_topk_customers").contains("TakeOrderedAndProject"))
+    assert(planOf("q_ann_cosine_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregations run partial+final (map-side combine)") {
+    val p = planOf("q_agg_pricing")
+    assert(p.contains("HashAggregate(keys="), p)
+    // partial + final = two HashAggregate nodes around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("hot paths stay inside whole-stage codegen") {
+    // codegen'd stages render as "*(n) Operator" in the plan string
+    val p = executedPlanOf("q_agg_pricing")
+    assert(p.contains("*(1) "), p)
+    val knn = executedPlanOf("q_ann_knn_join")
+    assert(knn.contains("*(1) "), knn)
+  }
+
+  test("CDC latest-per-key shuffles exactly once (on the key)") {
+    val df = graft.SparkEntry.queries("q_cdc_latest_per_key")(spark, sf())
+    val exchanges = "Exchange ".r.findAllIn(df.queryExecution.sparkPlan.toString).size
+    // one hashpartitioning exchange for the window; the final orderBy adds a
+    // range exchange — anything beyond that means a redundant shuffle
+    assert(exchanges <= 2, df.queryExecution.sparkPlan.toString)
+  }
+}
