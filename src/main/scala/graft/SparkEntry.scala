@@ -18,6 +18,7 @@ object SparkEntry {
       pipeline.DedupQueries.defs ++
       pipeline.SimilarityQueries.defs ++
       pipeline.Multimodal.defs ++
+      pipeline.CorpusPipeline.defs ++
       streaming.StreamShapeQueries.defs ++
       analytics.HealthcareEntry.defs
 

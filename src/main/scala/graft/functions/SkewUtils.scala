@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation primitives (SURVEY scale notes: "skewed keys → salting
+  * or AQE skew-join"). AQE handles most skew automatically at runtime;
+  * these are the explicit tools for the cases it cannot see — e.g. a
+  * pre-aggregation whose hot key would overwhelm one reducer, or a join
+  * where one side's hot keys are known ahead of time.
+  */
+object SkewUtils {
+
+  /** Two-phase aggregation for skewed group keys: a deterministic salt
+    * splits each hot key across `salts` reducers for the partial phase, a
+    * second (tiny) aggregation merges the partials. Works for any
+    * decomposable aggregate supplied as (partial, merge) column pairs on
+    * matching names.
+    *
+    * Example:
+    * {{{
+    * saltedAggregate(df, Seq("k"), 16)(
+    *   partial = Seq(count(lit(1)).as("n"), sum($"v").as("s")),
+    *   merge   = Seq(sum($"n").as("n"), sum($"s").as("s")))
+    * }}}
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], salts: Int)(
+      partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val phase1 = salted
+      .groupBy((keys :+ "_salt").map(col): _*)
+      .agg(partial.head, partial.tail: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(merge.head, merge.tail: _*)
+  }
+
+  /** Skewed equi-join: replicate the (small) right side `salts` times and
+    * salt the left side's key deterministically, so one hot left key fans
+    * out over `salts` tasks instead of one. Inner joins only (replication
+    * preserves inner-join multiplicity).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, salts: Int): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val replicatedRight = right.withColumn("_salt",
+      explode(array((0 until salts).map(lit(_)): _*)))
+    saltedLeft.join(replicatedRight,
+        saltedLeft(leftKey) === replicatedRight(rightKey) &&
+          saltedLeft("_salt") === replicatedRight("_salt"))
+      .drop("_salt")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.QueryDef
+import graft.analytics.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus construction: the composition that turns a raw
+  * document table into a cleaned corpus — the actual job a 100 TB text
+  * pipeline runs nightly.
+  *
+  * Stages (all one lazy DAG, no driver-side loops):
+  *  1. per-doc stats (tokens, quality heuristics) — map-only;
+  *  2. quality gate — pushed-down filter;
+  *  3. exact dedup on content digest — keep lowest doc_id per digest;
+  *  4. near-dup removal — inverted-index Jaccard pairs (doc_a < doc_b),
+  *     greedy survivor policy: drop every doc that appears as the higher id
+  *     of a qualifying pair. Deterministic, one pass, no iteration — the
+  *     standard large-scale policy (union-find only changes which member of
+  *     a duplicate cluster survives, not how many).
+  */
+object CorpusPipeline {
+
+  final case class Params(
+      minTokens: Int = 10,
+      maxMeanTokenLen: Double = 12.0,
+      nearDupJaccard: Double = 0.8)
+
+  /** Cleaned corpus with per-stage survival flags (so one pass computes both
+    * the output and the funnel stats).
+    */
+  def cleanWithFlags(docs: DataFrame, p: Params = Params()): DataFrame = {
+    val toks = tokens(col("text"))
+    val stats = docs.select(
+      col("doc_id"), col("lang"), col("text"),
+      size(toks).as("n_tokens"),
+      meanTokenLen(toks).as("mean_token_len"),
+      md5(col("text")).as("digest"))
+
+    val qualityOk = col("n_tokens") >= p.minTokens &&
+      col("mean_token_len") <= p.maxMeanTokenLen
+
+    // exact dedup: lowest doc_id per digest survives
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("digest").orderBy("doc_id")
+    val withExact = stats
+      .withColumn("exact_rank", row_number().over(w))
+      .withColumn("exact_survivor", col("exact_rank") === 1)
+      .drop("exact_rank")
+
+    // near-dup victims: doc_b side of any Jaccard>=τ pair
+    val pairs = DedupQueries.nearDupPairs(docs, p.nearDupJaccard)
+    val victims = pairs.select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_near_dup_victim", lit(true))
+
+    withExact
+      .join(victims, Seq("doc_id"), "left")
+      .withColumn("quality_ok", qualityOk)
+      .withColumn("survives",
+        qualityOk && col("exact_survivor") && col("is_near_dup_victim").isNull)
+      .select("doc_id", "lang", "n_tokens", "mean_token_len", "digest",
+        "quality_ok", "exact_survivor", "survives")
+  }
+
+  def clean(docs: DataFrame, p: Params = Params()): DataFrame =
+    cleanWithFlags(docs, p).filter(col("survives"))
+      .select("doc_id", "lang", "n_tokens")
+
+  /** One-row funnel summary: input → quality gate → exact dedup → near-dup. */
+  def funnel(docs: DataFrame, p: Params = Params()): DataFrame =
+    cleanWithFlags(docs, p).agg(
+      count(lit(1)).as("n_input"),
+      sum(when(col("quality_ok"), 1).otherwise(0)).as("n_quality_ok"),
+      sum(when(col("quality_ok") && col("exact_survivor"), 1).otherwise(0)).as("n_after_exact"),
+      sum(when(col("survives"), 1).otherwise(0)).as("n_clean"),
+      sum(when(col("survives"), col("n_tokens")).otherwise(0)).as("clean_tokens"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.rowsOnly("q_corpus_clean") { (s, d) =>
+      clean(Tables.documents(s, d)).orderBy("doc_id")
+    },
+    QueryDef.rowsOnly("q_corpus_funnel") { (s, d) =>
+      funnel(Tables.documents(s, d))
+    })
+}

@@ -35,8 +35,8 @@ object DedupQueries {
     * window partitions by doc_id (tokens of one doc are never large), and
     * the resulting exchange is reused by the downstream per-doc aggregates.
     */
-  private def shinglePostings(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+  def shinglePostings(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"),
         posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
       .filter(length(col("tok")) > 0)
@@ -47,6 +47,29 @@ object DedupQueries {
       .filter(col("tok2").isNotNull) // guard: <3-token docs yield no shingles
       .select(col("doc_id"), concat_ws(" ", col("tok"), col("tok1"), col("tok2")).as("sh"))
       .distinct()
+  }
+
+  private def shinglePostings(s: SparkSession, d: String): DataFrame =
+    shinglePostings(Tables.documents(s, d))
+
+  /** Exact near-dup pairs (Jaccard ≥ minJ) for any (doc_id, text) frame —
+    * the inverted-index plan shared by q_dedup_ngram_jaccard and the corpus
+    * cleaning pipeline.
+    */
+  def nearDupPairs(docs: DataFrame, minJ: Double): DataFrame = {
+    val sh = shinglePostings(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJ)
+      .select("doc_a", "doc_b", "n_a", "n_b", "n_inter", "jaccard")
   }
 
   /** (candidate pairs, postings) → exact-Jaccard-verified pairs ≥ minJ.
@@ -93,20 +116,7 @@ object DedupQueries {
          |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val sh = shinglePostings(s, d)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a").join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      pairs
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-        .withColumn("jaccard",
-          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-        .filter(col("jaccard") >= 0.8)
-        .select("doc_a", "doc_b", "n_a", "n_b", "n_inter", "jaccard")
-        .orderBy("doc_a", "doc_b")
+      nearDupPairs(Tables.documents(s, d), minJ = 0.8).orderBy("doc_a", "doc_b")
     },
 
     // ----- MinHash + LSH banding, exact-verified (the at-scale dedup path) -----

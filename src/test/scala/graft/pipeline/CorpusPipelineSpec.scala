@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.functions.SkewUtils
+import org.apache.spark.sql.functions._
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corpus cleaning drops exact dups, near dups, and low-quality docs") {
+    val docs = Seq(
+      (1L, "en", (1 to 40).map(i => s"w$i").mkString(" ")),            // clean
+      (2L, "en", (1 to 40).map(i => s"w$i").mkString(" ")),            // exact dup of 1
+      (3L, "en", ((1 to 39).map(i => s"w$i") :+ "zz").mkString(" ")),  // near dup of 1
+      (4L, "en", "short doc"),                                         // fails minTokens
+      (5L, "en", (1 to 40).map(i => s"unique$i").mkString(" "))        // clean
+    ).toDF("doc_id", "lang", "text").withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+
+    val survivors = CorpusPipeline.clean(docs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(survivors == Set(1L, 5L), s"got $survivors")
+
+    val f = CorpusPipeline.funnel(docs).collect()(0)
+    assert(f.getAs[Long]("n_input") == 5)
+    assert(f.getAs[Long]("n_quality_ok") == 4)
+    assert(f.getAs[Long]("n_after_exact") == 3)
+    assert(f.getAs[Long]("n_clean") == 2)
+  }
+
+  test("funnel is monotonically decreasing on the real corpus") {
+    val docs = graft.analytics.Tables.documents(spark, sf())
+    val f = CorpusPipeline.funnel(docs).collect()(0)
+    val (in, q, ex, clean) = (f.getAs[Long]("n_input"), f.getAs[Long]("n_quality_ok"),
+      f.getAs[Long]("n_after_exact"), f.getAs[Long]("n_clean"))
+    assert(in >= q && q >= ex && ex >= clean)
+    assert(clean > 0)
+    // the planted near-dups must actually be removed
+    assert(clean < ex, "near-dup stage removed nothing on a corpus with planted near-dups")
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val df = graft.analytics.Tables.orders(spark, sf())
+    val direct = df.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"o_totalprice").cast("decimal(18,2)").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+    val salted = SkewUtils.saltedAggregate(df, Seq("o_orderpriority"), salts = 8)(
+      partial = Seq(count(lit(1)).as("n"), sum($"o_totalprice".cast("decimal(18,2)")).as("s")),
+      merge = Seq(sum($"n").as("n"), sum($"s").cast("decimal(18,2)").as("s")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+    assert(direct.keySet == salted.keySet)
+    direct.foreach { case (k, (n, s)) =>
+      assert(salted(k)._1 == n, s"count for $k")
+      assert(salted(k)._2.compareTo(s) == 0, s"sum for $k")
+    }
+  }
+
+  test("salted join equals plain inner join") {
+    val orders = graft.analytics.Tables.orders(spark, sf()).select("o_orderkey", "o_custkey")
+    val customer = graft.analytics.Tables.customer(spark, sf()).select("c_custkey", "c_mktsegment")
+    val plain = orders.join(customer, $"o_custkey" === $"c_custkey").count()
+    val salted = SkewUtils.saltedJoin(orders, customer, "o_custkey", "c_custkey", salts = 8).count()
+    assert(plain == salted)
+  }
+}
