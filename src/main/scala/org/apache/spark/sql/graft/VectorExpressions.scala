@@ -89,4 +89,33 @@ object VectorExpressions {
   /** A literal float vector (e.g. an LSH hyperplane) as a Column. */
   def litFloatArray(values: Array[Float]): Column =
     ExpressionUtils.column(Literal.create(values, ArrayType(FloatType)))
+
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private val dotDescription = (
+    FunctionIdentifier("float_vector_dot"),
+    new ExpressionInfo(classOf[FloatVectorDot].getCanonicalName, "float_vector_dot"),
+    (children: Seq[Expression]) => FloatVectorDot(children.head, children(1)))
+
+  /** Register the native functions on an existing session so `spark.sql`
+    * users can call them: `SELECT float_vector_dot(a, b)`.
+    */
+  def register(spark: SparkSession): Unit = {
+    val (ident, info, builder) = dotDescription
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
+
+  /** For `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
+    * — injects the native functions into every new session at build time.
+    */
+  private[graft] def inject(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(dotDescription)
+}
+
+/** Session-extensions entry point (SURVEY §7.3 tier (c) registration). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    VectorExpressions.inject(ext)
 }

@@ -97,6 +97,16 @@ class SimilaritySpec extends SparkSpec {
     assert(perQuery.filter($"count" > 5).count() == 0)
   }
 
+  test("float_vector_dot is callable from SQL after registration") {
+    org.apache.spark.sql.graft.VectorExpressions.register(spark)
+    val d = spark.sql(
+      """SELECT float_vector_dot(
+        |  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(d == 11.0)
+  }
+
   test("centroid computation: sumVectors/count equals elementwise mean") {
     val df = Seq((1, Array(1f, 3f)), (1, Array(3f, 5f))).toDF("label", "v")
     val out = df.groupBy("label")
