@@ -14,6 +14,7 @@ object SparkEntry {
   private val allDefs: Seq[QueryDef] =
     analytics.RelationalQueries.defs ++
       analytics.CdcShapeQueries.defs ++
+      analytics.SequenceQueries.defs ++
       pipeline.TextPipelineQueries.defs ++
       pipeline.DedupQueries.defs ++
       pipeline.SimilarityQueries.defs ++

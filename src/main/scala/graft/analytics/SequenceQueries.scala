@@ -1,0 +1,94 @@
+package graft.analytics
+
+import graft.QueryDef
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over `events`: as-of alignment, funnel
+  * conversion, retention cohorts — the product-analytics shapes a CDC-fed
+  * events table exists to answer.
+  */
+object SequenceQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- backward AS-OF join: each purchase ↔ the user's latest prior view -----
+    // Oracle: DuckDB's native ASOF JOIN (inclusive backward semantics).
+    QueryDef(
+      "q_asof_purchase_view",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       STRFTIME(v.ts, '%Y-%m-%d %H:%M:%S') AS last_view_ts,
+        |       CAST(v.value AS DOUBLE) AS last_view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id <= 100) p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+      val events = Tables.events(s, d)
+      val purchases = events.filter(col("event_type") === "purchase" && col("user_id") <= 100)
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      val views = events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.backward(purchases, views, key = "user_id",
+        leftTs = "ts", rightTs = "ts",
+        rightCols = Map("ts" -> "last_view_ts_raw", "value" -> "last_view_value"))
+        .select(
+          col("purchase_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          date_format(col("last_view_ts_raw"), "yyyy-MM-dd HH:mm:ss").as("last_view_ts"),
+          col("last_view_value").cast("double"))
+        .orderBy("purchase_id")
+    },
+
+    // ----- funnel conversion: view → click → purchase in strict order -----
+    QueryDef(
+      "q_funnel_conversion",
+      """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+        |       (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+        |       (SELECT COUNT(*) FROM p) AS n_purchased_after_click""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+      val c = e.filter(col("event_type") === "click").as("e")
+        .join(v.as("v"), col("e.user_id") === col("v.user_id"))
+        .filter(col("e.ts") > col("v_ts"))
+        .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase").as("e")
+        .join(c.as("c"), col("e.user_id") === col("c.user_id"))
+        .filter(col("e.ts") > col("c_ts"))
+        .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("p_ts"))
+      v.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("n_clicked_after_view")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased_after_click")))
+    },
+
+    // ----- retention cohorts: first-seen week × weekly activity offsets -----
+    QueryDef(
+      "q_retention_cohorts",
+      """WITH firsts AS (SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week FROM events GROUP BY 1),
+        |activity AS (SELECT DISTINCT e.user_id, DATE_TRUNC('week', e.ts) AS active_week FROM events e)
+        |SELECT f.cohort_week,
+        |       CAST(DATE_DIFF('week', f.cohort_week, a.active_week) AS INT) AS week_offset,
+        |       COUNT(DISTINCT f.user_id) AS n_users
+        |FROM firsts f JOIN activity a ON f.user_id = a.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      // cast to date: DuckDB's DATE_TRUNC('week') returns DATE, Spark's a timestamp
+      val firsts = e.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+      val activity = e.select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("active_week"))
+        .distinct()
+      firsts.join(activity, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("active_week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }
+  )
+}
