@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical data-layout operators — the destination-side answer to the
+  * source's B-tree indexes (SURVEY §4: "partition destination tables by
+  * date where queries filter on it; rely on parquet min/max + predicate
+  * pushdown").
+  *
+  * At 100 TB the layout IS the index: hive-style date partitions give
+  * partition pruning (entire directories skipped at planning time), and
+  * sorting within files gives tight parquet min/max ranges so row groups
+  * are skipped at scan time.
+  */
+object LayoutOps {
+
+  /** Write a table partitioned by a derived date column. Queries filtering
+    * on `dateCol` then read only matching partitions — LayoutSpec asserts
+    * the pruning happens (PartitionFilters in the scan).
+    */
+  def writePartitionedByDate(df: DataFrame, tsCol: String, path: String,
+      targetPartitions: Int = 1): Unit =
+    df.withColumn("p_date", col(tsCol).cast("date"))
+      // co-locate each date's rows before the write so every partition
+      // directory holds `targetPartitions` files, not one file per task
+      .repartition(targetPartitions, col("p_date"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("p_date")
+      .parquet(path)
+
+  /** Sort within partitions on the given columns before writing, so parquet
+    * row-group min/max statistics become selective for range predicates.
+    */
+  def writeSortedWithinPartitions(df: DataFrame, sortCols: Seq[String], path: String,
+      numFiles: Int = 4): Unit =
+    df.repartition(numFiles)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
+
+  /** Rough file-count sizing for a target output size: ceil(bytes/target).
+    * Uses the optimizer's size estimate — the same statistic AQE plans with.
+    */
+  def targetFileCount(df: DataFrame, targetBytesPerFile: Long): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    math.max(1, (bytes / BigInt(targetBytesPerFile)).toInt +
+      (if (bytes % BigInt(targetBytesPerFile) > 0) 1 else 0))
+  }
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
