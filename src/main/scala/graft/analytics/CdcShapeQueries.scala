@@ -125,7 +125,7 @@ object CdcShapeQueries {
       "q_cdc_props_json",
       """SELECT event_type,
         |       COUNT(*) AS n,
-        |       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events

@@ -25,6 +25,45 @@ object HealthcareEntry {
     HealthcareTables(m("patients"), m("doctors"), m("appointments"), m("visits"))
   }
 
+  /** The reference's live-demo inserts (sql/3.live_appointments.sql:38-42,
+    * 163-165, 282-287) replayed as one in-memory CDC batch over the snapshot:
+    * "today"-anchored queries (today's schedule, utilization) see a populated
+    * day exactly the way the quickstart does — via CDC, not seed data.
+    */
+  private def tablesWithLiveDemo(s: SparkSession): HealthcareTables = {
+    import s.implicits._
+    val base = tables(s)
+    val ts = java.sql.Timestamp.valueOf(s"$now 12:00:00")
+    def ins(lsn: Long, id: Long, patientId: Int, doctorId: Int, dayOffset: Int,
+        time: String, status: String, reason: String, aType: String) =
+      CdcEvent("appointments", CdcOp.Insert, lsn, ts, id, Map(
+        "patient_id" -> patientId.toString, "doctor_id" -> doctorId.toString,
+        "appointment_date" -> java.time.LocalDate.parse(now).plusDays(dayOffset).toString,
+        "appointment_time" -> time, "status" -> status,
+        "reason_for_visit" -> reason, "appointment_type" -> aType,
+        "created_at" -> s"$now 08:00:00", "updated_at" -> s"$now 08:00:00"))
+    val live = Seq(
+      // 8:00 AM — new appointment requests
+      ins(1, 171, 5, 1, 3, "09:00:00", "scheduled", "Persistent cough and fever", "urgent"),
+      ins(2, 172, 17, 2, 5, "10:30:00", "scheduled", "Blood sugar monitoring", "follow_up"),
+      ins(3, 173, 29, 3, 7, "14:00:00", "scheduled", "Annual wellness visit", "routine"),
+      // 10:00 AM — urgent walk-ins for TODAY
+      ins(4, 174, 41, 1, 0, "10:45:00", "confirmed", "Severe allergic reaction", "urgent"),
+      ins(5, 175, 53, 3, 0, "11:15:00", "confirmed", "Chest pain evaluation", "urgent"),
+      // 12:00 PM — future scheduling
+      ins(6, 176, 8, 4, 10, "09:30:00", "scheduled", "Follow-up cardiac evaluation", "follow_up"),
+      ins(7, 177, 19, 6, 12, "10:00:00", "scheduled", "Child immunization", "routine"),
+      ins(8, 178, 31, 8, 14, "14:30:00", "scheduled", "Sports injury follow-up", "follow_up"),
+      ins(9, 179, 44, 9, 15, "11:00:00", "scheduled", "Skin condition check", "routine"),
+      ins(10, 180, 57, 10, 17, "13:00:00", "scheduled", "Chronic disease management", "follow_up"))
+    val typed = s.createDataset(live).toDF().select(
+      Seq(col("op"), col("lsn"), col("commitTs"), col("key")) ++
+        CdcApplier.afterImageColumns(HealthcareSchema.all("appointments"), "appointment_id"): _*)
+    val merged = CdcApplier.applyBatch(base.appointments, typed, "appointment_id",
+      lit(s"$now 12:00:00").cast("timestamp_ntz"))
+    base.copy(appointments = merged)
+  }
+
   /** Snapshot + 3 CDC batches end-to-end through the TableStore, returning
     * the post-state change-volume summary (the reference's live-demo final
     * check, sql/3.live_appointments.sql:366-402).
@@ -68,9 +107,9 @@ object HealthcareEntry {
     QueryDef.rowsOnly("hc_status_distribution")((s, _) =>
       HealthcareQueries.statusDistribution(tables(s))),
     QueryDef.rowsOnly("hc_todays_schedule")((s, _) =>
-      HealthcareQueries.todaysSchedule(tables(s), now)),
+      HealthcareQueries.todaysSchedule(tablesWithLiveDemo(s), now)),
     QueryDef.rowsOnly("hc_doctor_utilization_today")((s, _) =>
-      HealthcareQueries.doctorUtilizationToday(tables(s), now)),
+      HealthcareQueries.doctorUtilizationToday(tablesWithLiveDemo(s), now)),
     QueryDef.rowsOnly("hc_doctor_workload_30d")((s, _) =>
       HealthcareQueries.doctorWorkload30d(tables(s), now)),
     QueryDef.rowsOnly("hc_hourly_pattern")((s, _) =>

@@ -104,8 +104,8 @@ object RelationalQueries {
       """SELECT c_mktsegment,
         |       COUNT(*) AS n_customers,
         |       COUNT(NULLIF(c_acctbal < 0, FALSE)) AS n_negative,
-        |       SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS n_null_bal,
-        |       SUM(CASE WHEN c_acctbal > 9000 OR c_acctbal < -900 THEN 1 ELSE 0 END) AS n_extreme
+        |       CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_bal,
+        |       CAST(SUM(CASE WHEN c_acctbal > 9000 OR c_acctbal < -900 THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
         |FROM customer
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
@@ -276,7 +276,7 @@ object RelationalQueries {
       "q_cond_agg_rates",
       """SELECT o_orderpriority,
         |       COUNT(*) AS n_orders,
-        |       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
         |       COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_large,
         |       100.0 * SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) / NULLIF(COUNT(*), 0) AS finished_rate,
         |       100.0 * COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) / NULLIF(COUNT(*), 0) AS large_rate
@@ -329,7 +329,7 @@ object RelationalQueries {
          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value,
          |       CAST(MIN(o_orderdate) AS DATE) AS first_order,
          |       CAST(MAX(o_orderdate) AS DATE) AS last_order,
-         |       SUM(CASE WHEN o_orderdate >= $AnchorTs THEN 1 ELSE 0 END) AS orders_since_2000
+         |       CAST(SUM(CASE WHEN o_orderdate >= $AnchorTs THEN 1 ELSE 0 END) AS BIGINT) AS orders_since_2000
          |FROM orders""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .agg(
@@ -474,7 +474,7 @@ object RelationalQueries {
         |       STRFTIME(MAX(ts), '%Y-%m-%d %H:%M') AS last_seen,
         |       DATE_DIFF('minute', MIN(ts), MAX(ts)) AS span_minutes,
         |       COUNT(DISTINCT DATE_TRUNC('hour', ts)) AS active_hours,
-        |       SUM(CASE WHEN ts >= TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS last_week_events
+        |       CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS last_week_events
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin) { (s, d) =>

@@ -31,28 +31,36 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val carried = rightCols.values.toSeq
 
+    // The carried right columns travel as ONE struct per right row, so
+    // last(ignoreNulls=true) picks whole rows: a NULL field inside the most
+    // recent right row stays NULL (it can't be backfilled from an older right
+    // row), and "no prior right row" is a NULL struct — all fields NULL.
+    val carryStruct = struct(rightCols.map { case (src, dst) => col(src).as(dst) }.toSeq: _*)
+    val carryType = right.select(carryStruct.as("_c")).schema.head.dataType
+
     val lTagged = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
       .select(Seq(col(key), col("_ts"), col("_side")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        rightCols.values.toSeq.map(c => lit(null).as(c)): _*)
+        leftCols.filterNot(_ == key).map(col) :+
+        lit(null).cast(carryType).as("_carry"): _*)
     val rTagged = right
       .withColumn("_ts", col(rightTs))
       .withColumn("_side", lit(0))
       .select(Seq(col(key), col("_ts"), col("_side")) ++
-        leftCols.filterNot(_ == key).map(c => lit(null).as(c)) ++
-        rightCols.map { case (src, dst) => col(src).as(dst) }.toSeq: _*)
+        leftCols.filterNot(_ == key).map(c => lit(null).as(c)) :+
+        carryStruct.as("_carry"): _*)
 
     // right rows sort BEFORE left rows at equal ts → backward join is
     // inclusive (rightTs == leftTs matches), like DuckDB/Pandas ASOF
     val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carriedCols = carried.map(c => last(col(c), ignoreNulls = true).over(w).as(c))
+    val lastCarry = last(col("_carry"), ignoreNulls = true).over(w)
 
     lTagged.unionByName(rTagged)
       .select(Seq(col(key), col("_ts"), col("_side")) ++
-        leftCols.filterNot(_ == key).map(col) ++ carriedCols: _*)
+        leftCols.filterNot(_ == key).map(col) ++
+        carried.map(c => lastCarry.getField(c).as(c)): _*)
       .filter(col("_side") === 1)
       .drop("_ts", "_side")
   }

@@ -18,16 +18,27 @@ object LayoutOps {
   /** Write a table partitioned by a derived date column. Queries filtering
     * on `dateCol` then read only matching partitions — LayoutSpec asserts
     * the pruning happens (PartitionFilters in the scan).
+    *
+    * Repartitioning on (p_date, salt) spreads each date over
+    * `filesPerDate` tasks, so every partition directory gets that many
+    * files and no single task funnels a whole (possibly skewed) date.
     */
   def writePartitionedByDate(df: DataFrame, tsCol: String, path: String,
-      targetPartitions: Int = 1): Unit =
-    df.withColumn("p_date", col(tsCol).cast("date"))
-      // co-locate each date's rows before the write so every partition
-      // directory holds `targetPartitions` files, not one file per task
-      .repartition(targetPartitions, col("p_date"))
+      filesPerDate: Int = 1): Unit = {
+    val dated = df.withColumn("p_date", col(tsCol).cast("date"))
+    val distributed =
+      if (filesPerDate <= 1)
+        dated.repartition(col("p_date"))
+      else
+        dated
+          .withColumn("_salt", pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()), lit(filesPerDate)))
+          .repartition(col("p_date"), col("_salt"))
+          .drop("_salt")
+    distributed
       .write.mode(SaveMode.Overwrite)
       .partitionBy("p_date")
       .parquet(path)
+  }
 
   /** Sort within partitions on the given columns before writing, so parquet
     * row-group min/max statistics become selective for range predicates.

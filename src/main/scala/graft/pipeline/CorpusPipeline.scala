@@ -48,17 +48,22 @@ object CorpusPipeline {
       .withColumn("exact_rank", row_number().over(w))
       .withColumn("exact_survivor", col("exact_rank") === 1)
       .drop("exact_rank")
+      .withColumn("quality_ok", qualityOk)
 
-    // near-dup victims: doc_b side of any Jaccard>=τ pair
-    val pairs = DedupQueries.nearDupPairs(docs, p.nearDupJaccard)
+    // near-dup pairs over the quality-passing exact-survivors ONLY: if a
+    // pair's lower-id member was already dropped upstream, its partner must
+    // not also be dropped as doc_b — one representative per cluster survives
+    val eligible = withExact
+      .filter(col("quality_ok") && col("exact_survivor"))
+      .select("doc_id", "text")
+    val pairs = DedupQueries.nearDupPairs(eligible, p.nearDupJaccard)
     val victims = pairs.select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_near_dup_victim", lit(true))
 
     withExact
       .join(victims, Seq("doc_id"), "left")
-      .withColumn("quality_ok", qualityOk)
       .withColumn("survives",
-        qualityOk && col("exact_survivor") && col("is_near_dup_victim").isNull)
+        col("quality_ok") && col("exact_survivor") && col("is_near_dup_victim").isNull)
       .select("doc_id", "lang", "n_tokens", "mean_token_len", "digest",
         "quality_ok", "exact_survivor", "survives")
   }

@@ -37,6 +37,11 @@ case class FloatVectorDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL is produced not only for NULL inputs but also for length-mismatched
+  // arrays and NULL elements (matching zip_with's padding semantics), so the
+  // result is nullable regardless of the children.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "float_vector_dot"
 
   private def isFloat(e: Expression): Boolean =
@@ -45,11 +50,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    // zip_with pads the shorter array with NULL and NULL*v = NULL, so the
+    // HOF formulation yields NULL for mismatched lengths / NULL elements —
+    // mirror that exactly rather than silently truncating (a dimension
+    // mismatch must never read as a plausible similarity score).
+    if (x.numElements() != y.numElements()) return null
     val (lf, rf) = (isFloat(left), isFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -63,15 +74,22 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val ok = ctx.freshName("ok")
       val getX = if (isFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
       val getY = if (isFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $getX * $getY;
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $s = 0.0;
+         |  boolean $ok = true;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $ok = false; break; }
+         |    $s += $getX * $getY;
+         |  }
+         |  if ($ok) { ${ev.value} = $s; } else { ${ev.isNull} = true; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

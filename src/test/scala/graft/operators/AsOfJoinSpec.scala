@@ -33,6 +33,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("t3").isEmpty)         // only future quotes exist for key 2
   }
 
+  test("NULL fields in the matched right row are carried as NULL, not backfilled") {
+    // Most recent quote for t1 has a NULL venue: the join must NOT substitute
+    // the older quote's venue (rows are carried whole, as one struct).
+    val trades = Seq((1L, ts("2024-01-01 10:00:30"), "t1")).toDF("key", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100.0), Some("NYSE")),
+      (1L, ts("2024-01-01 10:00:20"), Some(102.0), None) // latest: venue NULL
+    ).toDF("key", "qts", "price", "venue")
+
+    val row = AsOfJoin.backward(trades, quotes, "key", "ts", "qts",
+      Map("price" -> "last_price", "venue" -> "last_venue")).collect()(0)
+    assert(row.getAs[Double]("last_price") == 102.0)
+    assert(row.getAs[Any]("last_venue") == null) // NOT "NYSE"
+  }
+
   test("all left rows survive (left-outer semantics)") {
     val left = Seq((1L, ts("2024-01-01 00:00:00"), "a")).toDF("key", "ts", "v")
     val right = spark.emptyDataset[(Long, Timestamp, Double)].toDF("key", "qts", "price")

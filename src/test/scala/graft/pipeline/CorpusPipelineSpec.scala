@@ -28,6 +28,19 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(f.getAs[Long]("n_clean") == 2)
   }
 
+  test("near-dup of a quality-rejected doc survives (cluster keeps a representative)") {
+    // 10 is a near-dup pair's lower id but FAILS the quality gate (9 tokens);
+    // 11 passes quality. Pairs must be computed over quality survivors only,
+    // else 11 is dropped as doc_b and the whole cluster vanishes.
+    val docs = Seq(
+      (10L, "en", (1 to 9).map(i => s"w$i").mkString(" ")),
+      (11L, "en", (1 to 10).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val survivors = CorpusPipeline.clean(docs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(survivors == Set(11L), s"got $survivors")
+  }
+
   test("funnel is monotonically decreasing on the real corpus") {
     val docs = graft.analytics.Tables.documents(spark, sf())
     val f = CorpusPipeline.funnel(docs).collect()(0)

@@ -65,6 +65,23 @@ class SimilaritySpec extends SparkSpec {
     assert(both.count() == 0)
   }
 
+  test("FloatVectorDot matches the HOF on the divergent cases too: mismatch/null → NULL") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),          // ok: 11.0
+      (Seq(1.0f, 2.0f, 9.0f), Seq(3.0f, 4.0f))     // dimension mismatch → NULL
+    ).toDF("a", "b")
+    val rows = df.select(dot($"a", $"b").as("d"), dotHof($"a", $"b").as("h")).collect()
+    assert(rows(0).getDouble(0) == 11.0 && rows(0).getDouble(1) == 11.0)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+
+    // null element → NULL (zip_with semantics), via SQL to exercise codegen
+    org.apache.spark.sql.graft.VectorExpressions.register(spark)
+    val nullElem = spark.sql(
+      "SELECT float_vector_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS d").collect()(0)
+    assert(nullElem.isNullAt(0))
+  }
+
   test("random-hyperplane LSH: near-perfect recall on clustered data, sane on corpus") {
     // clustered synthetic corpus: neighbors share the query's orthant, so
     // signed projections must bucket them together
