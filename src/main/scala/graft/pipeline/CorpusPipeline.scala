@@ -81,11 +81,69 @@ object CorpusPipeline {
       sum(when(col("survives"), 1).otherwise(0)).as("n_clean"),
       sum(when(col("survives"), col("n_tokens")).otherwise(0)).as("clean_tokens"))
 
+  /** The whole pipeline as one DuckDB CTE chain — every stage is exact
+    * (integer token counts, md5 digests, integer-ratio Jaccard), so the
+    * corpus cleaner is oracle-checkable end to end.
+    */
+  private val funnelSql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, text,
+      |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |stats AS (
+      |  SELECT doc_id, lang, text, len(t) AS n_tokens,
+      |         CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+      |           / NULLIF(CAST(len(t) AS DOUBLE), 0.0) AS mean_token_len,
+      |         md5(text) AS digest,
+      |         (len(t) >= 10 AND
+      |          CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+      |            / NULLIF(CAST(len(t) AS DOUBLE), 0.0) <= 12.0) AS quality_ok,
+      |         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS exact_survivor
+      |  FROM toks),
+      |eligible AS (
+      |  SELECT doc_id, lang, text, n_tokens FROM stats WHERE quality_ok AND exact_survivor),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(t) >= 3
+      |              THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+      |                                 i -> array_to_string(t[i:i+2], ' ')))
+      |              ELSE [] END AS shingles
+      |  FROM (SELECT doc_id,
+      |               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS t
+      |        FROM eligible)),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+      |victims AS (
+      |  SELECT DISTINCT doc_b AS doc_id FROM (
+      |    SELECT b.doc_id AS doc_b, a.doc_id AS doc_a, COUNT(*) AS n_inter
+      |    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2) p
+      |  JOIN sizes sa ON p.doc_a = sa.doc_id
+      |  JOIN sizes sb ON p.doc_b = sb.doc_id
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8)
+      |""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef.rowsOnly("q_corpus_clean") { (s, d) =>
+    QueryDef(
+      "q_corpus_clean",
+      funnelSql +
+        """SELECT e.doc_id, e.lang, e.n_tokens
+          |FROM eligible e LEFT JOIN victims v ON e.doc_id = v.doc_id
+          |WHERE v.doc_id IS NULL
+          |ORDER BY e.doc_id""".stripMargin) { (s, d) =>
       clean(Tables.documents(s, d)).orderBy("doc_id")
     },
-    QueryDef.rowsOnly("q_corpus_funnel") { (s, d) =>
+    QueryDef(
+      "q_corpus_funnel",
+      funnelSql +
+        """SELECT (SELECT COUNT(*) FROM stats) AS n_input,
+          |       (SELECT COUNT(*) FROM stats WHERE quality_ok) AS n_quality_ok,
+          |       (SELECT COUNT(*) FROM eligible) AS n_after_exact,
+          |       (SELECT COUNT(*) FROM eligible e LEFT JOIN victims v ON e.doc_id = v.doc_id
+          |        WHERE v.doc_id IS NULL) AS n_clean,
+          |       CAST(COALESCE((SELECT SUM(e.n_tokens) FROM eligible e
+          |        LEFT JOIN victims v ON e.doc_id = v.doc_id
+          |        WHERE v.doc_id IS NULL), 0) AS BIGINT) AS clean_tokens""".stripMargin) { (s, d) =>
       funnel(Tables.documents(s, d))
     })
 }

@@ -37,7 +37,9 @@ object SimilarityQueries {
     */
   private val hyperplanes: Array[Array[Float]] = {
     val r = new scala.util.Random(31337)
-    Array.fill(16, 64)(r.nextGaussian().toFloat)
+    // first 16 rows are identical to the original 16-plane draw (row-major
+    // fill), so extending the pool leaves rpSignature's buckets unchanged
+    Array.fill(32, 64)(r.nextGaussian().toFloat)
   }
 
   def rpSignature(v: Column): Column =
@@ -45,6 +47,21 @@ object SimilarityQueries {
       val proj = dot(v, org.apache.spark.sql.graft.VectorExpressions.litFloatArray(hyperplanes(j)))
       when(proj > 0, lit(1 << j)).otherwise(lit(0)): Column
     }.reduce(_ bitwiseOR _)
+
+  /** LSH band keys straight from sign projections: band b packs
+    * `rowsPerBand` sign bits of consecutive hyperplanes. Finer bands (fewer
+    * bits) raise recall at lower similarity thresholds; the classic
+    * (bands, rows) recall curve is 1-(1-p^r)^b with p = 1 - θ/π.
+    */
+  def rpBandKeys(v: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      val key = (0 until rowsPerBand).map { j =>
+        val proj = dot(v, org.apache.spark.sql.graft.VectorExpressions.litFloatArray(
+          hyperplanes(b * rowsPerBand + j)))
+        when(proj > 0, lit(1 << j)).otherwise(lit(0)): Column
+      }.reduce(_ bitwiseOR _)
+      struct(lit(b).as("band_id"), key.as("band_key"))
+    }: _*)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -138,6 +155,54 @@ object SimilarityQueries {
       val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).drop("rn")
         .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+    },
+
+    // ----- Embedding-cosine near-dup pairs: exact all-pairs baseline -----
+    // The embedding-space analogue of q_dedup_ngram_jaccard: every pair with
+    // cosine ≥ τ (τ sits at the top of this corpus's similarity range).
+    // Correctness baseline = broadcast nested-loop with the codegen'd dot;
+    // the banded variant below is the 100 TB path.
+    QueryDef(
+      "q_dedup_embedding",
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ROUND(${cosSql("a.embedding", "b.embedding")}, 9) AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.42
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.crossJoin(broadcast(b))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.42)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 9).as("cosine"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // ----- Embedding near-dup via RP-LSH blocking (the scale path) -----
+    // Candidates = band collisions over 8 bands × 4 sign bits (finer bands
+    // than the top-k query because the dedup threshold is lower), then exact
+    // re-scoring — the corpus never self-joins n². Probabilistic candidate
+    // set → rows-only; SimilaritySpec measures recall against
+    // q_dedup_embedding.
+    QueryDef.rowsOnly("q_dedup_embedding_lsh") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val banded = e
+        .select(col("vec_id"), col("embedding"),
+          explode(rpBandKeys(col("embedding"), bands = 8, rowsPerBand = 4)).as("b"))
+        .select(col("vec_id"), col("embedding"), col("b.band_id"), col("b.band_key"))
+      banded.as("x").join(banded.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+          col("x.embedding").as("ea"), col("y.embedding").as("eb"))
+        .distinct()
+        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.42)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 9).as("cosine"))
+        .orderBy("vec_a", "vec_b")
     },
 
     // ----- IVF-style partitioned ANN: probe best partitions only -----

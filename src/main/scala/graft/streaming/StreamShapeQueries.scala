@@ -52,11 +52,39 @@ object StreamShapeQueries {
         .orderBy("window_start")
     },
 
-    // session windows (data-dependent boundaries) → rows-only; exactness is
-    // asserted by StreamOpsSpec on a hand-built trace
-    QueryDef.rowsOnly("q_stream_sessions") { (s, d) =>
+    // session windows (data-dependent boundaries): the batch-mode oracle is
+    // the classic gaps-and-islands rewrite — a new session starts when the
+    // gap since the previous event reaches the 30 min threshold (Spark's
+    // session_window end is exclusive: diff == gap starts a new session).
+    // The value sum goes through DECIMAL on both sides so it is
+    // order-independent; StreamOpsSpec covers the streaming/watermark side.
+    QueryDef(
+      "q_stream_sessions",
+      """WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id <= 50),
+        |marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |),
+        |sessions AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
       StreamOps.userSessions(
-        Tables.events(s, d).filter(col("user_id") <= 50), gap = "30 minutes")
+        Tables.events(s, d).filter(col("user_id") <= 50)
+          .withColumn("value", col("value").cast("decimal(18,6)")),
+        gap = "30 minutes")
+        .withColumn("session_value", col("session_value").cast("double"))
         .orderBy("user_id", "session_start")
     }
   )

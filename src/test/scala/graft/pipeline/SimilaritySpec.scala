@@ -56,6 +56,18 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfCorpus.select(countDistinct($"label")).collect()(0).getLong(0) <= 2)
   }
 
+  test("embedding near-dup LSH: exact-verified subset of brute pairs, high recall") {
+    def pairs(name: String) = graft.SparkEntry.queries(name)(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q_dedup_embedding")
+    val lsh = pairs("q_dedup_embedding_lsh")
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "LSH pairs must be exact-verified (no false positives)")
+    // deterministic hyperplanes → stable recall; 8 bands × 4 bits gives
+    // ~0.76+ expected recall at this corpus's τ=0.42 similarity band
+    assert(lsh.size * 10 >= exact.size * 6, s"recall ${lsh.size}/${exact.size}")
+  }
+
   test("codegen FloatVectorDot is bit-identical to the declarative HOF dot") {
     val e = graft.analytics.Tables.embeddings(spark, sf())
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
