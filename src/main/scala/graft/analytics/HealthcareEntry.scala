@@ -71,7 +71,8 @@ object HealthcareEntry {
   private def cdcScenario(s: SparkSession): DataFrame = {
     import s.implicits._
     val root = Files.createTempDirectory("graft-entry-cdc").toString
-    val store = new TableStore(s, root)
+    // demo-sized tables: one file per commit, not one per shuffle partition
+    val store = new TableStore(s, root, outputFiles = 1)
     val pipeline = new CdcPipeline(s, store, HealthcareSchema.all,
       HealthcareSchema.keyColumns,
       clock = () => lit(s"$now 12:00:00").cast("timestamp_ntz"))

@@ -2,6 +2,7 @@ package graft.analytics
 
 import graft.QueryDef
 import graft.operators.AsOfJoin
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics over `events`: as-of alignment, funnel
@@ -79,15 +80,21 @@ object SequenceQueries {
         |GROUP BY 1, 2
         |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d)
-      // cast to date: DuckDB's DATE_TRUNC('week') returns DATE, Spark's a timestamp
-      val firsts = e.groupBy("user_id")
-        .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
-      val activity = e.select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("active_week"))
+      // cast to date: DuckDB's DATE_TRUNC('week') returns DATE, Spark's a timestamp.
+      // One scan: distinct (user, week) first — the cohort week is then a
+      // window-min over that (already small) set, replacing the separate
+      // firsts aggregate + join. And since (user, week) rows are unique, a
+      // user contributes at most one row per (cohort, offset) group, so
+      // COUNT(*) replaces COUNT(DISTINCT user) — no distinct expansion.
+      val weekly = e
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("active_week"))
         .distinct()
-      firsts.join(activity, "user_id")
+      val withCohort = weekly.withColumn("cohort_week",
+        min(col("active_week")).over(Window.partitionBy("user_id")))
+      withCohort
         .groupBy(col("cohort_week"),
           (datediff(col("active_week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
+        .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
     }
   )

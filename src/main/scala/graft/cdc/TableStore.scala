@@ -15,7 +15,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * At scale, version directories also give time travel and safe concurrent
   * readers for free; vacuuming old versions is the retention knob.
   */
-final class TableStore(spark: SparkSession, root: String) {
+final class TableStore(spark: SparkSession, root: String, outputFiles: Int = 0) {
 
   private def ptr(table: String) = Paths.get(root, table, "_CURRENT")
 
@@ -32,11 +32,16 @@ final class TableStore(spark: SparkSession, root: String) {
     spark.read.parquet(Paths.get(root, table, s"v$v").toString)
   }
 
-  /** Write df as the next version of `table` and commit the pointer swap. */
+  /** Write df as the next version of `table` and commit the pointer swap.
+    * `outputFiles > 0` coalesces the write — the file-count knob for small
+    * tables/demos, where one file per shuffle partition is pure overhead
+    * (production-size tables keep the plan's parallelism with the default 0).
+    */
   def commit(table: String, df: DataFrame): Long = {
     val next = currentVersion(table).map(_ + 1).getOrElse(0L)
     val dir = Paths.get(root, table, s"v$next")
-    df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val out = if (outputFiles > 0) df.coalesce(outputFiles) else df
+    out.write.mode(SaveMode.Overwrite).parquet(dir.toString)
     val tmp = Paths.get(root, table, s"_CURRENT.tmp$next")
     Files.createDirectories(tmp.getParent)
     Files.writeString(tmp, next.toString)

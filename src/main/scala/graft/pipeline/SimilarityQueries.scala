@@ -75,11 +75,16 @@ object SimilarityQueries {
          |WHERE e.vec_id <= 100
          |ORDER BY vec_id""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      // norms are projected BELOW the join on each side, so every vector's
+      // norm is computed once — not once per scored pair (same floating-
+      // point ops per pair as cosine(), so results are bit-identical)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), norm(col("embedding")).as("nq"))
       e.filter(col("vec_id") <= 100)
+        .withColumn("na", norm(col("embedding")))
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"),
-          round(cosine(col("embedding"), col("qv")), 9).as("cosine"))
+          round(dot(col("embedding"), col("qv")) / (col("na") * col("nq")), 9).as("cosine"))
         .orderBy("vec_id")
     },
 
@@ -94,11 +99,13 @@ object SimilarityQueries {
          |ORDER BY cosine DESC, vec_id
          |LIMIT 10""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), norm(col("embedding")).as("nq"))
       e.filter(col("vec_id") =!= 0)
+        .withColumn("na", norm(col("embedding")))
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"),
-          round(cosine(col("embedding"), col("qv")), 9).as("cosine"))
+          round(dot(col("embedding"), col("qv")) / (col("na") * col("nq")), 9).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
     },
@@ -120,11 +127,13 @@ object SimilarityQueries {
          |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          norm(col("embedding")).as("nq"))
       val scored = e.filter(col("vec_id") >= 20)
+        .withColumn("na", norm(col("embedding")))
         .crossJoin(broadcast(q))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(cosine(col("embedding"), col("qv")), 9).as("cosine"))
+          round(dot(col("embedding"), col("qv")) / (col("na") * col("nq")), 9).as("cosine"))
       val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).drop("rn")
         .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
@@ -136,22 +145,30 @@ object SimilarityQueries {
     // SimilaritySpec measures recall on genuinely clustered data.
     QueryDef.rowsOnly("q_ann_rp_lsh_topk") { (s, d) =>
       val e = Tables.embeddings(s, d)
+      // band join + distinct over bare id pairs; vectors rejoin for scoring
       def banded(df: org.apache.spark.sql.DataFrame, idCol: String) = df
         .withColumn("sig", rpSignature(col("embedding")))
-        .select(col(idCol), col("embedding"),
+        .select(col(idCol),
           explode(array(
             struct(lit(0).as("band_id"), col("sig").bitwiseAND(0xFF).as("band_key")),
             struct(lit(1).as("band_id"), shiftright(col("sig"), 8).bitwiseAND(0xFF).as("band_key")))).as("b"))
-        .select(col(idCol), col("embedding"), col("b.band_id"), col("b.band_key"))
+        .select(col(idCol), col("b.band_id"), col("b.band_key"))
       val qs = banded(e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding")), "query_id")
-        .withColumnRenamed("embedding", "qv")
       val corpus = banded(e.filter(col("vec_id") >= 20), "vec_id")
       val cands = corpus.join(qs, Seq("band_id", "band_key"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("embedding"), col("qv"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
         .distinct()
-      val scored = cands.select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("embedding"), col("qv")), 9).as("cosine"))
+      // corpus-side vector lookup unhinted (AQE decides); the 20-query side
+      // is genuinely bounded → broadcast
+      val vecs = e.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val scored = cands
+        .join(vecs.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ev"), col("nrm").as("na")), "neighbor_id")
+        .join(broadcast(vecs.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"), col("nrm").as("nq"))), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot(col("ev"), col("qv")) / (col("na") * col("nq")), 9).as("cosine"))
       val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).drop("rn")
         .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
@@ -170,11 +187,13 @@ object SimilarityQueries {
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.42
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        norm(col("embedding")).as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        norm(col("embedding")).as("nb"))
       a.crossJoin(broadcast(b))
         .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("cos") >= 0.42)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 9).as("cosine"))
         .orderBy("vec_a", "vec_b")
@@ -188,18 +207,28 @@ object SimilarityQueries {
     // q_dedup_embedding.
     QueryDef.rowsOnly("q_dedup_embedding_lsh") { (s, d) =>
       val e = Tables.embeddings(s, d)
+      // candidates are generated and deduplicated as BARE ID PAIRS — the
+      // 64-float vectors rejoin only for the exact re-score, so the band
+      // self-join and the distinct never shuffle or hash embedding arrays
       val banded = e
-        .select(col("vec_id"), col("embedding"),
+        .select(col("vec_id"),
           explode(rpBandKeys(col("embedding"), bands = 8, rowsPerBand = 4)).as("b"))
-        .select(col("vec_id"), col("embedding"), col("b.band_id"), col("b.band_key"))
-      banded.as("x").join(banded.as("y"),
+        .select(col("vec_id"), col("b.band_id"), col("b.band_key"))
+      val cands = banded.as("x").join(banded.as("y"),
           col("x.band_id") === col("y.band_id") &&
             col("x.band_key") === col("y.band_key") &&
             col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-          col("x.embedding").as("ea"), col("y.embedding").as("eb"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
         .distinct()
-        .withColumn("cos", cosine(col("ea"), col("eb")))
+      // no broadcast hint: the vector table is corpus-sized, so AQE must be
+      // free to pick shuffle join at scale (it still broadcasts when small)
+      val vecs = e.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      cands
+        .join(vecs.select(col("vec_id").as("vec_a"),
+          col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
+        .join(vecs.select(col("vec_id").as("vec_b"),
+          col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
+        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("cos") >= 0.42)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 9).as("cosine"))
         .orderBy("vec_a", "vec_b")
@@ -210,7 +239,8 @@ object SimilarityQueries {
     // SimilaritySpec measures recall@10 against the brute-force baseline.
     QueryDef.rowsOnly("q_ann_ivf_topk") { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), norm(col("embedding")).as("nq"))
       // centroid per label: elementwise mean — 10 rows, broadcastable
       val dim = 64
       val centroids = e.groupBy("label")
@@ -226,9 +256,10 @@ object SimilarityQueries {
       // search only the probed partitions (join prunes before scoring)
       e.filter(col("vec_id") =!= 0)
         .join(broadcast(probed), "label")
+        .withColumn("na", norm(col("embedding")))
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"),
-          round(cosine(col("embedding"), col("qv")), 9).as("cosine"))
+          round(dot(col("embedding"), col("qv")) / (col("na") * col("nq")), 9).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
     }
