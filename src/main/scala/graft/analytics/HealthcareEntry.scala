@@ -1,141 +1,449 @@
 package graft.analytics
 
-import java.nio.file.Files
 import graft.QueryDef
-import graft.cdc._
-import graft.fixtures.HealthcareFixtures
-import graft.model.HealthcareSchema
 import graft.semantic.{QueryBuilder, SemanticModel}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Driver-visible entries for the healthcare side of the engine: the
-  * reference's own analytics queries, the semantic-model verified queries,
-  * and a full CDC scenario. These run on the deterministic fixture (the
-  * driver testdata has no healthcare tables, so no DuckDB oracle —
-  * correctness is asserted by the ScalaTest suites; exposing them here
-  * keeps every reference operator reachable through the driver contract).
+  * reference's own analytics suite (sql/4.analytics_queries.sql +
+  * sql/2.verify_snapshot.sql), the semantic-model verified queries, and the
+  * CDC live-demo post-state — each with a DuckDB oracle over the SAME
+  * materialized parquet files the Spark query reads (see [[HealthcareData]]),
+  * so the reference workload is hash-gated end to end, not self-tested.
   */
 object HealthcareEntry {
 
-  private val now = HealthcareFixtures.DefaultNow
+  import HealthcareData.{pq, Now, NowTs}
 
-  private def tables(s: SparkSession): HealthcareTables = {
-    val m = HealthcareFixtures.snapshotTables(s, now)
-    HealthcareTables(m("patients"), m("doctors"), m("appointments"), m("visits"))
-  }
+  private val nowDate = java.time.LocalDate.parse(Now)
+  private def daysAgo(n: Int): String = nowDate.minusDays(n).toString
+  private val D30 = daysAgo(30)
+  private val D60 = daysAgo(60)
+  private val Ts24h = s"${daysAgo(1)} 13:00:00"
+  private val Ts7d = s"${daysAgo(7)} 13:00:00"
 
-  /** The reference's live-demo inserts (sql/3.live_appointments.sql:38-42,
-    * 163-165, 282-287) replayed as one in-memory CDC batch over the snapshot:
-    * "today"-anchored queries (today's schedule, utilization) see a populated
-    * day exactly the way the quickstart does — via CDC, not seed data.
-    */
-  private def tablesWithLiveDemo(s: SparkSession): HealthcareTables = {
-    import s.implicits._
-    val base = tables(s)
-    val ts = java.sql.Timestamp.valueOf(s"$now 12:00:00")
-    def ins(lsn: Long, id: Long, patientId: Int, doctorId: Int, dayOffset: Int,
-        time: String, status: String, reason: String, aType: String) =
-      CdcEvent("appointments", CdcOp.Insert, lsn, ts, id, Map(
-        "patient_id" -> patientId.toString, "doctor_id" -> doctorId.toString,
-        "appointment_date" -> java.time.LocalDate.parse(now).plusDays(dayOffset).toString,
-        "appointment_time" -> time, "status" -> status,
-        "reason_for_visit" -> reason, "appointment_type" -> aType,
-        "created_at" -> s"$now 08:00:00", "updated_at" -> s"$now 08:00:00"))
-    val live = Seq(
-      // 8:00 AM — new appointment requests
-      ins(1, 171, 5, 1, 3, "09:00:00", "scheduled", "Persistent cough and fever", "urgent"),
-      ins(2, 172, 17, 2, 5, "10:30:00", "scheduled", "Blood sugar monitoring", "follow_up"),
-      ins(3, 173, 29, 3, 7, "14:00:00", "scheduled", "Annual wellness visit", "routine"),
-      // 10:00 AM — urgent walk-ins for TODAY
-      ins(4, 174, 41, 1, 0, "10:45:00", "confirmed", "Severe allergic reaction", "urgent"),
-      ins(5, 175, 53, 3, 0, "11:15:00", "confirmed", "Chest pain evaluation", "urgent"),
-      // 12:00 PM — future scheduling
-      ins(6, 176, 8, 4, 10, "09:30:00", "scheduled", "Follow-up cardiac evaluation", "follow_up"),
-      ins(7, 177, 19, 6, 12, "10:00:00", "scheduled", "Child immunization", "routine"),
-      ins(8, 178, 31, 8, 14, "14:30:00", "scheduled", "Sports injury follow-up", "follow_up"),
-      ins(9, 179, 44, 9, 15, "11:00:00", "scheduled", "Skin condition check", "routine"),
-      ins(10, 180, 57, 10, 17, "13:00:00", "scheduled", "Chronic disease management", "follow_up"))
-    val typed = s.createDataset(live).toDF().select(
-      Seq(col("op"), col("lsn"), col("commitTs"), col("key")) ++
-        CdcApplier.afterImageColumns(HealthcareSchema.all("appointments"), "appointment_id"): _*)
-    val merged = CdcApplier.applyBatch(base.appointments, typed, "appointment_id",
-      lit(s"$now 12:00:00").cast("timestamp_ntz"))
-    base.copy(appointments = merged)
-  }
+  // snapshot state (post initial load) / live state (post CDC demo)
+  private val P = pq("patients")
+  private val D = pq("doctors")
+  private val A = pq("appointments")
+  private val V = pq("visits")
+  private val DL = pq("doctors_live")
+  private val AL = pq("appointments_live")
+  private val VL = pq("visits_live")
 
-  /** Snapshot + 3 CDC batches end-to-end through the TableStore, returning
-    * the post-state change-volume summary (the reference's live-demo final
-    * check, sql/3.live_appointments.sql:366-402).
-    */
-  private def cdcScenario(s: SparkSession): DataFrame = {
-    import s.implicits._
-    val root = Files.createTempDirectory("graft-entry-cdc").toString
-    // demo-sized tables: one file per commit, not one per shuffle partition
-    val store = new TableStore(s, root, outputFiles = 1)
-    val pipeline = new CdcPipeline(s, store, HealthcareSchema.all,
-      HealthcareSchema.keyColumns,
-      clock = () => lit(s"$now 12:00:00").cast("timestamp_ntz"))
-    pipeline.loadSnapshot(HealthcareFixtures.all(s, now))
-    val ts = java.sql.Timestamp.valueOf(s"$now 12:00:00")
-    def appt(op: String, lsn: Long, id: Long, status: String) =
-      CdcEvent("appointments", op, lsn, ts, id,
-        if (op == CdcOp.Delete) Map.empty
-        else Map("patient_id" -> "1", "doctor_id" -> "1",
-          "appointment_date" -> now, "appointment_time" -> "09:00:00",
-          "status" -> status, "reason_for_visit" -> "Walk-in",
-          "appointment_type" -> "urgent",
-          "created_at" -> s"$now 08:00:00", "updated_at" -> s"$now 08:00:00"))
-    pipeline.applyEventBatch(s.createDataset(Seq(
-      appt(CdcOp.Insert, 1, 201, "scheduled"),
-      appt(CdcOp.Insert, 2, 202, "scheduled"))))
-    pipeline.applyEventBatch(s.createDataset(Seq(
-      appt(CdcOp.Update, 3, 201, "completed"),
-      appt(CdcOp.Delete, 4, 1, null))))
-    val t = HealthcareTables(store.read("patients"), store.read("doctors"),
-      store.read("appointments"), store.read("visits"))
-    HealthcareQueries.changeVolume(t)
-  }
+  private val NotDel = "_snowflake_deleted = FALSE"
+
+  private def snap(s: SparkSession): HealthcareTables = HealthcareData.tables(s)
+  private def live(s: SparkSession): HealthcareTables = HealthcareData.liveTables(s)
 
   private lazy val model = SemanticModel.loadResource("/healthcare_semantic_model.yaml")
 
+  /** Semantic queries run on the CDC-synced (post-demo) state, the way the
+    * reference's agent does (semantic-models/healthcare_cdc_semantic_model.yaml).
+    */
   private def semantic(s: SparkSession, queryName: String): DataFrame = {
-    val m = HealthcareFixtures.snapshotTables(s, now)
-    new QueryBuilder(model, m(_)).verified(queryName)
+    val t = live(s)
+    val byName = Map[String, DataFrame](
+      "patients" -> t.patients, "doctors" -> t.doctors,
+      "appointments" -> t.appointments, "visits" -> t.visits)
+    new QueryBuilder(model, byName(_)).verified(queryName)
   }
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef.rowsOnly("hc_status_distribution")((s, _) =>
-      HealthcareQueries.statusDistribution(tables(s))),
-    QueryDef.rowsOnly("hc_todays_schedule")((s, _) =>
-      HealthcareQueries.todaysSchedule(tablesWithLiveDemo(s), now)),
-    QueryDef.rowsOnly("hc_doctor_utilization_today")((s, _) =>
-      HealthcareQueries.doctorUtilizationToday(tablesWithLiveDemo(s), now)),
-    QueryDef.rowsOnly("hc_doctor_workload_30d")((s, _) =>
-      HealthcareQueries.doctorWorkload30d(tables(s), now)),
-    QueryDef.rowsOnly("hc_hourly_pattern")((s, _) =>
-      HealthcareQueries.hourlyPattern(tables(s))),
-    QueryDef.rowsOnly("hc_weekday_pattern")((s, _) =>
-      HealthcareQueries.weekdayPattern(tables(s))),
-    QueryDef.rowsOnly("hc_revenue_by_doctor")((s, _) =>
-      HealthcareQueries.revenueByDoctor(tables(s))),
-    QueryDef.rowsOnly("hc_revenue_by_department")((s, _) =>
-      HealthcareQueries.revenueByDepartment(tables(s))),
-    QueryDef.rowsOnly("hc_patient_age_distribution")((s, _) =>
-      HealthcareQueries.patientAgeDistribution(tables(s), now)),
-    QueryDef.rowsOnly("hc_frequent_patients")((s, _) =>
-      HealthcareQueries.frequentPatients(tables(s))),
-    QueryDef.rowsOnly("hc_diagnosis_frequency")((s, _) =>
-      HealthcareQueries.diagnosisFrequency(tables(s))),
-    QueryDef.rowsOnly("hc_change_volume")((s, _) =>
-      HealthcareQueries.changeVolume(tables(s))),
-    QueryDef.rowsOnly("hc_executive_summary")((s, _) =>
-      HealthcareQueries.executiveSummary(tables(s), now)),
-    QueryDef.rowsOnly("hc_data_quality")((s, _) =>
-      HealthcareQueries.dataQualityChecks(tables(s))),
-    QueryDef.rowsOnly("hc_cdc_scenario")((s, _) => cdcScenario(s)),
-    QueryDef.rowsOnly("sm_total_appointments")((s, _) =>
+
+    // ---- category 1: operational dashboards ----
+    QueryDef(
+      "hc_status_distribution",
+      s"""SELECT status, COUNT(*) AS appointment_count,
+         |       STRING_AGG(DISTINCT substr(appointment_time,1,5), ', ' ORDER BY substr(appointment_time,1,5)) AS time_slots,
+         |       ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 1) AS percentage
+         |FROM $A WHERE $NotDel
+         |GROUP BY status""".stripMargin)((s, _) =>
+      HealthcareQueries.statusDistribution(snap(s))),
+
+    QueryDef(
+      "hc_todays_schedule",
+      s"""SELECT a.appointment_id,
+         |       p.first_name || ' ' || p.last_name AS patient_name,
+         |       d.first_name || ' ' || d.last_name AS doctor_name,
+         |       d.specialization,
+         |       substr(a.appointment_time,1,5) AS appointment_time,
+         |       a.status, a.reason_for_visit
+         |FROM $AL a
+         |JOIN $P p ON a.patient_id = p.patient_id AND p.$NotDel
+         |JOIN $DL d ON a.doctor_id = d.doctor_id AND d.$NotDel
+         |WHERE a.$NotDel AND a.appointment_date = DATE '$Now'""".stripMargin)((s, _) =>
+      HealthcareQueries.todaysSchedule(live(s), Now)),
+
+    QueryDef(
+      "hc_patients_in_clinic",
+      s"""SELECT p.first_name || ' ' || p.last_name AS patient_name, p.phone,
+         |       d.first_name || ' ' || d.last_name AS doctor_name, d.specialization,
+         |       a.appointment_time, a.status, a.reason_for_visit,
+         |       DATE_DIFF('minute', CAST(a.appointment_date || ' ' || a.appointment_time AS TIMESTAMP), TIMESTAMP '$NowTs') AS minutes_since_appointment
+         |FROM $AL a
+         |JOIN $P p ON a.patient_id = p.patient_id AND p.$NotDel
+         |JOIN $DL d ON a.doctor_id = d.doctor_id AND d.$NotDel
+         |WHERE a.$NotDel AND a.appointment_date = DATE '$Now'
+         |  AND a.status IN ('checked_in','in_progress')""".stripMargin)((s, _) =>
+      HealthcareQueries.patientsInClinic(live(s), Now, NowTs)),
+
+    QueryDef(
+      "hc_doctor_utilization_today",
+      s"""SELECT d.doctor_id,
+         |       d.first_name || ' ' || d.last_name AS doctor_name, d.specialization,
+         |       COUNT(a.appointment_id) AS todays_appointments,
+         |       COUNT(CASE WHEN a.status = 'completed' THEN 1 END) AS completed_today,
+         |       COUNT(CASE WHEN a.status = 'in_progress' THEN 1 END) AS currently_seeing,
+         |       COUNT(CASE WHEN a.status IN ('scheduled','confirmed','checked_in') THEN 1 END) AS waiting
+         |FROM $DL d LEFT JOIN $AL a
+         |  ON d.doctor_id = a.doctor_id AND a.appointment_date = DATE '$Now' AND a.$NotDel
+         |WHERE d.$NotDel
+         |GROUP BY d.doctor_id, d.first_name, d.last_name, d.specialization""".stripMargin)((s, _) =>
+      HealthcareQueries.doctorUtilizationToday(live(s), Now)),
+
+    // ---- category 2: patient flow ----
+    QueryDef(
+      "hc_avg_wait_by_date",
+      s"""SELECT appointment_date,
+         |       AVG(DATE_DIFF('minute', created_at, updated_at)) AS avg_minutes_to_update,
+         |       COUNT(*) AS appointments
+         |FROM $A WHERE $NotDel
+         |  AND status IN ('completed','cancelled','no_show')
+         |  AND created_at <> updated_at
+         |  AND appointment_date >= DATE '$D30'
+         |GROUP BY appointment_date
+         |ORDER BY appointment_date DESC LIMIT 30""".stripMargin)((s, _) =>
+      HealthcareQueries.avgWaitByDate(snap(s), Now)),
+
+    QueryDef(
+      "hc_completion_rate_30d",
+      s"""SELECT appointment_date, COUNT(*) AS total_appointments,
+         |       CAST(SUM(CASE WHEN status = 'completed' THEN 1 ELSE 0 END) AS BIGINT) AS completed,
+         |       CAST(SUM(CASE WHEN status = 'cancelled' THEN 1 ELSE 0 END) AS BIGINT) AS cancelled,
+         |       CAST(SUM(CASE WHEN status = 'no_show' THEN 1 ELSE 0 END) AS BIGINT) AS no_shows,
+         |       ROUND(SUM(CASE WHEN status = 'completed' THEN 1 ELSE 0 END) * 100.0 / NULLIF(CAST(COUNT(*) AS DOUBLE), 0), 1) AS completion_rate,
+         |       ROUND(SUM(CASE WHEN status = 'no_show' THEN 1 ELSE 0 END) * 100.0 / NULLIF(CAST(COUNT(*) AS DOUBLE), 0), 1) AS no_show_rate
+         |FROM $A WHERE $NotDel
+         |  AND appointment_date >= DATE '$D30' AND appointment_date <= DATE '$Now'
+         |GROUP BY appointment_date""".stripMargin)((s, _) =>
+      HealthcareQueries.completionRate30d(snap(s), Now)),
+
+    QueryDef(
+      "hc_doctor_workload_30d",
+      s"""SELECT d.doctor_id, d.first_name || ' ' || d.last_name AS doctor_name,
+         |       COUNT(*) AS total_appointments,
+         |       CAST(SUM(CASE WHEN a.status = 'completed' THEN 1 ELSE 0 END) AS BIGINT) AS completed,
+         |       CAST(SUM(CASE WHEN a.status = 'no_show' THEN 1 ELSE 0 END) AS BIGINT) AS no_shows,
+         |       ROUND(SUM(CASE WHEN a.status = 'completed' THEN 1 ELSE 0 END) * 100.0 / NULLIF(CAST(COUNT(*) AS DOUBLE), 0), 1) AS completion_rate,
+         |       ROUND(SUM(CASE WHEN a.status = 'no_show' THEN 1 ELSE 0 END) * 100.0 / NULLIF(CAST(COUNT(*) AS DOUBLE), 0), 1) AS no_show_rate
+         |FROM $A a JOIN $D d ON a.doctor_id = d.doctor_id AND d.$NotDel
+         |WHERE a.$NotDel
+         |  AND a.appointment_date >= DATE '$D30' AND a.appointment_date <= DATE '$Now'
+         |GROUP BY d.doctor_id, d.first_name, d.last_name""".stripMargin)((s, _) =>
+      HealthcareQueries.doctorWorkload30d(snap(s), Now)),
+
+    // ---- category 3: temporal patterns ----
+    QueryDef(
+      "hc_hourly_pattern",
+      s"""SELECT substr(appointment_time,1,2) || ':00' AS hour_block,
+         |       COUNT(*) AS appointment_count,
+         |       ROUND(AVG(CASE WHEN status = 'completed' THEN 1.0 ELSE 0.0 END) * 100, 1) AS completion_rate
+         |FROM $A WHERE $NotDel
+         |GROUP BY hour_block""".stripMargin)((s, _) =>
+      HealthcareQueries.hourlyPattern(snap(s))),
+
+    QueryDef(
+      "hc_weekday_pattern",
+      s"""SELECT CAST(EXTRACT(dow FROM appointment_date) AS INT) AS day_num,
+         |       strftime(appointment_date, '%a') AS day_name,
+         |       COUNT(*) AS appointment_count,
+         |       ROUND(AVG(CASE WHEN status = 'no_show' THEN 1.0 ELSE 0.0 END) * 100, 1) AS no_show_rate
+         |FROM $A WHERE $NotDel
+         |GROUP BY 1, 2""".stripMargin)((s, _) =>
+      HealthcareQueries.weekdayPattern(snap(s))),
+
+    // ---- category 3b: doctor performance ----
+    QueryDef(
+      "hc_avg_appts_per_day",
+      s"""SELECT d.first_name || ' ' || d.last_name AS doctor_name, d.specialization,
+         |       COUNT(a.appointment_id) AS total_appointments,
+         |       COUNT(DISTINCT a.appointment_date) AS days_with_appointments,
+         |       ROUND(COUNT(a.appointment_id) * 1.0 / NULLIF(CAST(COUNT(DISTINCT a.appointment_date) AS DOUBLE), 0), 1) AS avg_appointments_per_day
+         |FROM $D d LEFT JOIN $A a
+         |  ON d.doctor_id = a.doctor_id AND a.appointment_date >= DATE '$D30'
+         | AND a.status = 'completed' AND a.$NotDel
+         |WHERE d.$NotDel
+         |GROUP BY d.doctor_id, d.first_name, d.last_name, d.specialization
+         |HAVING COUNT(DISTINCT a.appointment_date) > 0""".stripMargin)((s, _) =>
+      HealthcareQueries.avgAppointmentsPerDay(snap(s), Now)),
+
+    QueryDef(
+      "hc_satisfaction_proxy",
+      s"""SELECT d.first_name || ' ' || d.last_name AS doctor_name, d.specialization,
+         |       COUNT(v.visit_id) AS total_visits,
+         |       CAST(SUM(CASE WHEN v.follow_up_required THEN 1 ELSE 0 END) AS BIGINT) AS followups_needed,
+         |       ROUND(SUM(CASE WHEN v.follow_up_required THEN 1 ELSE 0 END) * 100.0 / NULLIF(CAST(COUNT(v.visit_id) AS DOUBLE), 0), 1) AS followup_rate,
+         |       CAST(SUM(CASE WHEN v.prescription_given THEN 1 ELSE 0 END) AS BIGINT) AS prescriptions_written,
+         |       ROUND(SUM(CASE WHEN v.prescription_given THEN 1 ELSE 0 END) * 100.0 / NULLIF(CAST(COUNT(v.visit_id) AS DOUBLE), 0), 1) AS prescription_rate
+         |FROM $D d JOIN $V v ON d.doctor_id = v.doctor_id AND v.$NotDel
+         |WHERE d.$NotDel
+         |GROUP BY d.doctor_id, d.first_name, d.last_name, d.specialization""".stripMargin)((s, _) =>
+      HealthcareQueries.satisfactionProxy(snap(s))),
+
+    // ---- category 4: revenue ----
+    QueryDef(
+      "hc_revenue_by_doctor",
+      s"""SELECT d.doctor_id, d.first_name || ' ' || d.last_name AS doctor_name,
+         |       d.specialization, d.department,
+         |       COUNT(v.visit_id) AS total_visits,
+         |       CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+         |       MIN(v.visit_date) AS first_visit, MAX(v.visit_date) AS last_visit
+         |FROM $D d LEFT JOIN $V v ON d.doctor_id = v.doctor_id AND v.$NotDel
+         |WHERE d.$NotDel
+         |GROUP BY d.doctor_id, d.first_name, d.last_name, d.specialization, d.department""".stripMargin)((s, _) =>
+      HealthcareQueries.revenueByDoctor(snap(s))),
+
+    QueryDef(
+      "hc_revenue_by_department",
+      s"""SELECT d.department, COUNT(*) AS visit_count,
+         |       ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) / COUNT(v.total_charge), 2) AS avg_charge,
+         |       ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) * 100.0 / CAST(SUM(SUM(CAST(v.total_charge AS DECIMAL(18,2)))) OVER () AS DOUBLE), 1) AS pct_of_total,
+         |       CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) AS department_revenue
+         |FROM $V v JOIN $D d ON v.doctor_id = d.doctor_id AND d.$NotDel
+         |WHERE v.$NotDel
+         |GROUP BY d.department""".stripMargin)((s, _) =>
+      HealthcareQueries.revenueByDepartment(snap(s))),
+
+    QueryDef(
+      "hc_daily_revenue",
+      s"""SELECT visit_date, COUNT(*) AS visit_count,
+         |       CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue,
+         |       CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DOUBLE) / COUNT(total_charge) AS avg_revenue_per_visit,
+         |       MIN(total_charge) AS min_charge, MAX(total_charge) AS max_charge
+         |FROM $V WHERE $NotDel AND visit_date >= DATE '$D30'
+         |GROUP BY visit_date""".stripMargin)((s, _) =>
+      HealthcareQueries.dailyRevenueTrend(snap(s), Now)),
+
+    QueryDef(
+      "hc_monthly_revenue",
+      s"""SELECT strftime(visit_date, '%Y-%m') AS month, COUNT(*) AS total_visits,
+         |       CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DOUBLE) AS monthly_revenue,
+         |       ROUND(CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DOUBLE) / COUNT(total_charge), 2) AS avg_revenue_per_visit,
+         |       COUNT(DISTINCT patient_id) AS unique_patients
+         |FROM $V WHERE $NotDel
+         |GROUP BY month""".stripMargin)((s, _) =>
+      HealthcareQueries.monthlyRevenueSummary(snap(s))),
+
+    // ---- category 5: patient demographics ----
+    QueryDef(
+      "hc_patient_age_distribution",
+      s"""SELECT CASE WHEN EXTRACT(year FROM DATE '$Now') - EXTRACT(year FROM date_of_birth) < 18 THEN '0-17'
+         |            WHEN EXTRACT(year FROM DATE '$Now') - EXTRACT(year FROM date_of_birth) < 36 THEN '18-35'
+         |            WHEN EXTRACT(year FROM DATE '$Now') - EXTRACT(year FROM date_of_birth) < 56 THEN '36-55'
+         |            WHEN EXTRACT(year FROM DATE '$Now') - EXTRACT(year FROM date_of_birth) < 71 THEN '56-70'
+         |            ELSE '71+' END AS age_group,
+         |       COUNT(*) AS patient_count,
+         |       COUNT(DISTINCT insurance_provider) AS insurers
+         |FROM $P WHERE $NotDel
+         |GROUP BY age_group""".stripMargin)((s, _) =>
+      HealthcareQueries.patientAgeDistribution(snap(s), Now)),
+
+    QueryDef(
+      "hc_patient_demographics",
+      s"""SELECT CASE WHEN EXTRACT(year FROM DATE '$Now') - EXTRACT(year FROM p.date_of_birth) < 18 THEN 'Pediatric (0-17)'
+         |            WHEN EXTRACT(year FROM DATE '$Now') - EXTRACT(year FROM p.date_of_birth) <= 30 THEN 'Young Adult (18-30)'
+         |            WHEN EXTRACT(year FROM DATE '$Now') - EXTRACT(year FROM p.date_of_birth) <= 50 THEN 'Adult (31-50)'
+         |            WHEN EXTRACT(year FROM DATE '$Now') - EXTRACT(year FROM p.date_of_birth) <= 65 THEN 'Middle Age (51-65)'
+         |            ELSE 'Senior (65+)' END AS age_group,
+         |       COUNT(DISTINCT p.patient_id) AS patient_count,
+         |       COUNT(v.visit_id) AS total_visits,
+         |       ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) / COUNT(v.total_charge), 2) AS avg_visit_cost
+         |FROM $P p LEFT JOIN $V v ON p.patient_id = v.patient_id AND v.$NotDel
+         |WHERE p.$NotDel
+         |GROUP BY 1""".stripMargin)((s, _) =>
+      HealthcareQueries.patientDemographics(snap(s), Now)),
+
+    QueryDef(
+      "hc_frequent_patients",
+      s"""SELECT p.patient_id, p.first_name || ' ' || p.last_name AS patient_name,
+         |       COUNT(v.visit_id) AS visit_count,
+         |       CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+         |FROM $P p JOIN $V v ON p.patient_id = v.patient_id AND v.$NotDel
+         |WHERE p.$NotDel
+         |GROUP BY p.patient_id, p.first_name, p.last_name
+         |HAVING COUNT(v.visit_id) >= 3""".stripMargin)((s, _) =>
+      HealthcareQueries.frequentPatients(snap(s))),
+
+    QueryDef(
+      "hc_new_vs_returning",
+      s"""WITH patient_visits AS (
+         |  SELECT p.patient_id AS pv_patient_id, MIN(v0.visit_date) AS first_visit_ever
+         |  FROM $P p LEFT JOIN $V v0 ON p.patient_id = v0.patient_id AND v0.$NotDel
+         |  WHERE p.$NotDel
+         |  GROUP BY p.patient_id)
+         |SELECT CASE WHEN pv.first_visit_ever >= DATE '$D30' THEN 'New Patient'
+         |            ELSE 'Returning Patient' END AS patient_type,
+         |       COUNT(DISTINCT v.patient_id) AS patient_count,
+         |       COUNT(v.visit_id) AS total_visits,
+         |       CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+         |FROM $V v JOIN patient_visits pv ON v.patient_id = pv.pv_patient_id
+         |WHERE v.$NotDel AND v.visit_date >= DATE '$D30'
+         |GROUP BY patient_type""".stripMargin)((s, _) =>
+      HealthcareQueries.newVsReturning(snap(s), Now)),
+
+    // ---- category 6: clinical ----
+    QueryDef(
+      "hc_diagnosis_frequency",
+      s"""SELECT diagnosis, COUNT(*) AS diagnosis_count,
+         |       CAST(SUM(CASE WHEN follow_up_required THEN 1 ELSE 0 END) AS BIGINT) AS followups,
+         |       CAST(SUM(CASE WHEN prescription_given THEN 1 ELSE 0 END) AS BIGINT) AS prescriptions,
+         |       ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 1) AS pct
+         |FROM $V WHERE $NotDel AND diagnosis IS NOT NULL
+         |GROUP BY diagnosis
+         |ORDER BY diagnosis_count DESC, diagnosis LIMIT 15""".stripMargin)((s, _) =>
+      HealthcareQueries.diagnosisFrequency(snap(s))),
+
+    QueryDef(
+      "hc_reasons_for_visit",
+      s"""SELECT reason_for_visit, COUNT(*) AS frequency,
+         |       CAST(SUM(CASE WHEN status = 'completed' THEN 1 ELSE 0 END) AS BIGINT) AS completed,
+         |       CAST(SUM(CASE WHEN status = 'no_show' THEN 1 ELSE 0 END) AS BIGINT) AS no_shows,
+         |       ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 1) AS percentage_of_appointments
+         |FROM $A WHERE $NotDel AND appointment_date >= DATE '$D60'
+         |GROUP BY reason_for_visit
+         |ORDER BY frequency DESC, reason_for_visit LIMIT 15""".stripMargin)((s, _) =>
+      HealthcareQueries.reasonsForVisit(snap(s), Now)),
+
+    QueryDef(
+      "hc_type_by_specialization",
+      s"""SELECT d.specialization, a.appointment_type, COUNT(*) AS type_count,
+         |       ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (PARTITION BY d.specialization), 1) AS percentage
+         |FROM $A a JOIN $D d ON a.doctor_id = d.doctor_id AND d.$NotDel
+         |WHERE a.$NotDel AND a.appointment_date >= DATE '$D60'
+         |GROUP BY d.specialization, a.appointment_type""".stripMargin)((s, _) =>
+      HealthcareQueries.typeBySpecialization(snap(s), Now)),
+
+    // ---- category 7: CDC audit trail (post-live-demo state) ----
+    QueryDef(
+      "hc_recently_modified",
+      s"""SELECT appointment_id, patient_id, doctor_id, appointment_date,
+         |       appointment_time, status, reason_for_visit,
+         |       _snowflake_inserted_at AS inserted_at,
+         |       _snowflake_updated_at AS updated_at,
+         |       _snowflake_deleted AS is_deleted
+         |FROM $AL
+         |WHERE _snowflake_updated_at IS NOT NULL
+         |  AND _snowflake_updated_at >= TIMESTAMP '$Ts24h'
+         |ORDER BY updated_at DESC, appointment_id LIMIT 50""".stripMargin)((s, _) =>
+      HealthcareQueries.recentlyModified(live(s), Ts24h)),
+
+    QueryDef(
+      "hc_change_volume",
+      s"""SELECT 'appointments' AS table_name, COUNT(*) AS total_records,
+         |       CAST(SUM(CASE WHEN _snowflake_updated_at IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS insert_only,
+         |       CAST(SUM(CASE WHEN _snowflake_updated_at IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS updated,
+         |       CAST(SUM(CASE WHEN _snowflake_deleted THEN 1 ELSE 0 END) AS BIGINT) AS deleted
+         |FROM $AL
+         |WHERE _snowflake_inserted_at >= TIMESTAMP '$Ts24h' OR _snowflake_updated_at >= TIMESTAMP '$Ts24h'
+         |UNION ALL
+         |SELECT 'visits', COUNT(*),
+         |       CAST(SUM(CASE WHEN _snowflake_updated_at IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |       CAST(SUM(CASE WHEN _snowflake_updated_at IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |       CAST(SUM(CASE WHEN _snowflake_deleted THEN 1 ELSE 0 END) AS BIGINT)
+         |FROM $VL
+         |WHERE _snowflake_inserted_at >= TIMESTAMP '$Ts24h' OR _snowflake_updated_at >= TIMESTAMP '$Ts24h'
+         |ORDER BY table_name""".stripMargin)((s, _) =>
+      HealthcareQueries.changeVolume24h(live(s), Ts24h)),
+
+    QueryDef(
+      "hc_update_frequency",
+      s"""SELECT date_trunc('hour', _snowflake_updated_at) AS hour_block,
+         |       COUNT(*) AS updates,
+         |       COUNT(DISTINCT appointment_id) AS unique_appointments_updated
+         |FROM $AL
+         |WHERE _snowflake_updated_at IS NOT NULL
+         |  AND _snowflake_updated_at >= TIMESTAMP '$Ts7d'
+         |GROUP BY hour_block""".stripMargin)((s, _) =>
+      HealthcareQueries.updateFrequency(live(s), Ts7d)),
+
+    /** Live-demo final check: lifetime change volume per table
+      * (sql/3.live_appointments.sql:366-402). */
+    QueryDef(
+      "hc_cdc_scenario", {
+      def vol(name: String, t: String) =
+        s"""SELECT '$name' AS table_name, COUNT(*) AS total_rows,
+           |       CAST(SUM(CASE WHEN _snowflake_updated_at IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS updated_rows,
+           |       CAST(SUM(CASE WHEN _snowflake_deleted THEN 1 ELSE 0 END) AS BIGINT) AS deleted_rows
+           |FROM $t""".stripMargin
+      s"""${vol("appointments", AL)}
+         |UNION ALL
+         |${vol("patients", P)}
+         |UNION ALL
+         |${vol("doctors", DL)}
+         |UNION ALL
+         |${vol("visits", VL)}
+         |ORDER BY table_name""".stripMargin
+    })((s, _) => HealthcareQueries.changeVolume(live(s))),
+
+    // ---- category 8: executive KPIs ----
+    QueryDef(
+      "hc_executive_summary",
+      s"""SELECT COUNT(DISTINCT a.patient_id) AS unique_patients_served,
+         |       COUNT(DISTINCT a.appointment_id) AS total_appointments,
+         |       CAST(SUM(CASE WHEN a.status = 'completed' THEN 1 ELSE 0 END) AS BIGINT) AS completed_appointments,
+         |       ROUND(SUM(CASE WHEN a.status = 'completed' THEN 1 ELSE 0 END) * 100.0 / CAST(COUNT(a.appointment_id) AS DOUBLE), 1) AS completion_rate,
+         |       CAST(SUM(CASE WHEN a.status = 'no_show' THEN 1 ELSE 0 END) AS BIGINT) AS no_shows,
+         |       ROUND(SUM(CASE WHEN a.status = 'no_show' THEN 1 ELSE 0 END) * 100.0 / CAST(COUNT(a.appointment_id) AS DOUBLE), 1) AS no_show_rate,
+         |       COUNT(DISTINCT v.visit_id) AS total_visits,
+         |       CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+         |       ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) / COUNT(v.total_charge), 2) AS avg_revenue_per_visit,
+         |       COUNT(DISTINCT v.doctor_id) AS active_doctors
+         |FROM $A a LEFT JOIN $V v ON a.appointment_id = v.appointment_id AND v.$NotDel
+         |WHERE a.$NotDel
+         |  AND a.appointment_date >= DATE '$D30' AND a.appointment_date <= DATE '$Now'""".stripMargin)((s, _) =>
+      HealthcareQueries.executiveSummary(snap(s), Now)),
+
+    QueryDef(
+      "hc_data_quality",
+      s"""SELECT 'patients_missing_name' AS check_name,
+         |       CAST(SUM(CASE WHEN first_name IS NULL OR last_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count FROM $P
+         |UNION ALL SELECT 'patients_missing_dob',
+         |       CAST(SUM(CASE WHEN date_of_birth IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM $P
+         |UNION ALL SELECT 'appointments_missing_date',
+         |       CAST(SUM(CASE WHEN appointment_date IS NULL OR appointment_time IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM $A
+         |UNION ALL SELECT 'visits_missing_charge',
+         |       CAST(SUM(CASE WHEN total_charge IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM $V
+         |ORDER BY check_name""".stripMargin)((s, _) =>
+      HealthcareQueries.dataQualityChecks(snap(s))),
+
+    // ---- semantic-model verified queries (EP3) ----
+    QueryDef(
+      "sm_total_appointments",
+      s"""SELECT COUNT(*) AS total_appointments,
+         |       COUNT(DISTINCT patient_id) AS unique_patients,
+         |       COUNT(DISTINCT doctor_id) AS unique_doctors,
+         |       MIN(appointment_date) AS earliest,
+         |       MAX(appointment_date) AS latest
+         |FROM $AL WHERE $NotDel""".stripMargin)((s, _) =>
       semantic(s, "total_appointments_summary")),
-    QueryDef.rowsOnly("sm_revenue_by_doctor")((s, _) =>
+
+    QueryDef(
+      "sm_appointments_modified_recently",
+      s"""SELECT status, COUNT(*) AS modified_count
+         |FROM $AL
+         |WHERE $NotDel AND _snowflake_updated_at IS NOT NULL
+         |GROUP BY status""".stripMargin)((s, _) =>
+      semantic(s, "appointments_modified_recently")),
+
+    QueryDef(
+      "sm_revenue_by_doctor",
+      s"""SELECT d.doctor_id, d.first_name, d.last_name, d.specialization, d.department,
+         |       COUNT(v.visit_id) AS total_visits,
+         |       CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+         |       MIN(v.visit_date) AS first_visit, MAX(v.visit_date) AS last_visit
+         |FROM $DL d LEFT JOIN $VL v ON d.doctor_id = v.doctor_id AND v.$NotDel
+         |WHERE d.$NotDel
+         |GROUP BY d.doctor_id, d.first_name, d.last_name, d.specialization, d.department""".stripMargin)((s, _) =>
       semantic(s, "revenue_by_doctor")))
 }

@@ -12,7 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * Tables carry the CDC metadata columns; queries that the reference filters
   * on `_snowflake_deleted = FALSE` do so here too. `now` is the injectable
-  * clock (SURVEY §7.4.3) standing in for CURRENT_DATE.
+  * clock (SURVEY §7.4.3) standing in for CURRENT_DATE / CURRENT_TIMESTAMP.
+  *
+  * Oracle-parity conventions (shared with RelationalQueries): money sums go
+  * through DECIMAL(18,2) then CAST to DOUBLE (exact, associative, identical
+  * IEEE ops in DuckDB); averages are decimal-sum-as-double / count; rates are
+  * computed on exact integer counts before the single ROUND.
   */
 final case class HealthcareTables(
     patients: DataFrame,
@@ -27,6 +32,12 @@ object HealthcareQueries {
 
   private def fullName(prefix: String): Column =
     concat(col(s"$prefix.first_name"), lit(" "), col(s"$prefix.last_name"))
+
+  private def moneySum(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** ROUND(AVG(money), 2) with deterministic decimal-sum math. */
+  private def moneyAvg2(c: Column): Column =
+    round(sum(dec2(c)).cast("double") / count(c), 2)
 
   // ---- Category 1: appointment status (sql/4.analytics_queries.sql:27-41) ----
 
@@ -60,7 +71,31 @@ object HealthcareQueries {
         col("a.reason_for_visit"))
       .orderBy(col("appointment_time"), col("appointment_id"))
 
-  // ---- Category 2: doctor utilization (sql/4.analytics_queries.sql:64-95) ----
+  /** Patients currently in clinic — the reference's only analytics query that
+    * composes date + TIME-string into a timestamp (TO_TIMESTAMP(TO_CHAR(date)
+    * ‖ TO_CHAR(time)) then TIMESTAMPDIFF(MINUTE, …, CURRENT_TIMESTAMP);
+    * sql/4.analytics_queries.sql:43-61). `nowTs` is the frozen clock.
+    */
+  def patientsInClinic(t: HealthcareTables, now: String, nowTs: String): DataFrame =
+    notDeleted(t.appointments).as("a")
+      .join(broadcast(notDeleted(t.patients).as("p")), col("a.patient_id") === col("p.patient_id"))
+      .join(broadcast(notDeleted(t.doctors).as("d")), col("a.doctor_id") === col("d.doctor_id"))
+      .filter(col("a.appointment_date") === lit(now).cast("date") &&
+        col("a.status").isin("checked_in", "in_progress"))
+      .select(
+        fullName("p").as("patient_name"),
+        col("p.phone"),
+        fullName("d").as("doctor_name"),
+        col("d.specialization"),
+        col("a.appointment_time"),
+        col("a.status"),
+        col("a.reason_for_visit"),
+        sfTimestampDiffMinutes(
+          to_timestamp(concat(col("a.appointment_date").cast("string"), lit(" "), col("a.appointment_time"))),
+          lit(nowTs).cast("timestamp")).as("minutes_since_appointment"))
+      .orderBy(col("status").desc, col("appointment_time"))
+
+  // ---- Category 2: doctor utilization + patient flow (sql/4.analytics_queries.sql:64-144) ----
 
   /** Doctors LEFT JOIN today's appointments — extra predicates live in the ON
     * clause so idle doctors stay (the J4 trap, sql/4.analytics_queries.sql:74-76).
@@ -83,6 +118,44 @@ object HealthcareQueries {
         col("specialization"), col("todays_appointments"), col("completed_today"),
         col("currently_seeing"), col("waiting"))
       .orderBy(col("todays_appointments").desc, col("doctor_id"))
+
+  /** Average wait time by status transition — AVG(TIMESTAMPDIFF(MINUTE,
+    * created_at, updated_at)) over resolved appointments
+    * (sql/4.analytics_queries.sql:83-95).
+    */
+  def avgWaitByDate(t: HealthcareTables, now: String): DataFrame =
+    notDeleted(t.appointments)
+      .filter(col("status").isin("completed", "cancelled", "no_show") &&
+        col("created_at") =!= col("updated_at") &&
+        col("appointment_date") >= date_sub(lit(now).cast("date"), 30))
+      .groupBy("appointment_date")
+      .agg(
+        avg(sfTimestampDiffMinutes(col("created_at"), col("updated_at"))).as("avg_minutes_to_update"),
+        count(lit(1)).as("appointments"))
+      .orderBy(col("appointment_date").desc)
+      .limit(30)
+
+  /** Appointment completion rate by day, last 30 days — the CTE + NULLIF-rate
+    * shape (sql/4.analytics_queries.sql:97-120).
+    */
+  def completionRate30d(t: HealthcareTables, now: String): DataFrame = {
+    val nowD = lit(now).cast("date")
+    val completed = sum(when(col("status") === "completed", 1).otherwise(0))
+    val cancelled = sum(when(col("status") === "cancelled", 1).otherwise(0))
+    val noShows = sum(when(col("status") === "no_show", 1).otherwise(0))
+    val total = count(lit(1))
+    notDeleted(t.appointments)
+      .filter(col("appointment_date") >= date_sub(nowD, 30) && col("appointment_date") <= nowD)
+      .groupBy("appointment_date")
+      .agg(
+        total.as("total_appointments"),
+        completed.as("completed"),
+        cancelled.as("cancelled"),
+        noShows.as("no_shows"),
+        round(completed * lit(100.0) / nullif(total.cast("double"), lit(0.0)), 1).as("completion_rate"),
+        round(noShows * lit(100.0) / nullif(total.cast("double"), lit(0.0)), 1).as("no_show_rate"))
+      .orderBy(col("appointment_date").desc)
+  }
 
   /** 30-day workload per doctor with completion/no-show rates guarded by
     * NULLIF (sql/4.analytics_queries.sql:98-120).
@@ -134,6 +207,56 @@ object HealthcareQueries {
         round(avg(when(col("status") === "no_show", 1.0).otherwise(0.0)) * 100, 1).as("no_show_rate"))
       .orderBy("day_num")
 
+  // ---- Category 3b: doctor performance (sql/4.analytics_queries.sql:169-201) ----
+
+  /** Average appointments per day by doctor — LEFT join with the completed
+    * filter in the ON clause + HAVING COUNT(DISTINCT date) > 0
+    * (sql/4.analytics_queries.sql:169-184).
+    */
+  def avgAppointmentsPerDay(t: HealthcareTables, now: String): DataFrame =
+    notDeleted(t.doctors).as("d")
+      .join(notDeleted(t.appointments).as("a"),
+        col("d.doctor_id") === col("a.doctor_id") &&
+          col("a.appointment_date") >= date_sub(lit(now).cast("date"), 30) &&
+          col("a.status") === "completed",
+        "left")
+      .groupBy(col("d.doctor_id"), col("d.first_name"), col("d.last_name"), col("d.specialization"))
+      .agg(
+        count(col("a.appointment_id")).as("total_appointments"),
+        countDistinct(col("a.appointment_date")).as("days_with_appointments"),
+        round(count(col("a.appointment_id")) * lit(1.0) /
+          nullif(countDistinct(col("a.appointment_date")).cast("double"), lit(0.0)), 1)
+          .as("avg_appointments_per_day"))
+      .filter(col("days_with_appointments") > 0) // HAVING
+      .select(
+        concat(col("first_name"), lit(" "), col("last_name")).as("doctor_name"),
+        col("specialization"), col("total_appointments"),
+        col("days_with_appointments"), col("avg_appointments_per_day"))
+      .orderBy(col("avg_appointments_per_day").desc, col("doctor_name"))
+
+  /** Patient satisfaction proxy — follow-up / prescription rates per doctor
+    * (sql/4.analytics_queries.sql:186-201).
+    */
+  def satisfactionProxy(t: HealthcareTables): DataFrame = {
+    val followups = sum(when(col("v.follow_up_required"), 1).otherwise(0))
+    val prescriptions = sum(when(col("v.prescription_given"), 1).otherwise(0))
+    val visits = count(col("v.visit_id"))
+    notDeleted(t.doctors).as("d")
+      .join(notDeleted(t.visits).as("v"), col("d.doctor_id") === col("v.doctor_id"))
+      .groupBy(col("d.doctor_id"), col("d.first_name"), col("d.last_name"), col("d.specialization"))
+      .agg(
+        visits.as("total_visits"),
+        followups.as("followups_needed"),
+        round(followups * lit(100.0) / nullif(visits.cast("double"), lit(0.0)), 1).as("followup_rate"),
+        prescriptions.as("prescriptions_written"),
+        round(prescriptions * lit(100.0) / nullif(visits.cast("double"), lit(0.0)), 1).as("prescription_rate"))
+      .select(
+        concat(col("first_name"), lit(" "), col("last_name")).as("doctor_name"),
+        col("specialization"), col("total_visits"), col("followups_needed"),
+        col("followup_rate"), col("prescriptions_written"), col("prescription_rate"))
+      .orderBy(col("total_visits").desc, col("doctor_name"))
+  }
+
   // ---- Category 4: revenue (sql/4.analytics_queries.sql:203-258) ----
 
   /** Revenue by doctor — the semantic model's verified query #3
@@ -148,7 +271,7 @@ object HealthcareQueries {
         col("d.specialization"), col("d.department"))
       .agg(
         count(col("v.visit_id")).as("total_visits"),
-        sum(col("v.total_charge")).as("total_revenue"),
+        moneySum(col("v.total_charge")).as("total_revenue"),
         min(col("v.visit_date")).as("first_visit"),
         max(col("v.visit_date")).as("last_visit"))
       .select(
@@ -158,8 +281,9 @@ object HealthcareQueries {
         col("total_visits"), col("total_revenue"), col("first_visit"), col("last_visit"))
       .orderBy(col("total_revenue").desc_nulls_last, col("doctor_id"))
 
-  /** Revenue by department with % of total — SUM(SUM()) OVER () (W2,
-    * sql/4.analytics_queries.sql:221-231).
+  /** Revenue by department with % of total — SUM(SUM(x)) OVER () (W2,
+    * sql/4.analytics_queries.sql:221-231). The window sums the EXACT decimal
+    * subtotals, so the percentage is the same IEEE division in any engine.
     */
   def revenueByDepartment(t: HealthcareTables): DataFrame =
     notDeleted(t.visits).as("v")
@@ -167,12 +291,41 @@ object HealthcareQueries {
       .groupBy(col("d.department"))
       .agg(
         count(lit(1)).as("visit_count"),
-        sum(col("v.total_charge")).as("department_revenue"),
-        round(avg(col("v.total_charge")), 2).as("avg_charge"))
+        sum(dec2(col("v.total_charge"))).as("_rev_dec"),
+        moneyAvg2(col("v.total_charge")).as("avg_charge"))
       .withColumn("pct_of_total",
-        round(col("department_revenue") * lit(100.0) /
-          sum(col("department_revenue")).over(Window.partitionBy()), 1))
+        round(col("_rev_dec").cast("double") * lit(100.0) /
+          sum(col("_rev_dec")).over(Window.partitionBy()).cast("double"), 1))
+      .withColumn("department_revenue", col("_rev_dec").cast("double"))
+      .drop("_rev_dec")
       .orderBy(col("department_revenue").desc, col("department"))
+
+  /** Daily revenue trend, last 30 days (sql/4.analytics_queries.sql:207-219). */
+  def dailyRevenueTrend(t: HealthcareTables, now: String): DataFrame =
+    notDeleted(t.visits)
+      .filter(col("visit_date") >= date_sub(lit(now).cast("date"), 30))
+      .groupBy("visit_date")
+      .agg(
+        count(lit(1)).as("visit_count"),
+        moneySum(col("total_charge")).as("daily_revenue"),
+        (sum(dec2(col("total_charge"))).cast("double") / count(col("total_charge")))
+          .as("avg_revenue_per_visit"),
+        min(col("total_charge")).as("min_charge"),
+        max(col("total_charge")).as("max_charge"))
+      .orderBy(col("visit_date").desc)
+
+  /** Monthly revenue summary — TO_CHAR(date,'YYYY-MM') grouping
+    * (sql/4.analytics_queries.sql:249-258).
+    */
+  def monthlyRevenueSummary(t: HealthcareTables): DataFrame =
+    notDeleted(t.visits)
+      .groupBy(date_format(col("visit_date"), "yyyy-MM").as("month"))
+      .agg(
+        count(lit(1)).as("total_visits"),
+        moneySum(col("total_charge")).as("monthly_revenue"),
+        moneyAvg2(col("total_charge")).as("avg_revenue_per_visit"),
+        countDistinct(col("patient_id")).as("unique_patients"))
+      .orderBy(col("month").desc)
 
   // ---- Category 5: patient demographics (sql/4.analytics_queries.sql:330-365) ----
 
@@ -194,6 +347,26 @@ object HealthcareQueries {
       .orderBy("age_group")
   }
 
+  /** Patient demographics summary — DATEDIFF(year) buckets over patients
+    * LEFT JOIN visits (sql/4.analytics_queries.sql:350-366).
+    */
+  def patientDemographics(t: HealthcareTables, now: String): DataFrame = {
+    val age = sfDateDiffYears(col("p.date_of_birth"), lit(now).cast("date"))
+    notDeleted(t.patients).as("p")
+      .join(notDeleted(t.visits).as("v"), col("p.patient_id") === col("v.patient_id"), "left")
+      .groupBy(
+        when(age < 18, "Pediatric (0-17)")
+          .when(age <= 30, "Young Adult (18-30)")
+          .when(age <= 50, "Adult (31-50)")
+          .when(age <= 65, "Middle Age (51-65)")
+          .otherwise("Senior (65+)").as("age_group"))
+      .agg(
+        countDistinct(col("p.patient_id")).as("patient_count"),
+        count(col("v.visit_id")).as("total_visits"),
+        moneyAvg2(col("v.total_charge")).as("avg_visit_cost"))
+      .orderBy("age_group")
+  }
+
   /** Patient visit frequency with HAVING >= 3 (A9,
     * sql/4.analytics_queries.sql:305-327).
     */
@@ -203,13 +376,37 @@ object HealthcareQueries {
       .groupBy(col("p.patient_id"), col("p.first_name"), col("p.last_name"))
       .agg(
         count(col("v.visit_id")).as("visit_count"),
-        sum(col("v.total_charge")).as("total_spent"))
+        moneySum(col("v.total_charge")).as("total_spent"))
       .filter(col("visit_count") >= 3)
       .select(
         col("patient_id"),
         concat(col("first_name"), lit(" "), col("last_name")).as("patient_name"),
         col("visit_count"), col("total_spent"))
       .orderBy(col("visit_count").desc, col("patient_id"))
+
+  /** New vs returning patients — join to the patient_visits CTE (J5's actual
+    * healthcare instance, sql/4.analytics_queries.sql:326-348). The CTE is a
+    * per-patient aggregate of a corpus-sized table, so the join is left
+    * unhinted for AQE (both sides scale with the data).
+    */
+  def newVsReturning(t: HealthcareTables, now: String): DataFrame = {
+    val cutoff = date_sub(lit(now).cast("date"), 30)
+    val patientVisits = notDeleted(t.patients).as("p")
+      .join(notDeleted(t.visits).as("v0"), col("p.patient_id") === col("v0.patient_id"), "left")
+      .groupBy(col("p.patient_id").as("pv_patient_id"))
+      .agg(min(col("v0.visit_date")).as("first_visit_ever"))
+    notDeleted(t.visits).as("v")
+      .filter(col("v.visit_date") >= cutoff)
+      .join(patientVisits, col("v.patient_id") === col("pv_patient_id"))
+      .groupBy(
+        when(col("first_visit_ever") >= cutoff, "New Patient")
+          .otherwise("Returning Patient").as("patient_type"))
+      .agg(
+        countDistinct(col("v.patient_id")).as("patient_count"),
+        count(col("v.visit_id")).as("total_visits"),
+        moneySum(col("v.total_charge")).as("total_revenue"))
+      .orderBy("patient_type")
+  }
 
   // ---- Category 6: clinical (sql/4.analytics_queries.sql:261-302) ----
 
@@ -228,24 +425,59 @@ object HealthcareQueries {
       .orderBy(col("diagnosis_count").desc, col("diagnosis"))
       .limit(15)
 
+  /** Most common reasons for visit, last 60 days, with % of total
+    * (sql/4.analytics_queries.sql:279-290).
+    */
+  def reasonsForVisit(t: HealthcareTables, now: String): DataFrame =
+    notDeleted(t.appointments)
+      .filter(col("appointment_date") >= date_sub(lit(now).cast("date"), 60))
+      .groupBy("reason_for_visit")
+      .agg(
+        count(lit(1)).as("frequency"),
+        sum(when(col("status") === "completed", 1).otherwise(0)).as("completed"),
+        sum(when(col("status") === "no_show", 1).otherwise(0)).as("no_shows"))
+      .withColumn("percentage_of_appointments",
+        round(col("frequency") * lit(100.0) /
+          sum(col("frequency")).over(Window.partitionBy()), 1))
+      .orderBy(col("frequency").desc, col("reason_for_visit"))
+      .limit(15)
+
+  /** Appointment type distribution by specialization — the W3 partition
+    * window's healthcare instance (sql/4.analytics_queries.sql:293-303).
+    */
+  def typeBySpecialization(t: HealthcareTables, now: String): DataFrame =
+    notDeleted(t.appointments).as("a")
+      .filter(col("a.appointment_date") >= date_sub(lit(now).cast("date"), 60))
+      .join(broadcast(notDeleted(t.doctors).as("d")), col("a.doctor_id") === col("d.doctor_id"))
+      .groupBy(col("d.specialization"), col("a.appointment_type"))
+      .agg(count(lit(1)).as("type_count"))
+      .withColumn("percentage",
+        round(col("type_count") * lit(100.0) /
+          sum(col("type_count")).over(Window.partitionBy("specialization")), 1))
+      .orderBy(col("specialization"), col("type_count").desc, col("appointment_type"))
+
   // ---- Category 7/8: CDC audit (sql/4.analytics_queries.sql:368-454) ----
 
-  /** Recently-updated rows — `_SNOWFLAKE_UPDATED_AT IS NOT NULL` invariant
-    * (sql/4.analytics_queries.sql:383-403).
+  /** Recently-updated rows — `_SNOWFLAKE_UPDATED_AT IS NOT NULL` plus the
+    * 24 h window (sql/4.analytics_queries.sql:372-390).
     */
-  def recentlyModified(t: HealthcareTables): DataFrame =
+  def recentlyModified(t: HealthcareTables, sinceTs: String): DataFrame =
     t.appointments
-      .filter(col(MetaUpdated).isNotNull)
+      .filter(col(MetaUpdated).isNotNull &&
+        col(MetaUpdated) >= lit(sinceTs).cast("timestamp_ntz"))
       .select(
-        col("appointment_id"), col("status"),
+        col("appointment_id"), col("patient_id"), col("doctor_id"),
+        col("appointment_date"), col("appointment_time"),
+        col("status"), col("reason_for_visit"),
         col(MetaInserted).as("inserted_at"),
         col(MetaUpdated).as("updated_at"),
         col(MetaDeleted).as("is_deleted"))
       .orderBy(col("updated_at").desc, col("appointment_id"))
       .limit(50)
 
-  /** Change-volume-by-table summary (U1 UNION ALL of labeled aggregates,
-    * sql/4.analytics_queries.sql:405-417).
+  /** Change-volume-by-table summary over the whole table lifetime (U1 UNION
+    * ALL of labeled aggregates — the live-demo final check,
+    * sql/3.live_appointments.sql:366-402).
     */
   def changeVolume(t: HealthcareTables): DataFrame = {
     def vol(name: String, df: DataFrame) =
@@ -261,23 +493,62 @@ object HealthcareQueries {
       .orderBy("table_name")
   }
 
-  /** Executive KPI row (A10 global aggregate + multi COUNT(DISTINCT),
-    * sql/4.analytics_queries.sql:432-454).
+  /** Change volume analysis, last 24 hours — the reference's insert-vs-update
+    * split over appointments and visits (sql/4.analytics_queries.sql:392-417).
+    */
+  def changeVolume24h(t: HealthcareTables, sinceTs: String): DataFrame = {
+    val cutoff = lit(sinceTs).cast("timestamp_ntz")
+    def vol(name: String, df: DataFrame) =
+      df.filter(col(MetaInserted) >= cutoff || col(MetaUpdated) >= cutoff)
+        .agg(
+          count(lit(1)).as("total_records"),
+          sum(when(col(MetaUpdated).isNull, 1).otherwise(0)).as("insert_only"),
+          sum(when(col(MetaUpdated).isNotNull, 1).otherwise(0)).as("updated"),
+          sum(when(col(MetaDeleted), 1).otherwise(0)).as("deleted"))
+        .select(lit(name).as("table_name"), col("total_records"),
+          col("insert_only"), col("updated"), col("deleted"))
+    vol("appointments", t.appointments)
+      .unionAll(vol("visits", t.visits))
+      .orderBy("table_name")
+  }
+
+  /** CDC update-frequency histogram — DATE_TRUNC('HOUR', _snowflake_updated_at)
+    * over the last 7 days (sql/4.analytics_queries.sql:419-430).
+    */
+  def updateFrequency(t: HealthcareTables, sinceTs: String): DataFrame =
+    t.appointments
+      .filter(col(MetaUpdated).isNotNull &&
+        col(MetaUpdated) >= lit(sinceTs).cast("timestamp_ntz"))
+      .groupBy(date_trunc("hour", col(MetaUpdated)).as("hour_block"))
+      .agg(
+        count(lit(1)).as("updates"),
+        countDistinct(col("appointment_id")).as("unique_appointments_updated"))
+      .orderBy(col("hour_block").desc)
+
+  /** Executive KPI row, last 30 days — appointments LEFT JOIN visits on the
+    * appointment key (A10 global aggregate + multi COUNT(DISTINCT),
+    * sql/4.analytics_queries.sql:436-454).
     */
   def executiveSummary(t: HealthcareTables, now: String): DataFrame = {
     val nowD = lit(now).cast("date")
-    val a = notDeleted(t.appointments)
-    val v = notDeleted(t.visits).as("v")
-    val appts = a.agg(
-      count(lit(1)).as("total_appointments"),
-      countDistinct(col("patient_id")).as("unique_patients"),
-      countDistinct(col("doctor_id")).as("active_doctors"),
-      sum(when(col("appointment_date") >= date_sub(nowD, 7), 1).otherwise(0)).as("last_7_days"),
-      round(avg(when(col("status") === "completed", 1.0).otherwise(0.0)) * 100, 1).as("completion_rate"))
-    val rev = v.agg(
-      sum(col("total_charge")).as("total_revenue"),
-      round(avg(col("total_charge")), 2).as("avg_charge"))
-    appts.crossJoin(rev)
+    val completed = sum(when(col("a.status") === "completed", 1).otherwise(0))
+    val noShows = sum(when(col("a.status") === "no_show", 1).otherwise(0))
+    val appts = count(col("a.appointment_id"))
+    notDeleted(t.appointments).as("a")
+      .filter(col("a.appointment_date") >= date_sub(nowD, 30) &&
+        col("a.appointment_date") <= nowD)
+      .join(notDeleted(t.visits).as("v"), col("a.appointment_id") === col("v.appointment_id"), "left")
+      .agg(
+        countDistinct(col("a.patient_id")).as("unique_patients_served"),
+        countDistinct(col("a.appointment_id")).as("total_appointments"),
+        completed.as("completed_appointments"),
+        round(completed * lit(100.0) / appts.cast("double"), 1).as("completion_rate"),
+        noShows.as("no_shows"),
+        round(noShows * lit(100.0) / appts.cast("double"), 1).as("no_show_rate"),
+        countDistinct(col("v.visit_id")).as("total_visits"),
+        moneySum(col("v.total_charge")).as("total_revenue"),
+        moneyAvg2(col("v.total_charge")).as("avg_revenue_per_visit"),
+        countDistinct(col("v.doctor_id")).as("active_doctors"))
   }
 
   /** Data-quality NULL checks — "all counts should be 0"

@@ -65,7 +65,8 @@ final class QueryBuilder(model: SemanticModel, source: String => DataFrame) {
           col("l.specialization"), col("l.department"))
         .agg(
           count(col("r.visit_id")).as("total_visits"),
-          sum(col("r.total_charge")).as("total_revenue"),
+          // exact decimal sum surfaced as DOUBLE (oracle-parity money rule)
+          sum(col("r.total_charge").cast("decimal(18,2)")).cast("double").as("total_revenue"),
           min(col("r.visit_date")).as("first_visit"),
           max(col("r.visit_date")).as("last_visit"))
         .select(

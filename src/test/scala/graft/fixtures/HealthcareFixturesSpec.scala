@@ -79,7 +79,7 @@ class HealthcareFixturesSpec extends SparkSpec {
     assert(HealthcareQueries.revenueByDepartment(t).count() > 0)
     assert(HealthcareQueries.patientAgeDistribution(t, now).count() > 0)
     assert(HealthcareQueries.diagnosisFrequency(t).count() > 0)
-    assert(HealthcareQueries.recentlyModified(t).count() == 0) // nothing updated yet
+    assert(HealthcareQueries.recentlyModified(t, s"$now 00:00:00").count() == 0) // nothing updated yet
     assert(HealthcareQueries.changeVolume(t).count() == 4)
     assert(HealthcareQueries.executiveSummary(t, now).count() == 1)
     // percent-of-total sums to 100 (W1 invariant)

@@ -48,18 +48,20 @@ class SemanticModelSpec extends SparkSpec {
         |WHERE d.`_snowflake_deleted` = FALSE
         |GROUP BY d.doctor_id""".stripMargin)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), Option(r.getDecimal(2))))).toMap
+    // builder emits total_revenue as DOUBLE (oracle-parity money rule)
     val got = qb.verified("revenue_by_doctor")
       .collect().map(r => r.getAs[Long]("doctor_id") ->
-        ((r.getAs[Long]("total_visits"), Option(r.getAs[java.math.BigDecimal]("total_revenue"))))).toMap
+        ((r.getAs[Long]("total_visits"),
+          Option(r.get(r.fieldIndex("total_revenue"))).map(_.asInstanceOf[Double])))).toMap
     assert(got.keySet == expected.keySet)
     got.foreach { case (k, (n, rev)) =>
       assert(n == expected(k)._1, s"doctor $k visit count")
-      assert(rev.map(_.doubleValue).getOrElse(0.0) ==
+      assert(rev.getOrElse(0.0) ==
         expected(k)._2.map(_.doubleValue).getOrElse(0.0), s"doctor $k revenue")
     }
     // ordering: revenue DESC NULLS LAST
     val revs = qb.verified("revenue_by_doctor").collect()
-      .map(r => Option(r.getAs[java.math.BigDecimal]("total_revenue")).map(_.doubleValue))
+      .map(r => Option(r.get(r.fieldIndex("total_revenue"))).map(_.asInstanceOf[Double]))
     val nonNull = revs.flatten
     assert(nonNull.sameElements(nonNull.sorted(Ordering[Double].reverse)))
     assert(revs.dropWhile(_.isDefined).forall(_.isEmpty))
