@@ -22,6 +22,11 @@ object LayoutOps {
     * Repartitioning on (p_date, salt) spreads each date over
     * `filesPerDate` tasks, so every partition directory gets that many
     * files and no single task funnels a whole (possibly skewed) date.
+    * The salt is derived from ROW CONTENT (hash of every column), never
+    * from spark_partition_id/monotonically_increasing_id: a content hash
+    * recomputes identically on stage retry, so a shuffle-fetch failure
+    * can't reassign rows across reducers and duplicate/drop output
+    * (the SPARK-23207 round-robin-repartition hazard).
     */
   def writePartitionedByDate(df: DataFrame, tsCol: String, path: String,
       filesPerDate: Int = 1): Unit = {
@@ -31,7 +36,7 @@ object LayoutOps {
         dated.repartition(col("p_date"))
       else
         dated
-          .withColumn("_salt", pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()), lit(filesPerDate)))
+          .withColumn("_salt", pmod(xxhash64(dated.columns.map(col): _*), lit(filesPerDate)))
           .repartition(col("p_date"), col("_salt"))
           .drop("_salt")
     distributed

@@ -53,7 +53,9 @@ object SimilarityQueries {
     * bits) raise recall at lower similarity thresholds; the classic
     * (bands, rows) recall curve is 1-(1-p^r)^b with p = 1 - θ/π.
     */
-  def rpBandKeys(v: Column, bands: Int, rowsPerBand: Int): Column =
+  def rpBandKeys(v: Column, bands: Int, rowsPerBand: Int): Column = {
+    require(bands * rowsPerBand <= hyperplanes.length && rowsPerBand < 32,
+      s"rpBandKeys($bands,$rowsPerBand): need bands*rowsPerBand <= ${hyperplanes.length} and rowsPerBand < 32 (1<<j packing)")
     array((0 until bands).map { b =>
       val key = (0 until rowsPerBand).map { j =>
         val proj = dot(v, org.apache.spark.sql.graft.VectorExpressions.litFloatArray(
@@ -62,6 +64,7 @@ object SimilarityQueries {
       }.reduce(_ bitwiseOR _)
       struct(lit(b).as("band_id"), key.as("band_key"))
     }: _*)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -184,7 +187,7 @@ object SimilarityQueries {
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       ROUND(${cosSql("a.embedding", "b.embedding")}, 9) AS cosine
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.42
+         |WHERE ROUND(${cosSql("a.embedding", "b.embedding")}, 9) >= 0.42
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
@@ -194,7 +197,9 @@ object SimilarityQueries {
       a.crossJoin(broadcast(b))
         .filter(col("vec_a") < col("vec_b"))
         .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.42)
+        // membership decided on the ROUNDED value in both engines — raw
+        // doubles an ulp from τ must not flip the set under the hash gate
+        .filter(round(col("cos"), 9) >= 0.42)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 9).as("cosine"))
         .orderBy("vec_a", "vec_b")
     },
@@ -229,7 +234,7 @@ object SimilarityQueries {
         .join(vecs.select(col("vec_id").as("vec_b"),
           col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
         .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.42)
+        .filter(round(col("cos"), 9) >= 0.42)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 9).as("cosine"))
         .orderBy("vec_a", "vec_b")
     },

@@ -122,7 +122,10 @@ object TextPipelineQueries {
           .otherwise("en")
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          explode(concat(array(lit(null).cast("string")), tokens(col("text")))).as("tok"))
+          // coalesce: a NULL text must not drop the doc at explode — the
+          // sentinel row alone survives, classifying it 'en' like the oracle
+          explode(concat(array(lit(null).cast("string")),
+            coalesce(tokens(col("text")), array().cast("array<string>")))).as("tok"))
         .filter(col("tok").isNull || col("tok").isin(markers: _*))
         .groupBy("doc_id", "lang")
         .agg(hits(en).as("en_hits"), hits(es).as("es_hits"),
