@@ -205,11 +205,12 @@ object SimilarityQueries {
     },
 
     // ----- Embedding near-dup via RP-LSH blocking (the scale path) -----
-    // Candidates = band collisions over 8 bands × 4 sign bits (finer bands
-    // than the top-k query because the dedup threshold is lower), then exact
-    // re-scoring — the corpus never self-joins n². Probabilistic candidate
-    // set → rows-only; SimilaritySpec measures recall against
-    // q_dedup_embedding.
+    // Candidates = band collisions over 10 bands × 3 sign bits, then exact
+    // re-scoring — the corpus never self-joins n². 3-bit bands (coarser than
+    // the top-k query's) because the dedup threshold τ=0.42 sits low:
+    // p = 1-acos(τ)/π ≈ 0.64, so expected recall 1-(1-p³)^10 ≈ 0.95 vs
+    // ≈ 0.77 for 8×4. Probabilistic candidate set → rows-only;
+    // SimilaritySpec asserts ≥90% recall against q_dedup_embedding.
     QueryDef.rowsOnly("q_dedup_embedding_lsh") { (s, d) =>
       val e = Tables.embeddings(s, d)
       // candidates are generated and deduplicated as BARE ID PAIRS — the
@@ -217,7 +218,7 @@ object SimilarityQueries {
       // self-join and the distinct never shuffle or hash embedding arrays
       val banded = e
         .select(col("vec_id"),
-          explode(rpBandKeys(col("embedding"), bands = 8, rowsPerBand = 4)).as("b"))
+          explode(rpBandKeys(col("embedding"), bands = 10, rowsPerBand = 3)).as("b"))
         .select(col("vec_id"), col("b.band_id"), col("b.band_key"))
       val cands = banded.as("x").join(banded.as("y"),
           col("x.band_id") === col("y.band_id") &&

@@ -151,4 +151,59 @@ class CdcScenarioSpec extends SparkSpec {
     assert(appts.filter($"appointment_id" === 301 && $"status" === "completed").count() == 1)
     assert(appts.filter($"appointment_id" === 3 && col(CdcApplier.MetaDeleted)).count() == 1)
   }
+
+  test("restart from checkpoint: killed stream resumes exactly-once (connector guarantee)") {
+    val root = Files.createTempDirectory("graft-cdc-restart").toString
+    val feedDir = Files.createTempDirectory("graft-feed-restart").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-restart").toString
+    val clock = () => lit("2025-01-15 08:00:00").cast("timestamp_ntz")
+    val store = new TableStore(spark, root)
+    val pipeline = new CdcPipeline(spark, store, HealthcareSchema.all,
+      HealthcareSchema.keyColumns, clock)
+    pipeline.loadSnapshot(HealthcareFixtures.all(spark))
+
+    val phase1 = Seq(
+      apptEvent(CdcOp.Insert, 301, 401, "scheduled"),
+      apptEvent(CdcOp.Insert, 302, 402, "confirmed"),
+      apptEvent(CdcOp.Update, 303, 401, "checked_in"))
+    val phase2 = Seq(
+      apptEvent(CdcOp.Update, 304, 401, "completed"),
+      visitEvent(305, 301, 401),
+      apptEvent(CdcOp.Delete, 306, 4, null))
+
+    // phase 1 feed, then KILL the running stream (not AvailableNow — a real
+    // ProcessingTime loop stopped mid-life, like a worker crash)
+    spark.createDataset(phase1).coalesce(1).write.mode("append").json(feedDir)
+    val q1 = pipeline.start(CdcPipeline.fileEventStream(spark, feedDir), ckpt,
+      Trigger.ProcessingTime("1 second"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(store.read("appointments").count() == 172)
+
+    // events keep arriving while the pipeline is down
+    spark.createDataset(phase2).coalesce(1).write.mode("append").json(feedDir)
+
+    // resume from the SAME checkpoint
+    val q2 = pipeline.start(CdcPipeline.fileEventStream(spark, feedDir), ckpt,
+      Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+
+    // reference state: the same events applied through the batch path
+    val refStore = new TableStore(spark,
+      Files.createTempDirectory("graft-cdc-restart-ref").toString)
+    val refPipeline = new CdcPipeline(spark, refStore, HealthcareSchema.all,
+      HealthcareSchema.keyColumns, clock)
+    refPipeline.loadSnapshot(HealthcareFixtures.all(spark))
+    refPipeline.applyEventBatch(spark.createDataset(phase1))
+    refPipeline.applyEventBatch(spark.createDataset(phase2))
+
+    for (t <- Seq("appointments", "visits")) {
+      val got = store.read(t).collect().map(_.toString).sorted
+      val want = refStore.read(t).collect().map(_.toString).sorted
+      assert(got.sameElements(want), s"$t state after restart != batch-applied reference")
+    }
+    // exactly-once: phase-1 events were NOT re-journaled on resume
+    assert(store.readJournal("appointments").count() == 5)
+    assert(store.readJournal("visits").count() == 1)
+  }
 }

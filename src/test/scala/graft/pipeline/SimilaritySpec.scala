@@ -63,9 +63,11 @@ class SimilaritySpec extends SparkSpec {
     val lsh = pairs("q_dedup_embedding_lsh")
     assert(exact.nonEmpty)
     assert(lsh.subsetOf(exact), "LSH pairs must be exact-verified (no false positives)")
-    // deterministic hyperplanes → stable recall; 8 bands × 4 bits gives
-    // ~0.76+ expected recall at this corpus's τ=0.42 similarity band
-    assert(lsh.size * 10 >= exact.size * 6, s"recall ${lsh.size}/${exact.size}")
+    // deterministic hyperplanes → stable recall; 10 bands × 3 bits gives
+    // ~0.95 expected recall at this corpus's τ=0.42 similarity band
+    val recall = lsh.size.toDouble / exact.size
+    info(f"embedding near-dup LSH recall = $recall%.3f (${lsh.size}/${exact.size})")
+    assert(recall >= 0.9, s"recall ${lsh.size}/${exact.size}")
   }
 
   test("codegen FloatVectorDot is bit-identical to the declarative HOF dot") {
