@@ -55,12 +55,33 @@ object DedupQueries {
   /** Exact near-dup pairs (Jaccard ≥ minJ) for any (doc_id, text) frame —
     * the inverted-index plan shared by q_dedup_ngram_jaccard and the corpus
     * cleaning pipeline.
+    *
+    * Two exactness-preserving prunes make the self-join scale:
+    *
+    *  - df-prune: a shingle appearing in exactly ONE document cannot
+    *    contribute to any pair, so singleton postings are dropped before
+    *    the join. On natural corpora most shingles are singletons, so this
+    *    shrinks both join inputs by far more than the window-count costs
+    *    (one extra aggregate on the already-shuffled-by-shingle side).
+    *  - size-ratio prune inside the join condition: Jaccard ≥ minJ forces
+    *    min(|A|,|B|) ≥ minJ·max(|A|,|B|) (intersection ≤ smaller set, union
+    *    ≥ larger set), so wildly different-sized docs never reach the
+    *    pair-count aggregate.
+    *
+    * Pair sizes (n_a/n_b) still come from the UNPRUNED postings — the
+    * Jaccard denominator must count singleton shingles.
     */
   def nearDupPairs(docs: DataFrame, minJ: Double): DataFrame = {
     val sh = shinglePostings(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    val shared = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") > 1)
+      .drop("df")
+      .join(sizes, "doc_id") // carry |doc| into the join for the ratio prune
+    val pairs = shared.as("a").join(shared.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) >= lit(minJ) * greatest(col("a.n"), col("b.n")))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     pairs

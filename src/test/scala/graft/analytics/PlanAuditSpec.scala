@@ -68,4 +68,47 @@ class PlanAuditSpec extends SparkSpec {
     // range exchange — anything beyond that means a redundant shuffle
     assert(exchanges <= 2, df.queryExecution.sparkPlan.toString)
   }
+
+  // ---- healthcare (reference-suite) plans over the materialized parquet ----
+
+  test("healthcare dimension joins broadcast (patients/doctors are dims)") {
+    val sched = planOf("hc_todays_schedule")
+    assert(sched.contains("BroadcastHashJoin"), sched)
+    assert(!sched.contains("SortMergeJoin"), "3-way dim join must not sort-merge")
+    val util = planOf("hc_doctor_utilization_today")
+    assert(util.contains("BroadcastHashJoin"), util)
+  }
+
+  test("healthcare date filters push into the materialized parquet scan") {
+    // appointment_date is a DATE column in the fixture parquet: the 30-day
+    // range must reach the scan as min/max-prunable pushed filters. Read
+    // scan metadata directly — the plan STRING truncates long filter lists.
+    val df = graft.SparkEntry.queries("hc_completion_rate_30d")(spark, sf())
+    val pushed = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.mkString(" ")
+    assert(pushed.contains("GreaterThanOrEqual(appointment_date"), pushed)
+    assert(pushed.contains("LessThanOrEqual(appointment_date"), pushed)
+    // soft-delete flag prunes at the scan too
+    assert(pushed.contains("_snowflake_deleted"), pushed)
+  }
+
+  test("healthcare scans prune to the queried columns") {
+    val p = planOf("hc_status_distribution")
+    // only status / appointment_time / _snowflake_deleted are needed
+    assert(!p.contains("reason_for_visit"), p)
+    assert(!p.contains("created_at"), p)
+  }
+
+  test("ngram near-dup: the pair join keys on the shingle, never cross-joins") {
+    val df = graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf())
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the pair join is an EQUI-join keyed on the shingle (broadcast at this
+    // tiny SF; hash-partitioned by sh at scale — never a nested loop)
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[sh#".r
+      .findFirstIn(p).isDefined, p)
+  }
 }

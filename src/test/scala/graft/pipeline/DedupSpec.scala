@@ -30,6 +30,28 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
   }
 
+  test("df-prune + size-ratio prune preserve the exact near-dup pair set") {
+    // naive formulation: plain inverted-index join, no prunes — the pruned
+    // production plan must return identical rows (values included)
+    val docs = graft.analytics.Tables.documents(spark, sf())
+    val sh = DedupQueries.shinglePostings(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val naive = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "n_a", "n_b", "n_inter", "jaccard")
+      .collect().map(_.toString).sorted
+    val pruned = DedupQueries.nearDupPairs(docs, minJ = 0.8)
+      .collect().map(_.toString).sorted
+    assert(pruned.sameElements(naive))
+  }
+
   test("SimHash: hamming distance tracks document similarity") {
     // simhash stability grows with document length; use realistic sizes
     // (one substitution in 60 tokens) rather than 10-token toys
