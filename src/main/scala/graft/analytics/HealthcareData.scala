@@ -79,6 +79,18 @@ object HealthcareData {
       spark.read.parquet(s"$Root/visits_live"))
   }
 
+  /** Post-live-demo tables from the BUCKETED copy-on-write store — the same
+    * event batches merged partition-scoped instead of whole-table. Queries
+    * over these reuse the flat-path oracles, giving a three-way check:
+    * bucketed merge ≡ whole-table merge ≡ DuckDB expectation.
+    */
+  def bucketedLiveTables(spark: SparkSession): HealthcareTables = {
+    ensure(spark)
+    val s = new BucketedTableStore(spark, s"$Root/bucketed", nBuckets = 16)
+    HealthcareTables(s.read("patients"), s.read("doctors"),
+      s.read("appointments"), s.read("visits"))
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
@@ -120,10 +132,14 @@ object HealthcareData {
         "status" -> status, "reason_for_visit" -> reason, "appointment_type" -> "urgent",
         "created_at" -> createdAt, "updated_at" -> clock))
     // `events` is by-name: the batch clock must be set BEFORE the event
-    // constructors read it for created_at/updated_at/commitTs
+    // constructors read it for created_at/updated_at/commitTs. Each batch is
+    // also recorded for the bucketed-store replay below.
+    val recorded = scala.collection.mutable.ListBuffer.empty[(String, Seq[CdcEvent])]
     def applyBatch(at: String)(events: => Seq[CdcEvent]): Unit = {
       clock = at
-      pipeline.applyEventBatch(spark.createDataset(events))
+      val evs = events
+      recorded += ((at, evs))
+      pipeline.applyEventBatch(spark.createDataset(evs))
     }
 
     // 8:00 AM — three patients book new appointments (script lines 39-42)
@@ -193,5 +209,26 @@ object HealthcareData {
     write(store.read("appointments"), "appointments_live")
     write(store.read("visits"), "visits_live")
     write(store.read("doctors"), "doctors_live")
+
+    // ---- state 3: the SAME demo through the bucketed copy-on-write store
+    // (partition-scoped merges; hc_cdc_bucketed_scenario reuses the flat
+    // path's oracle, so the two merge implementations cross-check) ----
+    val bStore = new BucketedTableStore(spark, s"$Root/bucketed", nBuckets = 16)
+    HealthcareFixtures.all(spark, Now).foreach { case (t, df) =>
+      clock = s"$Now 00:00:00"
+      bStore.commitSnapshot(t, CdcApplier.snapshot(df, lit(clock).cast("timestamp_ntz")),
+        HealthcareSchema.keyColumns(t))
+    }
+    recorded.foreach { case (at, evs) =>
+      clock = at
+      evs.groupBy(_.table).foreach { case (t, tEvs) =>
+        val typedEvs = spark.createDataset(tEvs).toDF().select(
+          Seq(col("op"), col("lsn"), col("commitTs"), col("key")) ++
+            CdcApplier.afterImageColumns(HealthcareSchema.all(t),
+              HealthcareSchema.keyColumns(t)): _*)
+        bStore.mergeBatch(t, typedEvs, HealthcareSchema.keyColumns(t),
+          lit(at).cast("timestamp_ntz"))
+      }
+    }
   }
 }

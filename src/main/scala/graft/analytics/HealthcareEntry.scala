@@ -386,6 +386,29 @@ object HealthcareEntry {
          |ORDER BY table_name""".stripMargin
     })((s, _) => HealthcareQueries.changeVolume(live(s))),
 
+    /** Same final check over the BUCKETED copy-on-write store: the demo's
+      * batches merged partition-scoped ([[graft.cdc.BucketedTableStore]]).
+      * The oracle reads the flat-path parquet, so a green row proves the
+      * bucketed merge and the whole-table merge converge to the same state
+      * AND match the independent DuckDB expectation.
+      */
+    QueryDef(
+      "hc_cdc_bucketed_scenario", {
+      def vol(name: String, t: String) =
+        s"""SELECT '$name' AS table_name, COUNT(*) AS total_rows,
+           |       CAST(SUM(CASE WHEN _snowflake_updated_at IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS updated_rows,
+           |       CAST(SUM(CASE WHEN _snowflake_deleted THEN 1 ELSE 0 END) AS BIGINT) AS deleted_rows
+           |FROM $t""".stripMargin
+      s"""${vol("appointments", AL)}
+         |UNION ALL
+         |${vol("patients", P)}
+         |UNION ALL
+         |${vol("doctors", DL)}
+         |UNION ALL
+         |${vol("visits", VL)}
+         |ORDER BY table_name""".stripMargin
+    })((s, _) => HealthcareQueries.changeVolume(HealthcareData.bucketedLiveTables(s))),
+
     // ---- category 8: executive KPIs ----
     QueryDef(
       "hc_executive_summary",

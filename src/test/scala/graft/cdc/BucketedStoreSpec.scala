@@ -1,0 +1,125 @@
+package graft.cdc
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.SparkSpec
+import graft.fixtures.HealthcareFixtures
+import graft.model.HealthcareSchema
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The partition-scoped merge must be OBSERVABLY identical to the
+  * whole-table merge (same CdcApplier kernel, different write scope), while
+  * actually rewriting only the buckets a batch touches.
+  */
+class BucketedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val clock = () => lit("2025-01-15 08:00:00").cast("timestamp_ntz")
+
+  private def apptEvent(op: String, lsn: Long, id: Long, status: String): CdcEvent =
+    CdcEvent("appointments", op, lsn, Timestamp.valueOf("2025-01-15 08:00:00"), id,
+      if (op == CdcOp.Delete) Map.empty
+      else Map(
+        "patient_id" -> (id % 100 + 1).toString,
+        "doctor_id" -> (id % 10 + 1).toString,
+        "appointment_date" -> "2025-01-15",
+        "appointment_time" -> "08:00:00",
+        "status" -> status,
+        "reason_for_visit" -> "Walk-in",
+        "appointment_type" -> "urgent",
+        "created_at" -> "2025-01-15 07:00:00",
+        "updated_at" -> "2025-01-15 07:00:00"))
+
+  private def typed(evs: Seq[CdcEvent]): DataFrame =
+    spark.createDataset(evs).toDF().select(
+      Seq(col("op"), col("lsn"), col("commitTs"), col("key")) ++
+        CdcApplier.afterImageColumns(HealthcareSchema.all("appointments"), "appointment_id"): _*)
+
+  private def stateOf(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("bucketed merge state == whole-table merge state, batch by batch") {
+    val snap = CdcApplier.snapshot(HealthcareFixtures.appointments(spark), clock())
+    val flat = new TableStore(spark, Files.createTempDirectory("bs-flat").toString, 1)
+    val bucketed = new BucketedTableStore(spark,
+      Files.createTempDirectory("bs-buck").toString, nBuckets = 16)
+    flat.commit("appointments", snap)
+    bucketed.commitSnapshot("appointments", snap, "appointment_id")
+    assert(stateOf(bucketed.read("appointments")) == stateOf(flat.read("appointments")))
+
+    val batches = Seq(
+      Seq(apptEvent(CdcOp.Insert, 101, 201, "scheduled"),
+        apptEvent(CdcOp.Insert, 102, 202, "scheduled")),
+      Seq(apptEvent(CdcOp.Update, 103, 201, "completed"),
+        apptEvent(CdcOp.Delete, 104, 1, null)),
+      Seq(apptEvent(CdcOp.Update, 105, 202, "cancelled")))
+    batches.foreach { evs =>
+      val t = typed(evs)
+      flat.commit("appointments",
+        CdcApplier.applyBatch(flat.read("appointments"), t, "appointment_id", clock()))
+      bucketed.mergeBatch("appointments", t, "appointment_id", clock())
+      assert(stateOf(bucketed.read("appointments")) == stateOf(flat.read("appointments")))
+    }
+  }
+
+  test("merge rewrites only touched buckets; the rest carry forward by reference") {
+    val store = new BucketedTableStore(spark,
+      Files.createTempDirectory("bs-cow").toString, nBuckets = 16)
+    val snap = CdcApplier.snapshot(HealthcareFixtures.appointments(spark), clock())
+    store.commitSnapshot("appointments", snap, "appointment_id")
+    val before = store.manifest("appointments")
+
+    // one batch touching exactly 2 keys → at most 2 buckets
+    store.mergeBatch("appointments",
+      typed(Seq(
+        apptEvent(CdcOp.Update, 201, 5, "completed"),
+        apptEvent(CdcOp.Insert, 202, 300, "scheduled"))),
+      "appointment_id", clock())
+    val after = store.manifest("appointments")
+
+    val changed = after.filter { case (b, v) => before.get(b) != Some(v) }
+    assert(changed.size <= 2, s"batch with 2 keys rewrote ${changed.size} buckets")
+    assert(changed.nonEmpty)
+    // untouched buckets: same version entry = same immutable files
+    (before.keySet -- changed.keySet).foreach { b =>
+      assert(after(b) == before(b), s"untouched bucket $b was rewritten")
+    }
+    // state still correct
+    val appts = store.read("appointments")
+    assert(appts.count() == 171)
+    assert(appts.filter($"appointment_id" === 5 && $"status" === "completed").count() == 1)
+  }
+
+  test("inserts landing in previously-empty buckets create them") {
+    val store = new BucketedTableStore(spark,
+      Files.createTempDirectory("bs-empty").toString, nBuckets = 64)
+    // 3-row snapshot over 64 buckets: most buckets empty
+    val snap = CdcApplier.snapshot(
+      HealthcareFixtures.appointments(spark).filter($"appointment_id" <= 3), clock())
+    store.commitSnapshot("appointments", snap, "appointment_id")
+    val nStart = store.manifest("appointments").size
+    assert(nStart <= 3)
+
+    val inserts = (1000L until 1020L).zipWithIndex.map { case (id, i) =>
+      apptEvent(CdcOp.Insert, 300 + i, id, "scheduled")
+    }
+    store.mergeBatch("appointments", typed(inserts), "appointment_id", clock())
+    assert(store.read("appointments").count() == 23)
+    assert(store.manifest("appointments").size > nStart)
+  }
+
+  test("merge retry is idempotent (lsn high-water mark)") {
+    val store = new BucketedTableStore(spark,
+      Files.createTempDirectory("bs-retry").toString, nBuckets = 16)
+    val snap = CdcApplier.snapshot(HealthcareFixtures.appointments(spark), clock())
+    store.commitSnapshot("appointments", snap, "appointment_id")
+    val batch = typed(Seq(
+      apptEvent(CdcOp.Update, 401, 7, "completed"),
+      apptEvent(CdcOp.Delete, 402, 8, null)))
+    store.mergeBatch("appointments", batch, "appointment_id", clock())
+    val first = stateOf(store.read("appointments"))
+    store.mergeBatch("appointments", batch, "appointment_id", clock()) // retry
+    assert(stateOf(store.read("appointments")) == first)
+  }
+}
