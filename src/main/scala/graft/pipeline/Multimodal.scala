@@ -31,6 +31,32 @@ object Multimodal {
     def sampleFeatures(bytes: Array[Byte], k: Int): Array[Float] =
       if (bytes.isEmpty) Array.fill(k)(0f)
       else Array.tabulate(k)(i => bytes(((i.toLong * bytes.length) / k).toInt & Int.MaxValue).toFloat)
+
+    /** Pretend decode: (width, height) read deterministically from the blob
+      * header — stands in for an image decoder's dimension probe.
+      */
+    def decodeDims(bytes: Array[Byte]): (Int, Int) =
+      if (bytes.length < 2) (0, 0)
+      else (64 + (bytes(0) & 0x3F), 64 + (bytes(1) & 0x3F))
+
+    /** Pretend resize: re-sample the blob to exactly `w*h` bytes (nearest-
+      * neighbor over the byte stream) — stands in for a thumbnail op. The
+      * contract production code must keep: output size depends only on
+      * (w, h), never on the input size.
+      */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      if (bytes.isEmpty) Array.fill(w * h)(0.toByte)
+      else Array.tabulate(w * h)(i => bytes(((i.toLong * bytes.length) / (w * h)).toInt & Int.MaxValue))
+
+    /** Pretend video frame-sample: n evenly spaced "frames", each a k-dim
+      * feature slice of its region of the stream.
+      */
+    def sampleFrames(bytes: Array[Byte], nFrames: Int, k: Int): Array[Array[Float]] =
+      Array.tabulate(nFrames) { f =>
+        val start = ((f.toLong * bytes.length) / nFrames).toInt
+        val end = (((f + 1).toLong * bytes.length) / nFrames).toInt
+        sampleFeatures(java.util.Arrays.copyOfRange(bytes, start, math.max(start, end)), k)
+      }
   }
 
   /** Attach metadata to a blob column — pure codegen'd expressions. */
@@ -58,6 +84,38 @@ object Multimodal {
           case null => Array.empty[Byte]
         }
         Row.fromSeq(r.toSeq :+ StubCodec.sampleFeatures(bytes, dim).toSeq)
+      }
+    }
+  }
+
+  /** Decode + resize + frame-sample in ONE partition pass: the full media
+    * pipeline shape. One `mapPartitions` traversal adds (width, height),
+    * a fixed-size thumbnail, and `nFrames`×`dim` frame features — the codec
+    * is initialized once per partition and every output column is computed
+    * from a single decode of each blob (production decoders are the
+    * expensive step; decoding once per derived column would be the bug).
+    */
+  def processMedia(df: DataFrame, blobCol: String, thumbW: Int, thumbH: Int,
+      nFrames: Int, dim: Int): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema
+      .add(StructField("width", IntegerType, nullable = false))
+      .add(StructField("height", IntegerType, nullable = false))
+      .add(StructField("thumbnail", BinaryType, nullable = false))
+      .add(StructField("frames", ArrayType(ArrayType(FloatType)), nullable = false))
+    val blobIdx = inSchema.fieldIndex(blobCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      // per-partition codec init goes here (once, not per row)
+      rows.map { r =>
+        val bytes = r.get(blobIdx) match {
+          case b: Array[Byte] => b
+          case null => Array.empty[Byte]
+        }
+        val (w, h) = StubCodec.decodeDims(bytes)
+        Row.fromSeq(r.toSeq ++ Seq(w, h,
+          StubCodec.resize(bytes, thumbW, thumbH),
+          StubCodec.sampleFrames(bytes, nFrames, dim).map(_.toSeq).toSeq))
       }
     }
   }

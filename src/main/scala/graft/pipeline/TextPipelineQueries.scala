@@ -45,6 +45,30 @@ object TextPipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ----- BPE-ish token counting (GPT-2-style pretokenizer regex) -----
+    // The regex uses only alternation + character classes (no lookaround),
+    // so Java regex (Spark) and RE2 (DuckDB) produce identical leftmost
+    // non-overlapping matches — which is what makes this oracle-able.
+    QueryDef(
+      "q_token_bpe",
+      s"""SELECT doc_id,
+         |       len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+')) AS n_bpe_tokens,
+         |       len($toksSql) AS n_ws_tokens,
+         |       CAST(length(text) AS DOUBLE) / NULLIF(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+')), 0) AS chars_per_token
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val bpePattern = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+"
+      val bpe = regexp_extract_all(col("text"), lit(bpePattern), lit(0))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(bpe).as("n_bpe_tokens"),
+          size(tokens(col("text"))).as("n_ws_tokens"),
+          (length(col("text")).cast("double") /
+            nullif(size(bpe).cast("double"), lit(0.0))).as("chars_per_token"))
+        .orderBy("doc_id")
+    },
+
     // ----- Exact dedup: hash-groupBy on content digest -----
     QueryDef(
       "q_dedup_exact",

@@ -32,6 +32,26 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).getSeq[Float](2) == Seq(0f, 0f, 0f, 0f)) // empty blob guarded
   }
 
+  test("processMedia: decode + resize + frame-sample in one partition pass") {
+    val df = Seq(
+      (1L, Array.tabulate(100)(_.toByte)),
+      (2L, Array.empty[Byte])).toDF("id", "blob")
+    val out = Multimodal.processMedia(df, "blob", thumbW = 4, thumbH = 4,
+      nFrames = 3, dim = 2)
+    assert(out.columns.toSeq == Seq("id", "blob", "width", "height", "thumbnail", "frames"))
+    val rows = out.orderBy("id").collect()
+    // decode: dims from the header bytes (0x00, 0x01 → 64+0, 64+1)
+    assert(rows(0).getInt(2) == 64 && rows(0).getInt(3) == 65)
+    // resize contract: output size depends only on (w, h)
+    assert(rows(0).getAs[Array[Byte]]("thumbnail").length == 16)
+    assert(rows(1).getAs[Array[Byte]]("thumbnail").length == 16) // empty blob too
+    // frame-sample: nFrames frames of dim features each
+    val frames = rows(0).getSeq[scala.collection.Seq[Float]](5).map(_.toList)
+    assert(frames.size == 3 && frames.forall(_.size == 2))
+    // frames come from distinct regions of the stream
+    assert(frames.distinct.size == 3)
+  }
+
   test("feature extraction composes with the metadata stamp end-to-end") {
     val blobs = graft.analytics.Tables.documents(spark, sf())
       .limit(20)
