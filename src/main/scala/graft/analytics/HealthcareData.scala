@@ -211,24 +211,18 @@ object HealthcareData {
     write(store.read("doctors"), "doctors_live")
 
     // ---- state 3: the SAME demo through the bucketed copy-on-write store
-    // (partition-scoped merges; hc_cdc_bucketed_scenario reuses the flat
-    // path's oracle, so the two merge implementations cross-check) ----
+    // (partition-scoped merges via the destination-agnostic pipeline;
+    // hc_cdc_bucketed_scenario reuses the flat path's oracle, so the two
+    // merge implementations cross-check) ----
     val bStore = new BucketedTableStore(spark, s"$Root/bucketed", nBuckets = 16)
-    HealthcareFixtures.all(spark, Now).foreach { case (t, df) =>
-      clock = s"$Now 00:00:00"
-      bStore.commitSnapshot(t, CdcApplier.snapshot(df, lit(clock).cast("timestamp_ntz")),
-        HealthcareSchema.keyColumns(t))
-    }
+    val bPipeline = new CdcPipeline(spark, bStore, HealthcareSchema.all,
+      HealthcareSchema.keyColumns,
+      clock = () => lit(clock).cast("timestamp_ntz"))
+    clock = s"$Now 00:00:00"
+    bPipeline.loadSnapshot(HealthcareFixtures.all(spark, Now))
     recorded.foreach { case (at, evs) =>
       clock = at
-      evs.groupBy(_.table).foreach { case (t, tEvs) =>
-        val typedEvs = spark.createDataset(tEvs).toDF().select(
-          Seq(col("op"), col("lsn"), col("commitTs"), col("key")) ++
-            CdcApplier.afterImageColumns(HealthcareSchema.all(t),
-              HealthcareSchema.keyColumns(t)): _*)
-        bStore.mergeBatch(t, typedEvs, HealthcareSchema.keyColumns(t),
-          lit(at).cast("timestamp_ntz"))
-      }
+      bPipeline.applyEventBatch(spark.createDataset(evs))
     }
   }
 }

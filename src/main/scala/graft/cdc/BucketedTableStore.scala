@@ -42,7 +42,8 @@ import org.apache.spark.sql.functions._
   * manifest (and all files it references) intact.
   */
 final class BucketedTableStore(
-    spark: SparkSession, root: String, nBuckets: Int = 64) {
+    spark: SparkSession, root: String, nBuckets: Int = 64)
+    extends CdcDestination {
 
   require(nBuckets > 0)
 
@@ -76,7 +77,7 @@ final class BucketedTableStore(
     m.toSeq.sorted.map { case (b, v) => bucketPath(table, b, v) }
 
   /** Current snapshot: union of every bucket's current version. */
-  def read(table: String): DataFrame = {
+  override def read(table: String): DataFrame = {
     val paths = pathsFor(table, manifest(table))
     if (paths.isEmpty) emptyLike(table)
     else spark.read.parquet(paths: _*)
@@ -141,7 +142,7 @@ final class BucketedTableStore(
   }
 
   /** Full-table commit (initial snapshot): every row bucketed and written. */
-  def commitSnapshot(table: String, df: DataFrame, keyCol: String): Long = {
+  override def commitSnapshot(table: String, df: DataFrame, keyCol: String): Long = {
     val written = writeBuckets(table, df, keyCol, Map.empty)
     commitManifest(table, written)
   }
@@ -149,7 +150,7 @@ final class BucketedTableStore(
   /** Partition-scoped merge: apply one table's typed event batch (op, lsn,
     * commitTs, key + data columns) rewriting ONLY the touched buckets.
     */
-  def mergeBatch(table: String, events: DataFrame, keyCol: String,
+  override def mergeBatch(table: String, events: DataFrame, keyCol: String,
       applyTs: Column): Long = {
     // bounded collect: ≤ nBuckets ints, derived from keys — never row data
     val touched = events.select(bucketOf(col("key")).cast("int").as("b"))
@@ -161,5 +162,43 @@ final class BucketedTableStore(
       prev.view.filterKeys(touched).toMap)
     // untouched buckets carry forward by reference — files untouched
     commitManifest(table, prev ++ written)
+  }
+
+  /** Append-only journal sink (reference S5), same layout as TableStore. */
+  override def appendJournal(table: String, events: DataFrame): Unit =
+    events.write.mode(SaveMode.Append)
+      .parquet(Paths.get(root, s"${table}_journal").toString)
+
+  override def readJournal(table: String): DataFrame =
+    spark.read.parquet(Paths.get(root, s"${table}_journal").toString)
+
+  /** Retention: delete bucket versions older than each bucket's current one
+    * (and stale manifests), keeping `keepVersions` per bucket for time
+    * travel. Safe because readers resolve through the manifest pointer and
+    * only current-or-newer versions are ever referenced.
+    */
+  def vacuum(table: String, keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1)
+    val current = manifest(table)
+    current.foreach { case (b, v) =>
+      val bDir = tableDir(table).resolve(s"b$b")
+      Files.list(bDir).iterator().asScala
+        .filter { p =>
+          val name = p.getFileName.toString
+          name.startsWith("v") && name.stripPrefix("v").toLong <= v - keepVersions
+        }
+        .toList
+        .foreach { dir =>
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.delete(f))
+        }
+    }
+    val cur = currentManifest(table).get
+    Files.list(tableDir(table)).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("m") && n.stripPrefix("m").forall(_.isDigit) && n.stripPrefix("m").toLong < cur
+      }
+      .toList.foreach(Files.delete)
   }
 }

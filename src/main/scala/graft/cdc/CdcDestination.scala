@@ -1,0 +1,32 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Destination-side contract of the CDC pipeline: snapshot commit,
+  * micro-batch merge, journal. Two implementations ship —
+  * [[TableStore]] (whole-table copy-on-write: simple, right for small/demo
+  * tables) and [[BucketedTableStore]] (bucket-partitioned copy-on-write:
+  * rewrites only the key buckets a batch touches — the 100 TB path). The
+  * streaming pipeline ([[CdcPipeline]]) is destination-agnostic; swapping
+  * the store changes write amplification, never semantics, which
+  * BucketedStoreSpec proves batch-by-batch.
+  */
+trait CdcDestination {
+
+  /** Current queryable state of a table. */
+  def read(table: String): DataFrame
+
+  /** Initial full-table commit (post-[[CdcApplier.snapshot]] frame). */
+  def commitSnapshot(table: String, df: DataFrame, keyCol: String): Long
+
+  /** Merge one table's typed event batch (op, lsn, commitTs, key + data
+    * columns) into the destination via [[CdcApplier.applyBatch]].
+    */
+  def mergeBatch(table: String, events: DataFrame, keyCol: String,
+      applyTs: Column): Long
+
+  /** Append raw events to the table's journal (reference S5). */
+  def appendJournal(table: String, events: DataFrame): Unit
+
+  def readJournal(table: String): DataFrame
+}

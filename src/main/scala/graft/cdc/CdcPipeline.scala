@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.StructType
   */
 final class CdcPipeline(
     spark: SparkSession,
-    store: TableStore,
+    dest: CdcDestination,
     schemas: Map[String, StructType], // destination DATA schema per table (incl. key)
     keyCols: Map[String, String],
     clock: () => Column = () => current_timestamp()) {
@@ -28,7 +28,7 @@ final class CdcPipeline(
     */
   def loadSnapshot(sources: Map[String, DataFrame]): Unit =
     sources.foreach { case (table, df) =>
-      store.commit(table, CdcApplier.snapshot(df, clock()))
+      dest.commitSnapshot(table, CdcApplier.snapshot(df, clock()), keyCols(table))
     }
 
   /** Apply one micro-batch of raw events (all tables mixed, commit order by
@@ -44,12 +44,11 @@ final class CdcPipeline(
         val schema = schemas(t)
         val keyCol = keyCols(t)
         val tEvents = raw.filter(col("table") === t)
-        store.appendJournal(t, tEvents.withColumn("after", to_json(col("after"))))
+        dest.appendJournal(t, tEvents.withColumn("after", to_json(col("after"))))
         val typed = tEvents.select(
           Seq(col("op"), col("lsn"), col("commitTs"), col("key")) ++
             CdcApplier.afterImageColumns(schema, keyCol): _*)
-        val merged = CdcApplier.applyBatch(store.read(t), typed, keyCol, clock())
-        store.commit(t, merged)
+        dest.mergeBatch(t, typed, keyCol, clock())
       }
     } finally raw.unpersist()
   }

@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * At scale, version directories also give time travel and safe concurrent
   * readers for free; vacuuming old versions is the retention knob.
   */
-final class TableStore(spark: SparkSession, root: String, outputFiles: Int = 0) {
+final class TableStore(spark: SparkSession, root: String, outputFiles: Int = 0)
+    extends CdcDestination {
 
   private def ptr(table: String) = Paths.get(root, table, "_CURRENT")
 
@@ -26,11 +27,19 @@ final class TableStore(spark: SparkSession, root: String, outputFiles: Int = 0) 
 
   def exists(table: String): Boolean = currentVersion(table).isDefined
 
-  def read(table: String): DataFrame = {
+  override def read(table: String): DataFrame = {
     val v = currentVersion(table).getOrElse(
       throw new IllegalStateException(s"table $table has no committed version under $root"))
     spark.read.parquet(Paths.get(root, table, s"v$v").toString)
   }
+
+  override def commitSnapshot(table: String, df: DataFrame, keyCol: String): Long =
+    commit(table, df)
+
+  /** Whole-table merge: read → applyBatch → commit a full new version. */
+  override def mergeBatch(table: String, events: DataFrame, keyCol: String,
+      applyTs: org.apache.spark.sql.Column): Long =
+    commit(table, CdcApplier.applyBatch(read(table), events, keyCol, applyTs))
 
   /** Write df as the next version of `table` and commit the pointer swap.
     * `outputFiles > 0` coalesces the write — the file-count knob for small
@@ -51,10 +60,10 @@ final class TableStore(spark: SparkSession, root: String, outputFiles: Int = 0) 
   }
 
   /** Append-only journal sink (reference S5): every raw CDC event is kept. */
-  def appendJournal(table: String, events: DataFrame): Unit =
+  override def appendJournal(table: String, events: DataFrame): Unit =
     events.write.mode(SaveMode.Append)
       .parquet(Paths.get(root, s"${table}_journal").toString)
 
-  def readJournal(table: String): DataFrame =
+  override def readJournal(table: String): DataFrame =
     spark.read.parquet(Paths.get(root, s"${table}_journal").toString)
 }

@@ -2,6 +2,7 @@ package graft.cdc
 
 import java.nio.file.Files
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 import graft.SparkSpec
 import graft.fixtures.HealthcareFixtures
 import graft.model.HealthcareSchema
@@ -107,6 +108,52 @@ class BucketedStoreSpec extends SparkSpec {
     store.mergeBatch("appointments", typed(inserts), "appointment_id", clock())
     assert(store.read("appointments").count() == 23)
     assert(store.manifest("appointments").size > nStart)
+  }
+
+  test("streaming pipeline runs unchanged against the bucketed destination") {
+    val feedDir = Files.createTempDirectory("bs-feed").toString
+    val store = new BucketedTableStore(spark,
+      Files.createTempDirectory("bs-stream").toString, nBuckets = 16)
+    val pipeline = new CdcPipeline(spark, store, HealthcareSchema.all,
+      HealthcareSchema.keyColumns, clock)
+    pipeline.loadSnapshot(Map("appointments" -> HealthcareFixtures.appointments(spark)))
+    val evs = Seq(
+      apptEvent(CdcOp.Insert, 501, 600, "scheduled"),
+      apptEvent(CdcOp.Update, 502, 600, "completed"),
+      apptEvent(CdcOp.Delete, 503, 9, null))
+    spark.createDataset(evs).write.mode("overwrite").json(feedDir)
+    val q = pipeline.start(CdcPipeline.fileEventStream(spark, feedDir),
+      Files.createTempDirectory("bs-ckpt").toString,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val appts = store.read("appointments")
+    assert(appts.count() == 171)
+    assert(appts.filter($"appointment_id" === 600 && $"status" === "completed").count() == 1)
+    assert(appts.filter($"appointment_id" === 9 && col(CdcApplier.MetaDeleted)).count() == 1)
+    assert(store.readJournal("appointments").count() == 3)
+  }
+
+  test("vacuum drops superseded bucket versions, current state unchanged") {
+    val store = new BucketedTableStore(spark,
+      Files.createTempDirectory("bs-vac").toString, nBuckets = 16)
+    val snap = CdcApplier.snapshot(HealthcareFixtures.appointments(spark), clock())
+    store.commitSnapshot("appointments", snap, "appointment_id")
+    store.mergeBatch("appointments",
+      typed(Seq(apptEvent(CdcOp.Update, 601, 10, "completed"))), "appointment_id", clock())
+    store.mergeBatch("appointments",
+      typed(Seq(apptEvent(CdcOp.Update, 602, 10, "cancelled"))), "appointment_id", clock())
+    val before = stateOf(store.read("appointments"))
+    store.vacuum("appointments")
+    assert(stateOf(store.read("appointments")) == before)
+    // the twice-rewritten bucket keeps only its current version dir
+    val m = store.manifest("appointments")
+    val (b, v) = m.maxBy(_._2)
+    assert(v == 2)
+    val root = store.read("appointments").inputFiles.head
+      .replaceAll("/b\\d+/v\\d+/.*$", "")
+    val dirs = Files.list(java.nio.file.Paths.get(root.stripPrefix("file:"), s"b$b"))
+      .iterator()
+    assert(dirs.asScala.map(_.getFileName.toString).toSet == Set(s"v$v"))
   }
 
   test("merge retry is idempotent (lsn high-water mark)") {
