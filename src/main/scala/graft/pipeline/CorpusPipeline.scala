@@ -41,7 +41,12 @@ object CorpusPipeline {
     val qualityOk = col("n_tokens") >= p.minTokens &&
       col("mean_token_len") <= p.maxMeanTokenLen
 
-    // exact dedup: lowest doc_id per digest survives
+    // exact dedup: lowest doc_id per digest survives.
+    // This stage feeds several consumers (shingle postings via the pair
+    // self-join, sizes, document frequencies, the final flag join); it is
+    // deliberately left LAZY — measured at sf0.1, persist()ing it costs
+    // more in materialization than the map-side recompute saves, and
+    // Spark's ReuseExchange already dedupes the identical shuffle subtrees.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("digest").orderBy("doc_id")
     val withExact = stats
