@@ -68,6 +68,26 @@ object StreamOps {
         col("s.end").as("session_end"), col("n_events"), col("session_value"))
   }
 
+  /** Streaming ingest dedup: drop documents whose content digest was already
+    * seen, with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`) — the streaming face of
+    * [[graft.pipeline.TextPipelineQueries]]'s exact dedup. Duplicates of a
+    * row arriving within `lateness` of it are dropped even across
+    * micro-batches; digest state older than the watermark is evicted, so
+    * state size tracks the dedup horizon, not the stream's lifetime. In
+    * batch mode it degrades to plain dropDuplicates (exact, oracle-able).
+    */
+  def dedupByDigest(docs: DataFrame, tsCol: String, contentCol: String,
+      lateness: String = "10 minutes"): DataFrame = {
+    val withDigest = docs.withColumn("_digest", md5(col(contentCol)))
+    val out =
+      if (docs.isStreaming)
+        withDigest.withWatermark(tsCol, lateness)
+          .dropDuplicatesWithinWatermark("_digest")
+      else withDigest.dropDuplicates("_digest")
+    out.drop("_digest")
+  }
+
   // ----- custom state: running per-user aggregates with anomaly flags -----
 
   case class UserEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)

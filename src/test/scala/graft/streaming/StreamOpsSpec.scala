@@ -41,6 +41,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops same-digest docs across micro-batches, state watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = StreamOps.dedupByDigest(docs, "ts", "text", lateness = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "alpha beta"),
+        (2L, ts("2024-01-01 10:01:00"), "alpha beta"), // same batch dup
+        (3L, ts("2024-01-01 10:02:00"), "gamma"))
+      query.processAllAvailable()
+      // cross-batch dup within the watermark horizon
+      input.addData((4L, ts("2024-01-01 10:30:00"), "alpha beta"))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L), s"got $ids")
+    } finally query.stop()
+
+    // batch mode: plain exact dedup, same operator
+    val batch = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "x y z"),
+      (2L, ts("2024-01-01 10:05:00"), "x y z")).toDF("doc_id", "ts", "text")
+    assert(StreamOps.dedupByDigest(batch, "ts", "text").count() == 1)
+  }
+
   test("session windows split on the inactivity gap (batch = stream semantics)") {
     val events = Seq(
       ev("2024-01-01 10:00:00", 1, v = 5.0),
