@@ -60,14 +60,25 @@ final class BucketedTableStore(
   def exists(table: String): Boolean = currentManifest(table).isDefined
 
   /** bucket → bucket-version map of the current manifest. */
-  def manifest(table: String): Map[Int, Long] = {
-    val n = currentManifest(table).getOrElse(throw new IllegalStateException(
-      s"table $table has no committed manifest under $root"))
+  def manifest(table: String): Map[Int, Long] =
+    manifestAt(table, currentManifest(table).getOrElse(throw new IllegalStateException(
+      s"table $table has no committed manifest under $root")))
+
+  /** bucket → bucket-version map of a specific manifest (time travel). */
+  def manifestAt(table: String, n: Long): Map[Int, Long] =
     Files.readAllLines(tableDir(table).resolve(s"m$n")).asScala
       .filter(_.nonEmpty)
       .map { line =>
         val Array(b, v) = line.split(' '); b.toInt -> v.toLong
       }.toMap
+
+  /** Time travel: the table as of manifest `n` — consistent as long as the
+    * versions it references have not been vacuumed.
+    */
+  def readManifestVersion(table: String, n: Long): DataFrame = {
+    val paths = pathsFor(table, manifestAt(table, n))
+    if (paths.isEmpty) emptyLike(table)
+    else spark.read.parquet(paths: _*)
   }
 
   private def bucketPath(table: String, bucket: Int, version: Long): String =

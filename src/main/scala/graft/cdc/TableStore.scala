@@ -33,6 +33,10 @@ final class TableStore(spark: SparkSession, root: String, outputFiles: Int = 0)
     spark.read.parquet(Paths.get(root, table, s"v$v").toString)
   }
 
+  /** Time travel: any still-retained version is a consistent snapshot. */
+  def readVersion(table: String, version: Long): DataFrame =
+    spark.read.parquet(Paths.get(root, table, s"v$version").toString)
+
   override def commitSnapshot(table: String, df: DataFrame, keyCol: String): Long =
     commit(table, df)
 

@@ -156,6 +156,20 @@ class BucketedStoreSpec extends SparkSpec {
     assert(dirs.asScala.map(_.getFileName.toString).toSet == Set(s"v$v"))
   }
 
+  test("time travel: prior manifests read prior consistent states") {
+    val store = new BucketedTableStore(spark,
+      Files.createTempDirectory("bs-tt").toString, nBuckets = 16)
+    val snap = CdcApplier.snapshot(HealthcareFixtures.appointments(spark), clock())
+    val m0 = store.commitSnapshot("appointments", snap, "appointment_id")
+    val m1 = store.mergeBatch("appointments",
+      typed(Seq(apptEvent(CdcOp.Insert, 701, 800, "scheduled"))), "appointment_id", clock())
+    assert(store.readManifestVersion("appointments", m0).count() == 170)
+    assert(store.readManifestVersion("appointments", m1).count() == 171)
+    // old state unchanged: the new key is absent from manifest m0
+    assert(store.readManifestVersion("appointments", m0)
+      .filter($"appointment_id" === 800).count() == 0)
+  }
+
   test("merge retry is idempotent (lsn high-water mark)") {
     val store = new BucketedTableStore(spark,
       Files.createTempDirectory("bs-retry").toString, nBuckets = 16)

@@ -152,12 +152,17 @@ class CdcScenarioSpec extends SparkSpec {
     assert(appts.filter($"appointment_id" === 3 && col(CdcApplier.MetaDeleted)).count() == 1)
   }
 
-  test("restart from checkpoint: killed stream resumes exactly-once (connector guarantee)") {
+  // the restart guarantee must hold for EVERY destination implementation —
+  // exercised against both the whole-table and the bucketed store
+  for ((storeKind, mkStore) <- Seq[(String, String => CdcDestination)](
+      "TableStore" -> (root => new TableStore(spark, root)),
+      "BucketedTableStore" -> (root => new BucketedTableStore(spark, root, nBuckets = 16))))
+  test(s"restart from checkpoint resumes exactly-once ($storeKind)") {
     val root = Files.createTempDirectory("graft-cdc-restart").toString
     val feedDir = Files.createTempDirectory("graft-feed-restart").toString
     val ckpt = Files.createTempDirectory("graft-ckpt-restart").toString
     val clock = () => lit("2025-01-15 08:00:00").cast("timestamp_ntz")
-    val store = new TableStore(spark, root)
+    val store = mkStore(root)
     val pipeline = new CdcPipeline(spark, store, HealthcareSchema.all,
       HealthcareSchema.keyColumns, clock)
     pipeline.loadSnapshot(HealthcareFixtures.all(spark))
