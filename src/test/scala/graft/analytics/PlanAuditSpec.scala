@@ -101,6 +101,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("created_at"), p)
   }
 
+  test("range join: bucket equi-join, never a nested loop over points x intervals") {
+    val df = graft.SparkEntry.queries("q_range_join_attr")(spark, sf())
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the containment predicate must ride on a bucket equi-join
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[_bucket".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("embedding near-dup LSH: band-bucket equi-joins only; the O(n^2) loop stays in the exact baseline") {
+    val df = graft.SparkEntry.queries("q_dedup_embedding_lsh")(spark, sf())
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ngram near-dup: the pair join keys on the shingle, never cross-joins") {
     val df = graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf())
     val p = df.queryExecution.sparkPlan.toString
