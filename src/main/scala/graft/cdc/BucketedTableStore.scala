@@ -34,12 +34,18 @@ import org.apache.spark.sql.functions._
   *
   * The bucket function is `pmod(xxhash64(key), nBuckets)` — deterministic
   * row content (retry-safe, same reasoning as
-  * [[graft.operators.LayoutOps.writePartitionedByDate]]), and co-partitions
-  * every batch with the destination so the per-bucket merge join never
-  * shuffles the destination side by anything but its resident bucketing.
-  * Readers get the current snapshot as a union of per-bucket paths; a
-  * crash between version write and manifest swap leaves the previous
-  * manifest (and all files it references) intact.
+  * [[graft.operators.LayoutOps.writePartitionedByDate]]). The merge join
+  * itself still shuffles by key like any MERGE — but only the TOUCHED
+  * SLICE of the table enters that join, so read volume, shuffle volume,
+  * and write volume all scale with the batch's bucket footprint instead of
+  * the table. Readers get the current snapshot as a union of per-bucket
+  * paths; a crash between version write and manifest swap leaves the
+  * previous manifest (and all files it references) intact.
+  *
+  * Mirrors the reference connector's observable MERGE behavior
+  * (/root/reference sql/3.live_appointments.sql:48-49 sync cycles,
+  * sql/4.analytics_queries.sql:395-403 metadata effects) at the storage
+  * layer a Spark deployment actually needs.
   */
 final class BucketedTableStore(
     spark: SparkSession, root: String, nBuckets: Int = 64)
