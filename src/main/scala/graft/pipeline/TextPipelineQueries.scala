@@ -106,6 +106,60 @@ object TextPipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Winnowing fingerprints (rolling k-gram window minima) -----
+    // The document-fingerprinting scheme behind copy-detection systems:
+    // hash every 3-gram, slide a w=4 window over the hash sequence, keep
+    // each window's minimum — any shared run of ≥ k+w-1 tokens between two
+    // docs is guaranteed to share a fingerprint. The "hash" is the md5 hex
+    // string (same total order in Spark and DuckDB → oracle-able); window
+    // minima via ROWS BETWEEN, no interpreted lambdas anywhere.
+    QueryDef(
+      "q_fingerprint_winnow",
+      """WITH raw AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, unnest(toks) AS tok,
+        |           unnest(generate_series(1, len(toks))) AS pos
+        |    FROM raw)
+        |  WHERE len(tok) > 0),
+        |gram AS (
+        |  SELECT doc_id, pos,
+        |         md5(tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w) AS gh
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY LEAD(tok, 2) OVER w IS NOT NULL),
+        |mins AS (
+        |  SELECT doc_id,
+        |         MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+        |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM gram)
+        |SELECT doc_id,
+        |       COUNT(DISTINCT fp) AS n_fingerprints,
+        |       MIN(fp) AS min_fp, MAX(fp) AS max_fp
+        |FROM mins GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+        .filter(length(col("tok")) > 0)
+        .withColumn("tok1", lead("tok", 1).over(w))
+        .withColumn("tok2", lead("tok", 2).over(w))
+        .filter(col("tok2").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          md5(concat_ws(" ", col("tok"), col("tok1"), col("tok2"))).as("gh"))
+      grams
+        .withColumn("fp", min("gh").over(w.rowsBetween(0, 3)))
+        .groupBy("doc_id")
+        .agg(
+          countDistinct(col("fp")).as("n_fingerprints"),
+          min(col("fp")).as("min_fp"),
+          max(col("fp")).as("max_fp"))
+        .orderBy("doc_id")
+    },
+
     // ----- Language-ID heuristic vs. labeled language -----
     QueryDef(
       "q_langid",
