@@ -106,6 +106,36 @@ object TextPipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Corpus length-distribution quantiles (per language) -----
+    // The stats length/quality filter thresholds are derived from. EXACT
+    // interpolated percentiles (Spark `percentile` = DuckDB quantile_cont:
+    // both compute (1-d)*a + d*b on doubles over small ints → bit-equal,
+    // hash-gateable); the streaming/sketch variant would be
+    // approx_percentile, recall-checked against this baseline.
+    QueryDef(
+      "q_token_quantiles",
+      s"""WITH t AS (SELECT lang, len($toksSql) AS n_tokens FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+         |       quantile_cont(n_tokens, 0.5) AS p50,
+         |       quantile_cont(n_tokens, 0.9) AS p90,
+         |       quantile_cont(n_tokens, 0.99) AS p99,
+         |       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+         |FROM t GROUP BY lang
+         |ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), size(tokens(col("text"))).as("n_tokens"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).cast("long").as("min_tokens"),
+          expr("percentile(n_tokens, 0.5)").as("p50"),
+          expr("percentile(n_tokens, 0.9)").as("p90"),
+          expr("percentile(n_tokens, 0.99)").as("p99"),
+          max(col("n_tokens")).cast("long").as("max_tokens"))
+        .orderBy("lang")
+    },
+
     // ----- Winnowing fingerprints (rolling k-gram window minima) -----
     // The document-fingerprinting scheme behind copy-detection systems:
     // hash every 3-gram, slide a w=4 window over the hash sequence, keep
