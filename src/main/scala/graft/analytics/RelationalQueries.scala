@@ -544,6 +544,59 @@ object RelationalQueries {
       repeat.unionAll(never).orderBy("op")
     },
 
+    // ----- Semi / anti joins (EXISTS / NOT EXISTS) -----
+    // Plan as LeftSemi/LeftAnti hash joins — the probe side streams, the
+    // build side holds only join keys; never a full join + distinct.
+    QueryDef(
+      "q_semi_anti_join",
+      """SELECT 'with_urgent_order' AS cohort, COUNT(*) AS n_customers,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'without_urgent_order', COUNT(*),
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY cohort""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      def cohort(name: String, joinType: String) =
+        c.join(urgent, col("c_custkey") === col("o_custkey"), joinType)
+          .agg(count(lit(1)).as("n_customers"),
+            sum(dec2(col("c_acctbal"))).cast("double").as("acctbal_sum"))
+          .select(lit(name).as("cohort"), col("n_customers"), col("acctbal_sum"))
+      cohort("with_urgent_order", "left_semi")
+        .unionAll(cohort("without_urgent_order", "left_anti"))
+        .orderBy("cohort")
+    },
+
+    // ----- PIVOT: status × priority count grid -----
+    // Fixed value list → deterministic schema (no extra distinct pass);
+    // plans as ONE hash aggregate with pivot expressions, not N self-joins.
+    QueryDef(
+      "q_pivot_status",
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f"),
+          coalesce(col("O"), lit(0L)).as("o"),
+          coalesce(col("P"), lit(0L)).as("p"))
+        .orderBy("o_orderpriority")
+    },
+
     // ----- ROLLUP / CUBE: hierarchical + full subtotal grids -----
     QueryDef(
       "q_rollup_revenue",

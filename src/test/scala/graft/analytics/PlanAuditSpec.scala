@@ -101,6 +101,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("created_at"), p)
   }
 
+  test("semi/anti joins plan as LeftSemi/LeftAnti, not join+distinct") {
+    val p = planOf("q_semi_anti_join")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), "key-only build side should broadcast: " + p)
+  }
+
+  test("pivot plans as aggregates in one pipeline, not per-column self-joins") {
+    val df = graft.SparkEntry.queries("q_pivot_status")(spark, sf())
+    val p = df.queryExecution.sparkPlan.toString
+    // two partial+final pairs: count by (prio,status), then pivotfirst by
+    // prio — crucially a single pipeline, no join per pivot column
+    assert("HashAggregate".r.findAllIn(p).size <= 4, p)
+    assert(p.contains("pivotfirst"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("range join: bucket equi-join, never a nested loop over points x intervals") {
     val df = graft.SparkEntry.queries("q_range_join_attr")(spark, sf())
     val p = df.queryExecution.sparkPlan.toString
