@@ -106,6 +106,55 @@ object TextPipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Deterministic train/val/test split (hash buckets) -----
+    // Splits MUST be reproducible across runs, machines, and engines —
+    // rand() is none of those. Bucket = first two hex chars of
+    // md5(doc_id): < 'cc' (204/256 ≈ 80%) train, < 'e6' (230/256 ≈ 90%)
+    // val, else test. Pure map-side; the same row lands in the same split
+    // forever, and adding documents never reshuffles existing ones.
+    QueryDef(
+      "q_split_stratified",
+      """WITH h AS (
+        |  SELECT lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+        |  FROM documents)
+        |SELECT lang,
+        |       CASE WHEN hx < 'cc' THEN 'train'
+        |            WHEN hx < 'e6' THEN 'val' ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs
+        |FROM h GROUP BY 1, 2
+        |ORDER BY lang, split""".stripMargin) { (s, d) =>
+      val hx = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      Tables.documents(s, d)
+        .select(col("lang"), hx.as("hx"))
+        .withColumn("split",
+          when(col("hx") < "cc", "train").when(col("hx") < "e6", "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")
+    },
+
+    // ----- Stratified deterministic sample: N docs per language -----
+    // Order within each stratum by content-independent hash → an unbiased,
+    // reproducible per-group sample (window top-N, no rand(), no collect).
+    QueryDef(
+      "q_sample_stratified",
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20
+        |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    },
+
     // ----- Corpus length-distribution quantiles (per language) -----
     // The stats length/quality filter thresholds are derived from. EXACT
     // interpolated percentiles (Spark `percentile` = DuckDB quantile_cont:
