@@ -1,7 +1,6 @@
 package graft.analytics
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
+import java.nio.file.Paths
 import graft.cdc._
 import graft.fixtures.HealthcareFixtures
 import graft.model.HealthcareSchema
@@ -91,16 +90,12 @@ object HealthcareData {
       s.read("appointments"), s.read("visits"))
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-
   private def write(df: DataFrame, table: String): Unit =
     df.coalesce(1).write.mode("overwrite").parquet(s"$Root/$table")
 
   private def build(spark: SparkSession): Unit = {
     import spark.implicits._
-    deleteRecursively(Paths.get(Root))
+    graft.cdc.FsUtils.deleteRecursively(Paths.get(Root))
 
     // ---- state 1: initial snapshot (loadTs = Now 00:00) ----
     val snap = HealthcareFixtures.snapshotTables(spark, Now)

@@ -33,6 +33,25 @@ object HealthcareEntry {
 
   private val NotDel = "_snowflake_deleted = FALSE"
 
+  /** Lifetime change-volume oracle (sql/3.live_appointments.sql:366-402),
+    * shared verbatim by the flat and bucketed CDC scenario entries.
+    */
+  private lazy val changeVolumeSql: String = {
+    def vol(name: String, t: String) =
+      s"""SELECT '$name' AS table_name, COUNT(*) AS total_rows,
+         |       CAST(SUM(CASE WHEN _snowflake_updated_at IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS updated_rows,
+         |       CAST(SUM(CASE WHEN _snowflake_deleted THEN 1 ELSE 0 END) AS BIGINT) AS deleted_rows
+         |FROM $t""".stripMargin
+    s"""${vol("appointments", AL)}
+       |UNION ALL
+       |${vol("patients", P)}
+       |UNION ALL
+       |${vol("doctors", DL)}
+       |UNION ALL
+       |${vol("visits", VL)}
+       |ORDER BY table_name""".stripMargin
+  }
+
   private def snap(s: SparkSession): HealthcareTables = HealthcareData.tables(s)
   private def live(s: SparkSession): HealthcareTables = HealthcareData.liveTables(s)
 
@@ -368,23 +387,11 @@ object HealthcareEntry {
       HealthcareQueries.updateFrequency(live(s), Ts7d)),
 
     /** Live-demo final check: lifetime change volume per table
-      * (sql/3.live_appointments.sql:366-402). */
-    QueryDef(
-      "hc_cdc_scenario", {
-      def vol(name: String, t: String) =
-        s"""SELECT '$name' AS table_name, COUNT(*) AS total_rows,
-           |       CAST(SUM(CASE WHEN _snowflake_updated_at IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS updated_rows,
-           |       CAST(SUM(CASE WHEN _snowflake_deleted THEN 1 ELSE 0 END) AS BIGINT) AS deleted_rows
-           |FROM $t""".stripMargin
-      s"""${vol("appointments", AL)}
-         |UNION ALL
-         |${vol("patients", P)}
-         |UNION ALL
-         |${vol("doctors", DL)}
-         |UNION ALL
-         |${vol("visits", VL)}
-         |ORDER BY table_name""".stripMargin
-    })((s, _) => HealthcareQueries.changeVolume(live(s))),
+      * (sql/3.live_appointments.sql:366-402). The same oracle gates BOTH
+      * merge implementations below — edit it once, both stay in lockstep.
+      */
+    QueryDef("hc_cdc_scenario", changeVolumeSql)((s, _) =>
+      HealthcareQueries.changeVolume(live(s))),
 
     /** Same final check over the BUCKETED copy-on-write store: the demo's
       * batches merged partition-scoped ([[graft.cdc.BucketedTableStore]]).
@@ -392,22 +399,8 @@ object HealthcareEntry {
       * bucketed merge and the whole-table merge converge to the same state
       * AND match the independent DuckDB expectation.
       */
-    QueryDef(
-      "hc_cdc_bucketed_scenario", {
-      def vol(name: String, t: String) =
-        s"""SELECT '$name' AS table_name, COUNT(*) AS total_rows,
-           |       CAST(SUM(CASE WHEN _snowflake_updated_at IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS updated_rows,
-           |       CAST(SUM(CASE WHEN _snowflake_deleted THEN 1 ELSE 0 END) AS BIGINT) AS deleted_rows
-           |FROM $t""".stripMargin
-      s"""${vol("appointments", AL)}
-         |UNION ALL
-         |${vol("patients", P)}
-         |UNION ALL
-         |${vol("doctors", DL)}
-         |UNION ALL
-         |${vol("visits", VL)}
-         |ORDER BY table_name""".stripMargin
-    })((s, _) => HealthcareQueries.changeVolume(HealthcareData.bucketedLiveTables(s))),
+    QueryDef("hc_cdc_bucketed_scenario", changeVolumeSql)((s, _) =>
+      HealthcareQueries.changeVolume(HealthcareData.bucketedLiveTables(s))),
 
     // ---- category 8: executive KPIs ----
     QueryDef(

@@ -108,41 +108,50 @@ final class BucketedTableStore(
   }
 
   /** Empty frame with the table's schema (for merges that only touch buckets
-    * holding no rows yet). Requires at least one committed bucket — CDC
-    * always snapshots before streaming, so this holds by construction.
+    * holding no rows yet, and for tables snapshotted empty — the `_schema`
+    * anchor written by commitSnapshot makes the schema recoverable even
+    * when zero buckets exist).
     */
   private def emptyLike(table: String): DataFrame = {
     val m = manifest(table)
-    require(m.nonEmpty, s"table $table committed with zero buckets")
-    spark.read.parquet(pathsFor(table, m).head).limit(0)
+    val anchor =
+      if (m.nonEmpty) pathsFor(table, m).head
+      else tableDir(table).resolve("_schema").toString
+    spark.read.parquet(anchor).limit(0)
   }
 
   /** Write df's rows to per-bucket version dirs and return bucket→version.
     * Goes through a staging `partitionBy` write, then a driver-side move of
     * each `_bucket=<b>` leaf into the bucket's next version dir (the same
     * rename-commit pattern all parquet committers use).
+    *
+    * Crash-retry safe: a crash AFTER some moves but BEFORE the manifest
+    * commit leaves orphan version dirs the manifest never references; the
+    * retry (Structured Streaming replays the batch from its checkpoint)
+    * computes the same target versions, deletes each orphan, and moves
+    * fresh output into place — converging instead of colliding.
     */
   private def writeBuckets(table: String, df: DataFrame, keyCol: String,
       prev: Map[Int, Long]): Map[Int, Long] = {
     val stage = tableDir(table).resolve(s"_stage${System.nanoTime()}")
-    // repartition on the bucket column: each bucket's rows land in exactly
-    // one task, so partitionBy emits one file per bucket
-    val bucketed = df.withColumn("_bucket", bucketOf(col(keyCol)))
-      .repartition(col("_bucket"))
-    bucketed.write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(stage.toString)
-    val written = Files.list(stage).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("_bucket="))
-      .map { p =>
-        val b = p.getFileName.toString.stripPrefix("_bucket=").toInt
-        val v = prev.get(b).map(_ + 1).getOrElse(0L)
-        val dest = Paths.get(bucketPath(table, b, v))
-        Files.createDirectories(dest.getParent)
-        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-        b -> v
-      }.toMap
-    Files.walk(stage).sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(f => Files.delete(f))
-    written
+    try {
+      // repartition on the bucket column: each bucket's rows land in exactly
+      // one task, so partitionBy emits one file per bucket
+      val bucketed = df.withColumn("_bucket", bucketOf(col(keyCol)))
+        .repartition(col("_bucket"))
+      bucketed.write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(stage.toString)
+      FsUtils.listDir(stage)
+        .filter(p => p.getFileName.toString.startsWith("_bucket="))
+        .map { p =>
+          val b = p.getFileName.toString.stripPrefix("_bucket=").toInt
+          val v = prev.get(b).map(_ + 1).getOrElse(0L)
+          val dest = Paths.get(bucketPath(table, b, v))
+          Files.createDirectories(dest.getParent)
+          FsUtils.deleteRecursively(dest) // orphan from a crashed commit
+          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+          b -> v
+        }.toMap
+    } finally FsUtils.deleteRecursively(stage)
   }
 
   private def commitManifest(table: String, m: Map[Int, Long]): Long = {
@@ -158,8 +167,14 @@ final class BucketedTableStore(
     next
   }
 
-  /** Full-table commit (initial snapshot): every row bucketed and written. */
+  /** Full-table commit (initial snapshot): every row bucketed and written,
+    * plus a zero-row `_schema` parquet so an EMPTY snapshot (a table with no
+    * rows yet at snapshot time) still records its schema — later merges into
+    * it read `emptyLike` from the anchor instead of failing.
+    */
   override def commitSnapshot(table: String, df: DataFrame, keyCol: String): Long = {
+    df.limit(0).coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(tableDir(table).resolve("_schema").toString)
     val written = writeBuckets(table, df, keyCol, Map.empty)
     commitManifest(table, written)
   }
@@ -183,39 +198,49 @@ final class BucketedTableStore(
 
   /** Append-only journal sink (reference S5), same layout as TableStore. */
   override def appendJournal(table: String, events: DataFrame): Unit =
-    events.write.mode(SaveMode.Append)
-      .parquet(Paths.get(root, s"${table}_journal").toString)
+    Journals.append(root, table, events)
 
   override def readJournal(table: String): DataFrame =
-    spark.read.parquet(Paths.get(root, s"${table}_journal").toString)
+    Journals.read(spark, root, table)
 
-  /** Retention: delete bucket versions older than each bucket's current one
-    * (and stale manifests), keeping `keepVersions` per bucket for time
-    * travel. Safe because readers resolve through the manifest pointer and
-    * only current-or-newer versions are ever referenced.
+  /** Retention: keep the last `keepVersions` MANIFESTS (current included)
+    * and delete (a) older manifests and (b) every bucket version directory
+    * no retained manifest references. Time travel via
+    * [[readManifestVersion]] keeps working for exactly the retained
+    * manifests — data files and the manifests that can reach them are
+    * always vacuumed together.
     */
   def vacuum(table: String, keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1)
-    val current = manifest(table)
-    current.foreach { case (b, v) =>
-      val bDir = tableDir(table).resolve(s"b$b")
-      Files.list(bDir).iterator().asScala
-        .filter { p =>
-          val name = p.getFileName.toString
-          name.startsWith("v") && name.stripPrefix("v").toLong <= v - keepVersions
+    val cur = currentManifest(table).getOrElse(throw new IllegalStateException(
+      s"table $table has no committed manifest under $root"))
+    val oldest = math.max(0L, cur - keepVersions + 1)
+    val retained = (oldest to cur)
+      .filter(n => Files.exists(tableDir(table).resolve(s"m$n")))
+    // every bucket version any retained manifest references stays
+    val referenced: Map[Int, Set[Long]] = retained
+      .flatMap(n => manifestAt(table, n).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    FsUtils.listDir(tableDir(table))
+      .filter(_.getFileName.toString.startsWith("b"))
+      .foreach { bDir =>
+        val bName = bDir.getFileName.toString.stripPrefix("b")
+        if (bName.forall(_.isDigit)) {
+          val keep = referenced.getOrElse(bName.toInt, Set.empty)
+          FsUtils.listDir(bDir)
+            .filter { p =>
+              val n = p.getFileName.toString
+              n.startsWith("v") && !keep.contains(n.stripPrefix("v").toLong)
+            }
+            .foreach(FsUtils.deleteRecursively)
         }
-        .toList
-        .foreach { dir =>
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(f => Files.delete(f))
-        }
-    }
-    val cur = currentManifest(table).get
-    Files.list(tableDir(table)).iterator().asScala
+      }
+    FsUtils.listDir(tableDir(table))
       .filter { p =>
         val n = p.getFileName.toString
-        n.startsWith("m") && n.stripPrefix("m").forall(_.isDigit) && n.stripPrefix("m").toLong < cur
+        n.startsWith("m") && n.stripPrefix("m").forall(_.isDigit) &&
+          n.stripPrefix("m").toLong < oldest
       }
-      .toList.foreach(Files.delete)
+      .foreach(Files.delete)
   }
 }

@@ -65,9 +65,8 @@ final class TableStore(spark: SparkSession, root: String, outputFiles: Int = 0)
 
   /** Append-only journal sink (reference S5): every raw CDC event is kept. */
   override def appendJournal(table: String, events: DataFrame): Unit =
-    events.write.mode(SaveMode.Append)
-      .parquet(Paths.get(root, s"${table}_journal").toString)
+    Journals.append(root, table, events)
 
   override def readJournal(table: String): DataFrame =
-    spark.read.parquet(Paths.get(root, s"${table}_journal").toString)
+    Journals.read(spark, root, table)
 }

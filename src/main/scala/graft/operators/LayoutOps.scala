@@ -22,21 +22,25 @@ object LayoutOps {
     * Repartitioning on (p_date, salt) spreads each date over
     * `filesPerDate` tasks, so every partition directory gets that many
     * files and no single task funnels a whole (possibly skewed) date.
-    * The salt is derived from ROW CONTENT (hash of every column), never
-    * from spark_partition_id/monotonically_increasing_id: a content hash
-    * recomputes identically on stage retry, so a shuffle-fetch failure
-    * can't reassign rows across reducers and duplicate/drop output
-    * (the SPARK-23207 round-robin-repartition hazard).
+    * The salt is derived from ROW CONTENT (hash of `saltCols`, default all
+    * columns), never from spark_partition_id/monotonically_increasing_id:
+    * a content hash recomputes identically on stage retry, so a
+    * shuffle-fetch failure can't reassign rows across reducers and
+    * duplicate/drop output (the SPARK-23207 round-robin-repartition
+    * hazard). Caveat of content salting: EXACT duplicate rows collapse to
+    * one salt — if the table is duplicate-heavy (pre-dedup corpora), pass
+    * a unique id column in `saltCols` to keep the spread.
     */
   def writePartitionedByDate(df: DataFrame, tsCol: String, path: String,
-      filesPerDate: Int = 1): Unit = {
+      filesPerDate: Int = 1, saltCols: Seq[String] = Nil): Unit = {
     val dated = df.withColumn("p_date", col(tsCol).cast("date"))
+    val saltInput = if (saltCols.nonEmpty) saltCols else dated.columns.toSeq
     val distributed =
       if (filesPerDate <= 1)
         dated.repartition(col("p_date"))
       else
         dated
-          .withColumn("_salt", pmod(xxhash64(dated.columns.map(col): _*), lit(filesPerDate)))
+          .withColumn("_salt", pmod(xxhash64(saltInput.map(col): _*), lit(filesPerDate)))
           .repartition(col("p_date"), col("_salt"))
           .drop("_salt")
     distributed

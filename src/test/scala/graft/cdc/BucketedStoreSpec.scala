@@ -156,6 +156,40 @@ class BucketedStoreSpec extends SparkSpec {
     assert(dirs.asScala.map(_.getFileName.toString).toSet == Set(s"v$v"))
   }
 
+  test("empty-table snapshot is mergeable: _schema anchor recovers the schema") {
+    val store = new BucketedTableStore(spark,
+      Files.createTempDirectory("bs-empty-snap").toString, nBuckets = 16)
+    val empty = CdcApplier.snapshot(
+      HealthcareFixtures.appointments(spark).filter($"appointment_id" < 0), clock())
+    store.commitSnapshot("appointments", empty, "appointment_id")
+    assert(store.read("appointments").count() == 0)
+    // first events arrive only via CDC — must merge into the empty table
+    store.mergeBatch("appointments",
+      typed(Seq(apptEvent(CdcOp.Insert, 801, 900, "scheduled"))), "appointment_id", clock())
+    val out = store.read("appointments")
+    assert(out.count() == 1)
+    assert(out.filter($"appointment_id" === 900 && $"status" === "scheduled").count() == 1)
+  }
+
+  test("vacuum keepVersions=2 preserves time travel to the prior manifest") {
+    val store = new BucketedTableStore(spark,
+      Files.createTempDirectory("bs-vac2").toString, nBuckets = 16)
+    val snap = CdcApplier.snapshot(HealthcareFixtures.appointments(spark), clock())
+    val m0 = store.commitSnapshot("appointments", snap, "appointment_id")
+    val m1 = store.mergeBatch("appointments",
+      typed(Seq(apptEvent(CdcOp.Update, 901, 11, "completed"))), "appointment_id", clock())
+    val m2 = store.mergeBatch("appointments",
+      typed(Seq(apptEvent(CdcOp.Update, 902, 11, "cancelled"))), "appointment_id", clock())
+    store.vacuum("appointments", keepVersions = 2)
+    // m1 and m2 both readable; m0 vacuumed away together with its data
+    assert(store.readManifestVersion("appointments", m2)
+      .filter($"appointment_id" === 11 && $"status" === "cancelled").count() == 1)
+    assert(store.readManifestVersion("appointments", m1)
+      .filter($"appointment_id" === 11 && $"status" === "completed").count() == 1)
+    assertThrows[Exception](
+      store.readManifestVersion("appointments", m0).count())
+  }
+
   test("time travel: prior manifests read prior consistent states") {
     val store = new BucketedTableStore(spark,
       Files.createTempDirectory("bs-tt").toString, nBuckets = 16)
