@@ -131,6 +131,11 @@ class BucketedStoreSpec extends SparkSpec {
     assert(appts.filter($"appointment_id" === 600 && $"status" === "completed").count() == 1)
     assert(appts.filter($"appointment_id" === 9 && col(CdcApplier.MetaDeleted)).count() == 1)
     assert(store.readJournal("appointments").count() == 3)
+    // observability: per-batch volume + apply latency within the 60s budget
+    val stats = CdcMetrics.summarize(q)
+    assert(stats.nonEmpty && stats.map(_.inputRows).sum == 3)
+    assert(CdcMetrics.withinCadence(q, budgetMillis = 60000),
+      s"apply latency blew the trigger budget: $stats")
   }
 
   test("vacuum drops superseded bucket versions, current state unchanged") {
