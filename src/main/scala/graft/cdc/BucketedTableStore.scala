@@ -82,9 +82,8 @@ final class BucketedTableStore(
     * versions it references have not been vacuumed.
     */
   def readManifestVersion(table: String, n: Long): DataFrame = {
-    val paths = pathsFor(table, manifestAt(table, n))
-    if (paths.isEmpty) emptyLike(table)
-    else spark.read.parquet(paths: _*)
+    val m = manifestAt(table, n)
+    readWith(table, m, m)
   }
 
   private def bucketPath(table: String, bucket: Int, version: Long): String =
@@ -95,44 +94,56 @@ final class BucketedTableStore(
 
   /** Current snapshot: union of every bucket's current version. */
   override def read(table: String): DataFrame = {
-    val paths = pathsFor(table, manifest(table))
-    if (paths.isEmpty) emptyLike(table)
-    else spark.read.parquet(paths: _*)
+    val m = manifest(table)
+    readWith(table, m, m)
   }
 
   /** Only the given buckets' current data (partition pruning by bucket). */
   def readBuckets(table: String, buckets: Set[Int]): DataFrame = {
-    val paths = pathsFor(table, manifest(table).view.filterKeys(buckets).toMap)
-    if (paths.isEmpty) emptyLike(table)
-    else spark.read.parquet(paths: _*)
+    val m = manifest(table)
+    readWith(table, m.view.filterKeys(buckets).toMap, m)
   }
 
-  /** Empty frame with the table's schema (for merges that only touch buckets
-    * holding no rows yet, and for tables snapshotted empty — the `_schema`
-    * anchor written by commitSnapshot makes the schema recoverable even
-    * when zero buckets exist).
+  /** Read the buckets of `slice`; `full` (the whole manifest, parsed ONCE
+    * by the caller) anchors the schema when the slice is empty.
     */
-  private def emptyLike(table: String): DataFrame = {
-    val m = manifest(table)
-    val anchor =
-      if (m.nonEmpty) pathsFor(table, m).head
-      else tableDir(table).resolve("_schema").toString
-    spark.read.parquet(anchor).limit(0)
+  private def readWith(table: String, slice: Map[Int, Long],
+      full: Map[Int, Long]): DataFrame = {
+    val paths = pathsFor(table, slice)
+    if (paths.nonEmpty) spark.read.parquet(paths: _*)
+    else {
+      // empty slice: merges into buckets holding no rows yet, or a table
+      // snapshotted empty — the `_schema` anchor keeps the schema recoverable
+      val anchor =
+        if (full.nonEmpty) pathsFor(table, full).head
+        else tableDir(table).resolve("_schema").toString
+      spark.read.parquet(anchor).limit(0)
+    }
+  }
+
+  /** Next never-used version for a bucket: 1 + the highest version dir ON
+    * DISK (not just in the manifest). Versions are allocated monotonically
+    * and NEVER reused — so a re-bootstrap snapshot can't overwrite dirs
+    * older manifests still reference, and a crashed commit's orphan dirs
+    * are simply superseded (vacuum removes anything unreferenced).
+    */
+  private def nextVersion(table: String, bucket: Int): Long = {
+    val bDir = tableDir(table).resolve(s"b$bucket")
+    if (!Files.exists(bDir)) 0L
+    else FsUtils.listDir(bDir)
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.stripPrefix("v").forall(_.isDigit))
+      .map(_.stripPrefix("v").toLong)
+      .foldLeft(-1L)(math.max) + 1
   }
 
   /** Write df's rows to per-bucket version dirs and return bucket→version.
     * Goes through a staging `partitionBy` write, then a driver-side move of
     * each `_bucket=<b>` leaf into the bucket's next version dir (the same
-    * rename-commit pattern all parquet committers use).
-    *
-    * Crash-retry safe: a crash AFTER some moves but BEFORE the manifest
-    * commit leaves orphan version dirs the manifest never references; the
-    * retry (Structured Streaming replays the batch from its checkpoint)
-    * computes the same target versions, deletes each orphan, and moves
-    * fresh output into place — converging instead of colliding.
+    * rename-commit pattern all parquet committers use). Crash-retry safe by
+    * version monotonicity (see [[nextVersion]]).
     */
-  private def writeBuckets(table: String, df: DataFrame, keyCol: String,
-      prev: Map[Int, Long]): Map[Int, Long] = {
+  private def writeBuckets(table: String, df: DataFrame, keyCol: String): Map[Int, Long] = {
     val stage = tableDir(table).resolve(s"_stage${System.nanoTime()}")
     try {
       // repartition on the bucket column: each bucket's rows land in exactly
@@ -144,10 +155,9 @@ final class BucketedTableStore(
         .filter(p => p.getFileName.toString.startsWith("_bucket="))
         .map { p =>
           val b = p.getFileName.toString.stripPrefix("_bucket=").toInt
-          val v = prev.get(b).map(_ + 1).getOrElse(0L)
+          val v = nextVersion(table, b)
           val dest = Paths.get(bucketPath(table, b, v))
           Files.createDirectories(dest.getParent)
-          FsUtils.deleteRecursively(dest) // orphan from a crashed commit
           Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
           b -> v
         }.toMap
@@ -171,16 +181,22 @@ final class BucketedTableStore(
     * plus a zero-row `_schema` parquet so an EMPTY snapshot (a table with no
     * rows yet at snapshot time) still records its schema — later merges into
     * it read `emptyLike` from the anchor instead of failing.
+    *
+    * A RE-bootstrap (snapshot over an existing table) allocates fresh
+    * versions above anything on disk — never overwriting live version dirs
+    * that prior manifests still reference — and the new manifest lists only
+    * the fresh buckets (full replace).
     */
   override def commitSnapshot(table: String, df: DataFrame, keyCol: String): Long = {
     df.limit(0).coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(tableDir(table).resolve("_schema").toString)
-    val written = writeBuckets(table, df, keyCol, Map.empty)
+    val written = writeBuckets(table, df, keyCol)
     commitManifest(table, written)
   }
 
   /** Partition-scoped merge: apply one table's typed event batch (op, lsn,
-    * commitTs, key + data columns) rewriting ONLY the touched buckets.
+    * commitTs, key + data columns) rewriting ONLY the touched buckets. The
+    * manifest is parsed ONCE per merge and threaded through read + commit.
     */
   override def mergeBatch(table: String, events: DataFrame, keyCol: String,
       applyTs: Column): Long = {
@@ -188,10 +204,9 @@ final class BucketedTableStore(
     val touched = events.select(bucketOf(col("key")).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val prev = manifest(table)
-    val dest = readBuckets(table, touched)
+    val dest = readWith(table, prev.view.filterKeys(touched).toMap, prev)
     val merged = CdcApplier.applyBatch(dest, events, keyCol, applyTs)
-    val written = writeBuckets(table, merged, keyCol,
-      prev.view.filterKeys(touched).toMap)
+    val written = writeBuckets(table, merged, keyCol)
     // untouched buckets carry forward by reference — files untouched
     commitManifest(table, prev ++ written)
   }

@@ -25,9 +25,16 @@ object CdcMetrics {
         Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
     }
 
-  /** True iff every observed batch applied within the trigger budget —
-    * the reference's "syncs every minute" SLA as a checkable predicate.
+  /** True iff at least one batch has reported AND every observed batch
+    * applied within the trigger budget — the reference's "syncs every
+    * minute" SLA as a checkable predicate. "No data yet" is NOT healthy
+    * (it would page green while the stream is stuck before its first
+    * batch), so it returns false. Observation window = Spark's
+    * `recentProgress` ring buffer (~last 100 batches); a monitoring loop
+    * must sample at least that often to see every batch.
     */
-  def withinCadence(q: StreamingQuery, budgetMillis: Long): Boolean =
-    summarize(q).forall(_.applyMillis <= budgetMillis)
+  def withinCadence(q: StreamingQuery, budgetMillis: Long): Boolean = {
+    val s = summarize(q)
+    s.nonEmpty && s.forall(_.applyMillis <= budgetMillis)
+  }
 }

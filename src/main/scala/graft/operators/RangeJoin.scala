@@ -31,8 +31,13 @@ object RangeJoin {
   /** Inner point-in-interval join on day buckets.
     *
     * @param points    frame with a timestamp column `tsCol`
-    * @param intervals frame with DATE/TIMESTAMP `startCol`/`endCol`
-    *                  (inclusive ends); intervals must satisfy start <= end
+    * @param intervals frame with TIMESTAMP `startCol`/`endCol`; containment
+    *                  is `start <= ts <= end` with BOTH ends inclusive at
+    *                  timestamp precision. A DATE-typed end compares as that
+    *                  day's MIDNIGHT — callers wanting "through the whole
+    *                  end day" must pass `end_date + INTERVAL 1 DAY - 1
+    *                  second` (or an explicit timestamp). Intervals must
+    *                  satisfy start <= end.
     */
   def pointInInterval(points: DataFrame, tsCol: String,
       intervals: DataFrame, startCol: String, endCol: String): DataFrame = {

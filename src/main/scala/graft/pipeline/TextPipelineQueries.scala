@@ -12,6 +12,29 @@ import org.apache.spark.sql.functions._
   */
 object TextPipelineQueries {
 
+  /** Winnowing fingerprints per document position: every 3-gram hashed
+    * (md5 — same total order in DuckDB), then each w=4 sliding window's
+    * MINIMUM kept. Any shared run of ≥ k+w-1 = 6 tokens between two docs
+    * guarantees a shared fingerprint. Shared by q_fingerprint_winnow and
+    * DedupSpec's guarantee test so the plan under test IS the production
+    * plan. Returns (doc_id, pos, fp).
+    */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .withColumn("tok1", lead("tok", 1).over(w))
+      .withColumn("tok2", lead("tok", 2).over(w))
+      .filter(col("tok2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", col("tok"), col("tok1"), col("tok2"))).as("gh"))
+      .withColumn("fp", min("gh").over(w.rowsBetween(0, 3)))
+      .select("doc_id", "pos", "fp")
+  }
+
   private val stopwordsSql = stopwords.map(s => s"'$s'").mkString(", ")
 
   // DuckDB equivalent of TextFunctions.tokens
@@ -218,19 +241,7 @@ object TextPipelineQueries {
         |       MIN(fp) AS min_fp, MAX(fp) AS max_fp
         |FROM mins GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
-        .filter(length(col("tok")) > 0)
-        .withColumn("tok1", lead("tok", 1).over(w))
-        .withColumn("tok2", lead("tok", 2).over(w))
-        .filter(col("tok2").isNotNull)
-        .select(col("doc_id"), col("pos"),
-          md5(concat_ws(" ", col("tok"), col("tok1"), col("tok2"))).as("gh"))
-      grams
-        .withColumn("fp", min("gh").over(w.rowsBetween(0, 3)))
+      winnowFingerprints(Tables.documents(s, d))
         .groupBy("doc_id")
         .agg(
           countDistinct(col("fp")).as("n_fingerprints"),

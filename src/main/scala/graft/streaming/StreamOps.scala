@@ -74,17 +74,29 @@ object StreamOps {
     * [[graft.pipeline.TextPipelineQueries]]'s exact dedup. Duplicates of a
     * row arriving within `lateness` of it are dropped even across
     * micro-batches; digest state older than the watermark is evicted, so
-    * state size tracks the dedup horizon, not the stream's lifetime. In
-    * batch mode it degrades to plain dropDuplicates (exact, oracle-able).
+    * state size tracks the dedup horizon, not the stream's lifetime.
+    *
+    * Survivor policy: the stream keeps the FIRST ARRIVAL per digest (the
+    * only choice bounded state allows). Batch mode keeps the earliest
+    * (`tsCol`, `idCol`) row — a deterministic analogue of arrival order;
+    * plain dropDuplicates would keep whichever row a task emitted first
+    * and change across runs/partitionings.
     */
   def dedupByDigest(docs: DataFrame, tsCol: String, contentCol: String,
-      lateness: String = "10 minutes"): DataFrame = {
+      idCol: String, lateness: String = "10 minutes"): DataFrame = {
     val withDigest = docs.withColumn("_digest", md5(col(contentCol)))
     val out =
       if (docs.isStreaming)
         withDigest.withWatermark(tsCol, lateness)
           .dropDuplicatesWithinWatermark("_digest")
-      else withDigest.dropDuplicates("_digest")
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("_digest").orderBy(col(tsCol), col(idCol))
+        withDigest
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .drop("_rn")
+      }
     out.drop("_digest")
   }
 

@@ -10,7 +10,8 @@ class RangeJoinSpec extends SparkSpec {
     val ev = graft.analytics.Tables.events(spark, sf())
       .select($"event_id", $"ts")
     val windows = graft.analytics.Tables.events(spark, sf())
-      .filter($"event_type" === "purchase").limit(100)
+      .filter($"event_type" === "purchase")
+      .orderBy("event_id").limit(100) // deterministic subset across evaluations
       .select($"event_id".as("p_id"),
         $"ts".as("w_start"),
         ($"ts" + expr("INTERVAL 1 DAY")).as("w_end"))

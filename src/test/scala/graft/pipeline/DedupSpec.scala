@@ -94,21 +94,8 @@ class DedupSpec extends SparkSpec {
       (1L, s"alpha beta $shared gamma delta"),
       (2L, s"unrelated prefix tokens here $shared and a different tail"),
       (3L, "nothing in common with either document at all today")).toDF("doc_id", "text")
-    docs.createOrReplaceTempView("documents")
-    // reuse the query body via SparkEntry against a temp dir is not possible
-    // (it reads parquet), so recompute with the same plan on the tiny frame
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val grams = docs
-      .select(col("doc_id"),
-        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
-      .filter(length(col("tok")) > 0)
-      .withColumn("tok1", lead("tok", 1).over(w))
-      .withColumn("tok2", lead("tok", 2).over(w))
-      .filter(col("tok2").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        md5(concat_ws(" ", col("tok"), col("tok1"), col("tok2"))).as("gh"))
-    val fps = grams.withColumn("fp", min("gh").over(w.rowsBetween(0, 3)))
+    // the PRODUCTION plan (shared helper), not a hand-copied twin
+    val fps = TextPipelineQueries.winnowFingerprints(docs)
       .select("doc_id", "fp").distinct()
       .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
     assert((fps(1L) & fps(2L)).nonEmpty, "shared 6-token run must share a fingerprint")

@@ -46,7 +46,7 @@ class StreamOpsSpec extends SparkSpec {
     case class Doc(doc_id: Long, ts: Timestamp, text: String)
     val input = MemoryStream[(Long, Timestamp, String)]
     val docs = input.toDF().toDF("doc_id", "ts", "text")
-    val query = StreamOps.dedupByDigest(docs, "ts", "text", lateness = "1 hour")
+    val query = StreamOps.dedupByDigest(docs, "ts", "text", "doc_id", lateness = "1 hour")
       .writeStream.format("memory").queryName("dedup_out")
       .outputMode(OutputMode.Append()).start()
     try {
@@ -62,11 +62,12 @@ class StreamOpsSpec extends SparkSpec {
       assert(ids == Set(1L, 3L), s"got $ids")
     } finally query.stop()
 
-    // batch mode: plain exact dedup, same operator
+    // batch mode: exact dedup keeping the earliest (ts, id) — deterministic
     val batch = Seq(
-      (1L, ts("2024-01-01 10:00:00"), "x y z"),
-      (2L, ts("2024-01-01 10:05:00"), "x y z")).toDF("doc_id", "ts", "text")
-    assert(StreamOps.dedupByDigest(batch, "ts", "text").count() == 1)
+      (2L, ts("2024-01-01 10:05:00"), "x y z"),
+      (1L, ts("2024-01-01 10:00:00"), "x y z")).toDF("doc_id", "ts", "text")
+    val kept = StreamOps.dedupByDigest(batch, "ts", "text", "doc_id").collect()
+    assert(kept.length == 1 && kept(0).getLong(0) == 1L)
   }
 
   test("session windows split on the inactivity gap (batch = stream semantics)") {
