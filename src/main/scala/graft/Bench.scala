@@ -25,9 +25,29 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    // fixed name order: Map iteration order must not decide which query
-    // pays cross-run JIT/cache interference
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // fixed name order by default: Map iteration order must not decide which
+    // query pays cross-run JIT/cache interference. ORDER=reverse/seed:<n>
+    // exist to PROVE a slow tail is run-order interference, not plan cost
+    // (if the same queries are fast when run early, the harness is the
+    // suspect, not the plan).
+    val order = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "alpha")
+    val sortedNames = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = order match {
+      case "alpha" => sortedNames
+      case "reverse" => sortedNames.reverse
+      case s if s.startsWith("seed:") =>
+        val seed = s.stripPrefix("seed:").toLong
+        sortedNames.sortBy { case (n, _) =>
+          java.util.Objects.hash(n, java.lang.Long.valueOf(seed))
+        }
+      case other => sys.error(s"SPARK_GRAFT_BENCH_ORDER=$other (alpha|reverse|seed:<n>)")
+    }
+    // ISOLATE=1: clear the SQL cache + force a GC before each query, so one
+    // query's leftovers (cached relations, un-collected garbage) can't bill
+    // to the next — the knob that separates plan cost from session drift
+    val isolate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "0") == "1"
+    val results = ordered.map { case (name, fn) =>
+      if (isolate) { spark.catalog.clearCache(); System.gc() }
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -39,12 +59,13 @@ object Bench {
       }
       // -1 sentinel: a thrown query must not read as an impossibly fast run
       name -> (if (times.size == reps) median(times) else -1.0)
-    }
+    }.sortBy(_._1) // report alphabetically regardless of run order
+    def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

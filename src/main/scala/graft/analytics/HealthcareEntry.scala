@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.QueryDef
-import graft.semantic.{QueryBuilder, SemanticModel}
+import graft.semantic.{QueryBuilder, SemFilter, SemMetric, SemOrder, SemRef, SemanticModel, SemanticRequest}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-visible entries for the healthcare side of the engine: the
@@ -66,6 +66,14 @@ object HealthcareEntry {
       "patients" -> t.patients, "doctors" -> t.doctors,
       "appointments" -> t.appointments, "visits" -> t.visits)
     new QueryBuilder(model, byName(_)).verified(queryName)
+  }
+
+  private def semanticCompile(s: SparkSession, req: SemanticRequest): DataFrame = {
+    val t = live(s)
+    val byName = Map[String, DataFrame](
+      "patients" -> t.patients, "doctors" -> t.doctors,
+      "appointments" -> t.appointments, "visits" -> t.visits)
+    new QueryBuilder(model, byName(_)).compile(req)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -238,7 +246,7 @@ object HealthcareEntry {
       "hc_daily_revenue",
       s"""SELECT visit_date, COUNT(*) AS visit_count,
          |       CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue,
-         |       CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DOUBLE) / COUNT(total_charge) AS avg_revenue_per_visit,
+         |       ROUND(CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DOUBLE) / COUNT(total_charge), 2) AS avg_revenue_per_visit,
          |       MIN(total_charge) AS min_charge, MAX(total_charge) AS max_charge
          |FROM $V WHERE $NotDel AND visit_date >= DATE '$D30'
          |GROUP BY visit_date""".stripMargin)((s, _) =>
@@ -461,5 +469,31 @@ object HealthcareEntry {
          |FROM $DL d LEFT JOIN $VL v ON d.doctor_id = v.doctor_id AND v.$NotDel
          |WHERE d.$NotDel
          |GROUP BY d.doctor_id, d.first_name, d.last_name, d.specialization, d.department""".stripMargin)((s, _) =>
-      semantic(s, "revenue_by_doctor")))
+      semantic(s, "revenue_by_doctor")),
+
+    // A query the reference's agent setup would COMPOSE, not transcribe:
+    // dimensions from two tables through a declared relationship, a filter,
+    // and two metrics — compiled by the generic QueryBuilder.compile path.
+    QueryDef(
+      "sm_generic_type_by_specialization",
+      s"""SELECT d.specialization, a.appointment_type,
+         |       COUNT(*) AS n_appointments,
+         |       COUNT(DISTINCT a.patient_id) AS unique_patients
+         |FROM $AL a LEFT JOIN $DL d ON a.doctor_id = d.doctor_id AND d.$NotDel
+         |WHERE a.$NotDel AND a.status <> 'CANCELLED'
+         |GROUP BY d.specialization, a.appointment_type""".stripMargin)((s, _) =>
+      semanticCompile(s, SemanticRequest(
+        root = "appointments",
+        relationships = Seq("appointments_to_doctors"),
+        dimensions = Seq(
+          SemRef("doctors", "specialization"),
+          SemRef("appointments", "appointment_type")),
+        metrics = Seq(
+          SemMetric("count_star", None, "n_appointments"),
+          SemMetric("count_distinct", Some(SemRef("appointments", "patient_id")), "unique_patients")),
+        filters = Seq(
+          SemFilter(SemRef("appointments", "status"), "ne", Some("CANCELLED"))),
+        orderBy = Seq(
+          SemOrder("specialization", nullsLast = true),
+          SemOrder("appointment_type", nullsLast = true))))))
 }

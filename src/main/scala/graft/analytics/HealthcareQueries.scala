@@ -308,8 +308,7 @@ object HealthcareQueries {
       .agg(
         count(lit(1)).as("visit_count"),
         moneySum(col("total_charge")).as("daily_revenue"),
-        (sum(dec2(col("total_charge"))).cast("double") / count(col("total_charge")))
-          .as("avg_revenue_per_visit"),
+        moneyAvg2(col("total_charge")).as("avg_revenue_per_visit"),
         min(col("total_charge")).as("min_charge"),
         max(col("total_charge")).as("max_charge"))
       .orderBy(col("visit_date").desc)

@@ -660,6 +660,34 @@ object RelationalQueries {
           countDistinct(sfDayOfWeek(col("o_orderdate"))).as("distinct_weekdays"),
           min(sfDayOfWeek(col("o_orderdate"))).as("min_dow"))
         .orderBy("years_ago")
+    },
+
+    // ----- Dialect-as-SQL-text: the registered shims end-to-end -----
+    // The Spark side is spark.sql(...) over the FunctionRegistry-registered
+    // Snowflake shims (DialectFunctions) — proving a reference user can run
+    // dialect queries as TEXT against the engine, not just via the Column
+    // API. Same expression trees as the Column shims → same codegen.
+    QueryDef(
+      "q_sql_dialect",
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |       COUNT(*) AS n_orders,
+        |       STRING_AGG(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS priorities,
+        |       MAX(CAST(EXTRACT(year FROM DATE '2000-06-15') - EXTRACT(year FROM o_orderdate) AS INT)) AS max_years_ago
+        |FROM orders
+        |WHERE CAST(EXTRACT(dow FROM o_orderdate) AS INT) = 1
+        |GROUP BY month
+        |ORDER BY month""".stripMargin) { (s, d) =>
+      org.apache.spark.sql.graft.DialectFunctions.register(s)
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+      s.sql(
+        """SELECT sf_to_char(o_orderdate, 'YYYY-MM') AS month,
+          |       COUNT(*) AS n_orders,
+          |       sf_listagg_distinct(o_orderpriority, '|') AS priorities,
+          |       MAX(sf_datediff_years(o_orderdate, DATE '2000-06-15')) AS max_years_ago
+          |FROM graft_orders
+          |WHERE sf_dayofweek(o_orderdate) = 1
+          |GROUP BY month
+          |ORDER BY month""".stripMargin)
     }
   )
 }

@@ -218,6 +218,9 @@ final class BucketedTableStore(
   override def readJournal(table: String): DataFrame =
     Journals.read(spark, root, table)
 
+  override def vacuumJournal(table: String, olderThan: java.time.LocalDate): Seq[String] =
+    Journals.vacuum(root, table, olderThan)
+
   /** Retention: keep the last `keepVersions` MANIFESTS (current included)
     * and delete (a) older manifests and (b) every bucket version directory
     * no retained manifest references. Time travel via

@@ -29,4 +29,14 @@ trait CdcDestination {
   def appendJournal(table: String, events: DataFrame): Unit
 
   def readJournal(table: String): DataFrame
+
+  /** Journal retention: drop journal partitions whose commit date is
+    * strictly before `olderThan`; returns the dropped partition names.
+    * SAFE iff a retained table version covers everything up to the horizon —
+    * [[CdcRecovery.rebuild]] from (version committed at-or-after the
+    * horizon) + (retained journal) still reproduces the live state
+    * (CdcScenarioSpec proves it). Vacuuming the journal past every retained
+    * version forfeits disaster recovery for the dropped range.
+    */
+  def vacuumJournal(table: String, olderThan: java.time.LocalDate): Seq[String]
 }

@@ -27,13 +27,49 @@ private[graft] object FsUtils {
 }
 
 /** Append-only journal sink/source shared by every [[CdcDestination]]
-  * (reference S5: keep every raw CDC event), layout `<root>/<table>_journal`.
+  * (reference S5: keep every raw CDC event), layout
+  * `<root>/<table>_journal/_journal_date=YYYY-MM-DD/`.
+  *
+  * The journal is hive-partitioned by the event's COMMIT date so that
+  * retention is a directory drop, not a rewrite — at a 60 s cadence on a
+  * busy source the journal is the first thing to fill a disk, and rewriting
+  * 100 TB of history to expire a day is not a retention strategy. Date
+  * partitioning also gives time-range journal analytics partition pruning
+  * for free. Readers never see the partition column.
   */
 private[cdc] object Journals {
+
+  private val PartCol = "_journal_date"
+
+  private def dir(root: String, table: String) =
+    Paths.get(root, s"${table}_journal")
+
   def append(root: String, table: String, events: DataFrame): Unit =
-    events.write.mode(SaveMode.Append)
-      .parquet(Paths.get(root, s"${table}_journal").toString)
+    events
+      .withColumn(PartCol, org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("commitTs")))
+      .write.mode(SaveMode.Append)
+      .partitionBy(PartCol)
+      .parquet(dir(root, table).toString)
 
   def read(spark: SparkSession, root: String, table: String): DataFrame =
-    spark.read.parquet(Paths.get(root, s"${table}_journal").toString)
+    spark.read.parquet(dir(root, table).toString).drop(PartCol)
+
+  /** Drop journal partitions with commit date STRICTLY BEFORE `olderThan`.
+    * Returns the dropped partition names. Unparseable partition values
+    * (null-commitTs rows land in Hive's default partition) are never
+    * dropped — retention must not silently discard events it can't date.
+    */
+  def vacuum(root: String, table: String, olderThan: java.time.LocalDate): Seq[String] = {
+    val base = dir(root, table)
+    if (!Files.exists(base)) Seq.empty
+    else FsUtils.listDir(base)
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(s"$PartCol=") &&
+          scala.util.Try(java.time.LocalDate.parse(n.stripPrefix(s"$PartCol=")))
+            .toOption.exists(_.isBefore(olderThan))
+      }
+      .map { p => FsUtils.deleteRecursively(p); p.getFileName.toString }
+  }
 }

@@ -69,4 +69,7 @@ final class TableStore(spark: SparkSession, root: String, outputFiles: Int = 0)
 
   override def readJournal(table: String): DataFrame =
     Journals.read(spark, root, table)
+
+  override def vacuumJournal(table: String, olderThan: java.time.LocalDate): Seq[String] =
+    Journals.vacuum(root, table, olderThan)
 }

@@ -24,10 +24,10 @@ object SkewUtils {
     *   merge   = Seq(sum($"n").as("n"), sum($"s").as("s")))
     * }}}
     */
-  def saltedAggregate(df: DataFrame, keys: Seq[String], salts: Int)(
+  def saltedAggregate(df: DataFrame, keys: Seq[String], salts: Int,
+      saltCols: Seq[String] = Nil)(
       partial: Seq[Column], merge: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val salted = df.withColumn("_salt", contentSalt(df, keys, salts, saltCols))
     val phase1 = salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)
@@ -36,15 +36,34 @@ object SkewUtils {
       .agg(merge.head, merge.tail: _*)
   }
 
+  /** Deterministic, retry-safe salt: a content hash of the non-key columns
+    * (or the caller's `saltCols`). Recomputes identically on stage retry,
+    * so a shuffle-fetch failure can't reassign rows across reducers and
+    * duplicate/drop them (the SPARK-23207 hazard that
+    * monotonically_increasing_id / spark_partition_id salts carry). Caveat:
+    * EXACT duplicate rows collapse to one salt — pass a unique id column in
+    * `saltCols` for duplicate-heavy inputs.
+    */
+  private def contentSalt(df: DataFrame, keys: Seq[String], salts: Int,
+      saltCols: Seq[String]): Column = {
+    val input =
+      if (saltCols.nonEmpty) saltCols
+      else {
+        val nonKey = df.columns.toSeq.diff(keys)
+        if (nonKey.nonEmpty) nonKey else df.columns.toSeq
+      }
+    pmod(xxhash64(input.map(col): _*), lit(salts))
+  }
+
   /** Skewed equi-join: replicate the (small) right side `salts` times and
     * salt the left side's key deterministically, so one hot left key fans
     * out over `salts` tasks instead of one. Inner joins only (replication
     * preserves inner-join multiplicity).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
-      rightKey: String, salts: Int): DataFrame = {
+      rightKey: String, salts: Int, saltCols: Seq[String] = Nil): DataFrame = {
     val saltedLeft = left.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      contentSalt(left, Seq(leftKey), salts, saltCols))
     val replicatedRight = right.withColumn("_salt",
       explode(array((0 until salts).map(lit(_)): _*)))
     saltedLeft.join(replicatedRight,

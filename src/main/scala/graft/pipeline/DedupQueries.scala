@@ -165,12 +165,11 @@ object DedupQueries {
           struct(lit(b).as("band_id"),
             xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as("band_key"))): _*)).as("band"))
         .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-      val cands = bands.as("x").join(bands.as("y"),
-          col("x.band_id") === col("y.band_id") &&
-            col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      // skew guard: bounded per-bucket pair generation (hot band buckets —
+      // boilerplate/empty docs — degrade to a linear star, never B²)
+      val cands = LshBlocking.boundedBucketPairs(
+          bands, Seq("band_id", "band_key"), "doc_id")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       val sizes = sig.select(col("doc_id"), col("n"))
       verifyByJaccard(cands, sh, sizes, minJ = 0.8)
     },
@@ -179,18 +178,18 @@ object DedupQueries {
     QueryDef.rowsOnly("q_dedup_simhash") { (s, d) =>
       val fp = simHashByExplode(Tables.documents(s, d).select("doc_id", "text"))
       // 4 chunks of 16 bits; Hamming ≤ 3 ⇒ some chunk matches exactly
-      val chunks = fp.select(col("doc_id"), col("simhash"),
+      val chunks = fp.select(col("doc_id"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("chunk_id"),
             shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("c"))
-        .select(col("doc_id"), col("simhash"), col("c.chunk_id"), col("c.chunk"))
-      chunks.as("x").join(chunks.as("y"),
-          col("x.chunk_id") === col("y.chunk_id") &&
-            col("x.chunk") === col("y.chunk") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
-        .distinct()
+        .select(col("doc_id"), col("c.chunk_id"), col("c.chunk"))
+      // skew-guarded candidates as BARE id pairs; the 64-bit fingerprints
+      // rejoin only for the Hamming check, so the chunk self-join never
+      // shuffles them and hot chunks (identical docs) stay linear
+      LshBlocking.boundedBucketPairs(chunks, Seq("chunk_id", "chunk"), "doc_id")
+        .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+        .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
+        .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
         .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
         .filter(col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")

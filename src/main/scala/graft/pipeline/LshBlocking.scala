@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew guard for LSH-style bucket self-joins (MinHash bands, SimHash
+  * chunks, random-projection bands).
+  *
+  * An unguarded self-join on bucket keys is quadratic PER BUCKET: one hot
+  * bucket of B members (empty docs, boilerplate, zero vectors — at 100 TB a
+  * single band bucket easily collects 10⁶ docs) lands B² candidate pairs on
+  * one reducer and kills the stage. The guard bounds every bucket's output:
+  *
+  *  - buckets with ≤ `maxBucket` members keep exact all-pairs generation
+  *    (≤ maxBucket² pairs, and real buckets are far smaller);
+  *  - hot buckets degrade to a STAR: every member pairs only with the
+  *    bucket's minimum id (B−1 pairs, linear). For the content that creates
+  *    hot buckets — exact/near-identical members — the star preserves
+  *    cluster connectivity (every member still reaches the representative,
+  *    and downstream exact verification confirms each edge), so dedup via
+  *    connected components loses nothing. What CAN be lost are pairs of
+  *    dissimilar members that merely collided in the hot bucket — pairs that
+  *    other, less-skewed bands still catch (the standard b-bands recall
+  *    argument), and that exact verification would mostly reject anyway.
+  *
+  * The bucket-size aggregate shuffles on the same keys as the self-join, so
+  * the exchange is reused — the guard costs one hash aggregate, not an extra
+  * full shuffle.
+  */
+object LshBlocking {
+
+  /** A bucket counts as HOT when its size exceeds
+    * max(minHot, skewFactor × mean bucket size): skew is an OUTLIER relative
+    * to the banding's typical bucket, not a fixed count. Coarse bandings
+    * (few bits per band) legitimately produce large-but-uniform buckets —
+    * capping those is a recall bug, not a skew guard; the fix for uniformly
+    * huge buckets is more bits per band, chosen by the caller. The 1-row
+    * mean broadcasts, so the relative threshold costs no extra shuffle.
+    */
+  private def tagHot(banded: DataFrame, keyCols: Seq[String], idCol: String,
+      minHot: Int, skewFactor: Double): DataFrame = {
+    require(minHot >= 2, s"minHot=$minHot: need ≥ 2 for any pair to survive")
+    require(skewFactor > 1.0, s"skewFactor=$skewFactor: must exceed 1 (mean bucket is not hot)")
+    val counts = banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_bsz"), min(col(idCol)).as("_rep"))
+    // the 1-row mean broadcast-cross-joins onto the bucket counts — a
+    // nested-loop join with a PROVABLY single-row build side is O(n), and
+    // PlanAuditSpec's unkeyed-join audit admits exactly that case (a
+    // constant equi-key doesn't survive the optimizer: FoldablePropagation
+    // folds `1 = 1` away and the plan degenerates to the same cross join)
+    val meanSize = counts.agg(avg(col("_bsz")).as("_mean"))
+    counts.crossJoin(broadcast(meanSize))
+      .withColumn("_hot",
+        col("_bsz") > greatest(lit(minHot.toLong), lit(skewFactor) * col("_mean")))
+      .drop("_mean")
+  }
+
+  /** Candidate id pairs (id_a < id_b) from bucket collisions, with per-bucket
+    * output bounded as described above. `keyCols` identify the bucket (e.g.
+    * band_id, band_key); `idCol` is the member id. Emits BARE id pairs —
+    * callers rejoin payloads (vectors, fingerprints) after the distinct, so
+    * the skewed join never shuffles wide rows.
+    */
+  def boundedBucketPairs(banded: DataFrame, keyCols: Seq[String], idCol: String,
+      minHot: Int = 64, skewFactor: Double = 8.0): DataFrame = {
+    val tagged = banded.join(tagHot(banded, keyCols, idCol, minHot, skewFactor), keyCols)
+    val small = tagged.filter(!col("_hot"))
+    val joinCond: Column = keyCols.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+      col(s"x.$idCol") < col(s"y.$idCol")
+    val smallPairs = small.as("x").join(small.as("y"), joinCond)
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+    // star: _rep = min(id) over the bucket, so _rep < idCol always holds
+    val hotPairs = tagged
+      .filter(col("_hot") && col(idCol) =!= col("_rep"))
+      .select(col("_rep").as("id_a"), col(idCol).as("id_b"))
+    smallPairs.union(hotPairs).distinct()
+  }
+
+  /** Hot buckets with their sizes and bounded-vs-unguarded pair costs — the
+    * observability companion to [[boundedBucketPairs]] (same threshold
+    * logic). Run it when you want skew stats logged/persisted; it is not
+    * computed eagerly on the query path (that would force an extra job per
+    * query).
+    */
+  def bucketSkewStats(banded: DataFrame, keyCols: Seq[String], idCol: String,
+      minHot: Int = 64, skewFactor: Double = 8.0): DataFrame =
+    tagHot(banded, keyCols, idCol, minHot, skewFactor)
+      .filter(col("_hot"))
+      .select(keyCols.map(col) :+ col("_bsz").as("bucket_size"): _*)
+      .withColumn("pairs_unguarded", col("bucket_size") * (col("bucket_size") - 1) / 2)
+      .withColumn("pairs_guarded", col("bucket_size") - 1)
+}

@@ -220,12 +220,11 @@ object SimilarityQueries {
         .select(col("vec_id"),
           explode(rpBandKeys(col("embedding"), bands = 10, rowsPerBand = 3)).as("b"))
         .select(col("vec_id"), col("b.band_id"), col("b.band_key"))
-      val cands = banded.as("x").join(banded.as("y"),
-          col("x.band_id") === col("y.band_id") &&
-            col("x.band_key") === col("y.band_key") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-        .distinct()
+      // skew guard: hot band buckets (near-identical / zero vectors) degrade
+      // to a linear star instead of B² pairs; see LshBlocking
+      val cands = LshBlocking.boundedBucketPairs(
+          banded, Seq("band_id", "band_key"), "vec_id")
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
       // no broadcast hint: the vector table is corpus-sized, so AQE must be
       // free to pick shuffle join at scale (it still broadcasts when small)
       val vecs = e.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))

@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.QueryDef
 import graft.analytics.Tables
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: token counting,
@@ -270,38 +271,44 @@ object TextPipelineQueries {
          |FROM p
          |GROUP BY 1, 2
          |ORDER BY lang, predicted_lang""".stripMargin) { (s, d) =>
-      // Same semantics as langIdHeuristic(tokens(text)), reshaped for the
-      // engine: the HOF formulation evaluates 8 interpreted lambdas + 4
-      // regex splits per document, while explode → codegen filter → one
-      // hash aggregate tokenizes once and shuffles only marker hits (plus
-      // one sentinel row per doc so marker-free docs survive to the agg).
-      val en = Seq("the", "a", "of", "and")
-      val es = Seq("el", "la", "de", "y")
-      val de = Seq("der", "die", "das", "und")
-      val fr = Seq("le", "la", "de", "et")
-      val markers = (en ++ es ++ de ++ fr).distinct
-      def hits(m: Seq[String]) =
-        sum(when(col("tok").isin(m: _*), 1).otherwise(0))
-      val predicted =
-        when(col("es_hits") > col("en_hits") &&
-          col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits"), "es")
-          .when(col("de_hits") > col("en_hits") && col("de_hits") >= col("fr_hits"), "de")
-          .when(col("fr_hits") > col("en_hits"), "fr")
-          .otherwise("en")
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          // coalesce: a NULL text must not drop the doc at explode — the
-          // sentinel row alone survives, classifying it 'en' like the oracle
-          explode(concat(array(lit(null).cast("string")),
-            coalesce(tokens(col("text")), array().cast("array<string>")))).as("tok"))
-        .filter(col("tok").isNull || col("tok").isin(markers: _*))
-        .groupBy("doc_id", "lang")
-        .agg(hits(en).as("en_hits"), hits(es).as("es_hits"),
-          hits(de).as("de_hits"), hits(fr).as("fr_hits"))
-        .select(col("lang"), predicted.as("predicted_lang"))
-        .groupBy("lang", "predicted_lang")
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang", "predicted_lang")
+      langIdBreakdown(Tables.documents(s, d))
     }
   )
+
+  /** Language-ID confusion breakdown (labeled lang × predicted lang).
+    * Same semantics as langIdHeuristic(tokens(text)), reshaped for the
+    * engine: the HOF formulation evaluates 8 interpreted lambdas + 4
+    * regex splits per document, while explode → codegen filter → one
+    * hash aggregate tokenizes once and shuffles only marker hits (plus
+    * one sentinel row per doc so marker-free docs survive to the agg).
+    */
+  def langIdBreakdown(docs: DataFrame): DataFrame = {
+    val en = Seq("the", "a", "of", "and")
+    val es = Seq("el", "la", "de", "y")
+    val de = Seq("der", "die", "das", "und")
+    val fr = Seq("le", "la", "de", "et")
+    val markers = (en ++ es ++ de ++ fr).distinct
+    def hits(m: Seq[String]) =
+      sum(when(col("tok").isin(m: _*), 1).otherwise(0))
+    val predicted =
+      when(col("es_hits") > col("en_hits") &&
+        col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits"), "es")
+        .when(col("de_hits") > col("en_hits") && col("de_hits") >= col("fr_hits"), "de")
+        .when(col("fr_hits") > col("en_hits"), "fr")
+        .otherwise("en")
+    docs
+      .select(col("doc_id"), col("lang"),
+        // coalesce: a NULL text must not drop the doc at explode — the
+        // sentinel row alone survives, classifying it 'en' like the oracle
+        explode(concat(array(lit(null).cast("string")),
+          coalesce(tokens(col("text")), array().cast("array<string>")))).as("tok"))
+      .filter(col("tok").isNull || col("tok").isin(markers: _*))
+      .groupBy("doc_id", "lang")
+      .agg(hits(en).as("en_hits"), hits(es).as("es_hits"),
+        hits(de).as("de_hits"), hits(fr).as("fr_hits"))
+      .select(col("lang"), predicted.as("predicted_lang"))
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted_lang")
+  }
 }

@@ -3,21 +3,57 @@ package graft.semantic
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Deterministic query building over a [[SemanticModel]] (reference EP3).
+/** A column reference into the semantic graph: `table` is the SEMANTIC table
+  * name, `column` the SEMANTIC column name (resolved to its declared expr).
+  */
+final case class SemRef(table: String, column: String)
+
+/** An aggregate over the graph. `fn`:
+  *  - `count_star` (ref ignored), `count`, `count_distinct`, `sum`, `min`, `max`
+  *  - `sum_money` / `avg_money`: exact DECIMAL(18,2) accumulation surfaced as
+  *    DOUBLE (avg rounded to 2 dp) — the engine-wide money-parity rule.
+  */
+final case class SemMetric(fn: String, ref: Option[SemRef], alias: String)
+
+/** Pre-aggregation predicate. `op` ∈ is_null, is_not_null, eq, ne, gte, lte;
+  * `value` is parsed per the referenced column's declared data_type.
+  */
+final case class SemFilter(ref: SemRef, op: String, value: Option[String] = None)
+
+/** Ordering over OUTPUT aliases (dimension column names / metric aliases). */
+final case class SemOrder(alias: String, desc: Boolean = false, nullsLast: Boolean = false)
+
+/** A deterministic query request against the model graph — the compile
+  * input Cortex Analyst would produce from a natural-language question
+  * (NL understanding itself is out of scope, SURVEY §3 EP3).
+  */
+final case class SemanticRequest(
+    root: String,
+    relationships: Seq[String] = Nil,
+    dimensions: Seq[SemRef] = Nil,
+    metrics: Seq[SemMetric] = Nil,
+    filters: Seq[SemFilter] = Nil,
+    orderBy: Seq[SemOrder] = Nil)
+
+/** Deterministic query compilation over a [[SemanticModel]] (reference EP3).
   *
-  * No natural-language understanding is in scope (SURVEY §3 EP3) — the
-  * contract is: given the model and a verified-query name, produce a
-  * DataFrame whose results match the verified SQL. The builder supplies the
-  * three guarantees the reference's agent setup encodes:
+  * `compile` turns a (dimensions, metrics, filters, order) request into a
+  * DataFrame using ONLY what the YAML graph declares — tables join through
+  * declared relationships, columns resolve through declared dimension/fact
+  * exprs (plus primary-key and relationship columns), and unknown references
+  * are rejected. The builder supplies the guarantees the reference's agent
+  * setup encodes:
   *   1. the soft-delete filter `_snowflake_deleted = FALSE` is ALWAYS
-  *      injected (healthcare_cdc_semantic_model.yaml:594,614,637-638);
+  *      injected, on every table including join sides
+  *      (healthcare_cdc_semantic_model.yaml:594,614,637-638) — filtering the
+  *      right side BELOW a left join preserves left rows exactly like the
+  *      verified SQL's ON-clause predicate (the J4 rule);
   *   2. joins resolve through declared relationships only;
-  *   3. ordering uses NULLS LAST where the verified SQL does.
+  *   3. ordering is explicit about NULLS placement.
   */
 final class QueryBuilder(model: SemanticModel, source: String => DataFrame) {
 
   private val Deleted = "_snowflake_deleted"
-  private val Updated = "_snowflake_updated_at"
 
   /** A semantic table as a DataFrame with the soft-delete filter injected. */
   def table(name: String): DataFrame = {
@@ -35,45 +71,157 @@ final class QueryBuilder(model: SemanticModel, source: String => DataFrame) {
     val right = table(r.rightTable).as("r")
     val cond = r.columns.map { case (lc, rc) => col(s"l.$lc") === col(s"r.$rc") }
       .reduce(_ && _) && extraOn
-    val joinType = r.joinType match {
-      case "left_outer" => "left"
-      case other => other
-    }
-    left.join(right, cond, joinType)
+    left.join(right, cond, sparkJoinType(r.joinType))
   }
 
-  /** Execute a verified query by name — the golden contract. */
+  private def sparkJoinType(t: String): String = t match {
+    case "left_outer" => "left"
+    case other => other
+  }
+
+  private val Ident = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** Resolve a semantic ref to a qualified Column + its declared data_type.
+    * Legal references: declared dimensions / time_dimensions / facts (by
+    * semantic name → expr), the table's primary key, and columns the graph
+    * uses in a declared relationship (FKs are model-visible even when not
+    * listed as dimensions).
+    */
+  private def resolve(ref: SemRef): (Column, String) = {
+    val t = model.table(ref.table)
+    val declared = (t.dimensions ++ t.timeDimensions ++ t.facts)
+      .find(_.name == ref.column)
+    val physical = declared.map(_.expr).orElse {
+      val relCols = model.relationships.flatMap { r =>
+        (if (r.leftTable == ref.table) r.columns.map(_._1) else Nil) ++
+          (if (r.rightTable == ref.table) r.columns.map(_._2) else Nil)
+      }
+      if (t.primaryKey.contains(ref.column) || relCols.contains(ref.column))
+        Some(ref.column)
+      else None
+    }.getOrElse(throw new NoSuchElementException(
+      s"${ref.table}.${ref.column} is not declared in the semantic model"))
+    require(Ident.matches(physical),
+      s"${ref.table}.${ref.column}: expr '$physical' is not a plain column and cannot be table-qualified")
+    (col(s"${ref.table}.$physical"), declared.map(_.dataType).getOrElse(""))
+  }
+
+  private def typedLit(value: String, dataType: String): Column = dataType match {
+    case "date" => lit(value).cast("date")
+    case "timestamp_ntz" | "timestamp" => lit(value).cast("timestamp")
+    case "boolean" => lit(value.toBoolean)
+    case "number" => lit(value).cast("decimal(18,2)")
+    case _ => lit(value)
+  }
+
+  private def filterCol(f: SemFilter): Column = {
+    val (c, dt) = resolve(f.ref)
+    def v = typedLit(f.value.getOrElse(
+      throw new IllegalArgumentException(s"filter ${f.op} on ${f.ref} needs a value")), dt)
+    f.op match {
+      case "is_null" => c.isNull
+      case "is_not_null" => c.isNotNull
+      case "eq" => c === v
+      case "ne" => c =!= v
+      case "gte" => c >= v
+      case "lte" => c <= v
+      case other => throw new IllegalArgumentException(s"unknown filter op $other")
+    }
+  }
+
+  private def metricCol(m: SemMetric): Column = {
+    def c = resolve(m.ref.getOrElse(throw new IllegalArgumentException(
+      s"metric ${m.fn} as ${m.alias} needs a column ref")))._1
+    val agg = m.fn match {
+      case "count_star" => count(lit(1))
+      case "count" => count(c)
+      case "count_distinct" => countDistinct(c)
+      case "sum" => sum(c)
+      case "min" => min(c)
+      case "max" => max(c)
+      case "sum_money" => sum(c.cast("decimal(18,2)")).cast("double")
+      case "avg_money" =>
+        round(sum(c.cast("decimal(18,2)")).cast("double") / count(c), 2)
+      case other => throw new IllegalArgumentException(s"unknown metric fn $other")
+    }
+    agg.as(m.alias)
+  }
+
+  private def orderCol(o: SemOrder): Column = (o.desc, o.nullsLast) match {
+    case (true, true) => col(o.alias).desc_nulls_last
+    case (true, false) => col(o.alias).desc
+    case (false, true) => col(o.alias).asc_nulls_last
+    case (false, false) => col(o.alias).asc
+  }
+
+  /** Compile a request into a DataFrame through the declared graph. */
+  def compile(req: SemanticRequest): DataFrame = {
+    require(req.metrics.nonEmpty || req.dimensions.nonEmpty,
+      "request needs at least one dimension or metric")
+    // join tree: every relationship must attach a NEW table to one already
+    // in the tree via its declared left side (the preserved side)
+    var inTree = Set(req.root)
+    var df = table(req.root).as(req.root)
+    req.relationships.foreach { relName =>
+      val r = model.relationship(relName)
+      require(inTree(r.leftTable),
+        s"relationship $relName: left table ${r.leftTable} not in the join tree $inTree")
+      require(!inTree(r.rightTable),
+        s"relationship $relName: ${r.rightTable} already joined (self-joins unsupported)")
+      val cond = r.columns.map { case (lc, rc) =>
+        col(s"${r.leftTable}.$lc") === col(s"${r.rightTable}.$rc")
+      }.reduce(_ && _)
+      df = df.join(table(r.rightTable).as(r.rightTable), cond, sparkJoinType(r.joinType))
+      inTree += r.rightTable
+    }
+    val filtered = req.filters.map(filterCol).foldLeft(df)(_ filter _)
+    val dimCols = req.dimensions.map(d => resolve(d)._1.as(d.column))
+    val aggCols = req.metrics.map(metricCol)
+    val aggregated =
+      if (req.dimensions.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
+      else if (req.metrics.isEmpty) filtered.select(dimCols: _*).distinct()
+      else filtered.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    if (req.orderBy.isEmpty) aggregated
+    else aggregated.orderBy(req.orderBy.map(orderCol): _*)
+  }
+
+  /** Execute a verified query by name — the golden contract, expressed as
+    * requests through the generic compile path.
+    */
   def verified(name: String): DataFrame = name match {
-    case "total_appointments_summary" =>
-      table("appointments").agg(
-        count(lit(1)).as("total_appointments"),
-        countDistinct(col("patient_id")).as("unique_patients"),
-        countDistinct(col("doctor_id")).as("unique_doctors"),
-        min(col("appointment_date")).as("earliest"),
-        max(col("appointment_date")).as("latest"))
+    case "total_appointments_summary" => compile(SemanticRequest(
+      root = "appointments",
+      metrics = Seq(
+        SemMetric("count_star", None, "total_appointments"),
+        SemMetric("count_distinct", Some(SemRef("appointments", "patient_id")), "unique_patients"),
+        SemMetric("count_distinct", Some(SemRef("appointments", "doctor_id")), "unique_doctors"),
+        SemMetric("min", Some(SemRef("appointments", "appointment_date")), "earliest"),
+        SemMetric("max", Some(SemRef("appointments", "appointment_date")), "latest"))))
 
-    case "appointments_modified_recently" =>
-      table("appointments")
-        .filter(col(Updated).isNotNull)
-        .groupBy("status")
-        .agg(count(lit(1)).as("modified_count"))
-        .orderBy(col("modified_count").desc_nulls_last, col("status"))
+    case "appointments_modified_recently" => compile(SemanticRequest(
+      root = "appointments",
+      dimensions = Seq(SemRef("appointments", "status")),
+      metrics = Seq(SemMetric("count_star", None, "modified_count")),
+      filters = Seq(SemFilter(SemRef("appointments", "updated_at"), "is_not_null")),
+      orderBy = Seq(
+        SemOrder("modified_count", desc = true, nullsLast = true),
+        SemOrder("status"))))
 
-    case "revenue_by_doctor" =>
-      joined("visits_to_doctors")
-        .groupBy(col("l.doctor_id"), col("l.first_name"), col("l.last_name"),
-          col("l.specialization"), col("l.department"))
-        .agg(
-          count(col("r.visit_id")).as("total_visits"),
-          // exact decimal sum surfaced as DOUBLE (oracle-parity money rule)
-          sum(col("r.total_charge").cast("decimal(18,2)")).cast("double").as("total_revenue"),
-          min(col("r.visit_date")).as("first_visit"),
-          max(col("r.visit_date")).as("last_visit"))
-        .select(
-          col("doctor_id"), col("first_name"), col("last_name"),
-          col("specialization"), col("department"),
-          col("total_visits"), col("total_revenue"), col("first_visit"), col("last_visit"))
-        .orderBy(col("total_revenue").desc_nulls_last, col("doctor_id"))
+    case "revenue_by_doctor" => compile(SemanticRequest(
+      root = "doctors",
+      relationships = Seq("visits_to_doctors"),
+      dimensions = Seq(
+        SemRef("doctors", "doctor_id"), SemRef("doctors", "first_name"),
+        SemRef("doctors", "last_name"), SemRef("doctors", "specialization"),
+        SemRef("doctors", "department")),
+      metrics = Seq(
+        SemMetric("count", Some(SemRef("visits", "visit_id")), "total_visits"),
+        SemMetric("sum_money", Some(SemRef("visits", "total_charge")), "total_revenue"),
+        SemMetric("min", Some(SemRef("visits", "visit_date")), "first_visit"),
+        SemMetric("max", Some(SemRef("visits", "visit_date")), "last_visit")),
+      orderBy = Seq(
+        SemOrder("total_revenue", desc = true, nullsLast = true),
+        SemOrder("doctor_id"))))
 
     case other =>
       throw new NoSuchElementException(s"no builder for verified query $other")

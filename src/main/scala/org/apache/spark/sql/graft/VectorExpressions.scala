@@ -132,8 +132,12 @@ object VectorExpressions {
     ext.injectFunction(dotDescription)
 }
 
-/** Session-extensions entry point (SURVEY §7.3 tier (c) registration). */
+/** Session-extensions entry point (SURVEY §7.3 tier (c) registration):
+  * native expressions + the SQL dialect shims.
+  */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     VectorExpressions.inject(ext)
+    DialectFunctions.inject(ext)
+  }
 }

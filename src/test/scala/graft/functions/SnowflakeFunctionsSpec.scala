@@ -44,6 +44,45 @@ class SnowflakeFunctionsSpec extends SparkSpec {
     assert(out == "a, b, c")
   }
 
+  test("dialect shims are callable as SQL text after registration") {
+    org.apache.spark.sql.graft.DialectFunctions.register(spark)
+    Seq(("2024-01-05 10:00:59", "2025-03-01 10:01:00", "b"),
+      ("2024-06-01 08:30:00", "2024-06-01 09:29:59", "a"),
+      ("2024-06-01 08:30:00", "2024-06-01 09:29:59", "a"))
+      .toDF("a", "b", "tag").createOrReplaceTempView("dialect_t")
+    val row = spark.sql(
+      """SELECT sf_datediff_years(CAST(a AS DATE), CAST(b AS DATE)) AS dy,
+        |       sf_timestampdiff_minutes(CAST(a AS TIMESTAMP), CAST(b AS TIMESTAMP)) AS dm,
+        |       sf_dayofweek(CAST(a AS DATE)) AS dow,
+        |       sf_dayname(CAST(a AS DATE)) AS dn,
+        |       sf_to_char(CAST(a AS TIMESTAMP), 'YYYY-MM HH24:MI') AS tc,
+        |       sf_pct_of(CAST(1 AS DOUBLE), 4) AS pct
+        |FROM dialect_t ORDER BY a LIMIT 1""".stripMargin).collect()(0)
+    assert(row.getAs[Int]("dy") == 1)         // 2025 - 2024
+    assert(row.getAs[Long]("dm") == 606241L)  // 421 days × 1440 + 1 boundary
+    assert(row.getAs[Int]("dow") == 5)        // 2024-01-05 = Friday, 0=Sun
+    assert(row.getAs[String]("dn") == "Fri")
+    assert(row.getAs[String]("tc") == "2024-01 10:00")
+    assert(row.getAs[Double]("pct") == 25.0)
+    // the aggregate shim composes into SQL GROUP BY
+    val agg = spark.sql(
+      """SELECT tag, sf_listagg_distinct(a, ',') AS vals
+        |FROM dialect_t GROUP BY tag ORDER BY tag""".stripMargin).collect()
+    assert(agg.length == 2 && agg(0).getString(1) == "2024-06-01 08:30:00")
+    // SQL equals the Column-API shim on real data (one source of truth)
+    val viaSql = spark.sql(
+      "SELECT sf_dayofweek(CAST(a AS DATE)) AS d FROM dialect_t ORDER BY a")
+      .collect().map(_.getInt(0)).toSeq
+    val viaCol = spark.table("dialect_t")
+      .select(sfDayOfWeek($"a".cast("date")).as("d")).orderBy($"a")
+      .collect().map(_.getInt(0)).toSeq
+    assert(viaSql == viaCol)
+    // non-literal patterns are rejected, not silently misformatted
+    intercept[Exception] {
+      spark.sql("SELECT sf_to_char(CAST(a AS TIMESTAMP), tag) FROM dialect_t").collect()
+    }
+  }
+
   test("exactAvg is reproducible across repartitioning") {
     val base = spark.range(1, 10001).select((rand(42) * 1000).as("x"))
     val a = base.repartition(1).agg(exactAvg($"x")).collect()(0).getDouble(0)

@@ -68,6 +68,24 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("salt is deterministic (content hash, retry-safe) and spreads a hot key") {
+    val df = graft.analytics.Tables.orders(spark, sf())
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    // Same rows → same salts on every evaluation (a stage retry recomputes
+    // identical values, unlike monotonically_increasing_id salts).
+    def saltCounts() = df
+      .withColumn("_salt", pmod(xxhash64(col("o_orderkey"), col("o_totalprice")), lit(8)))
+      .groupBy("_salt").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(saltCounts() == saltCounts())
+    // The aggregate's internal salt must spread the hottest key across
+    // multiple partial groups: phase-1 group count > distinct key count.
+    val keys = df.select("o_orderpriority").distinct().count()
+    val phase1Groups = df
+      .withColumn("_salt", pmod(xxhash64(col("o_orderkey"), col("o_totalprice")), lit(8)))
+      .select("o_orderpriority", "_salt").distinct().count()
+    assert(phase1Groups > keys, s"salt did not spread: $phase1Groups groups for $keys keys")
+  }
+
   test("salted join equals plain inner join") {
     val orders = graft.analytics.Tables.orders(spark, sf()).select("o_orderkey", "o_custkey")
     val customer = graft.analytics.Tables.customer(spark, sf()).select("c_custkey", "c_mktsegment")

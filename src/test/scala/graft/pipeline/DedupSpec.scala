@@ -30,6 +30,43 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
   }
 
+  test("bucket-skew guard: adversarial hot bucket stays linear, cluster stays connected") {
+    // 30% of the corpus is identical boilerplate — every band of every
+    // boilerplate doc collides into ONE bucket. Unguarded, that is
+    // 150·149/2 ≈ 11k pairs per band; guarded, each hot bucket emits a
+    // linear star to the representative.
+    val boiler = (1 to 40).map(i => s"boiler$i").mkString(" ")
+    val docs = ((1L to 150L).map(i => (i, boiler)) ++
+      (151L to 500L).map(i => (i, (1 to 40).map(j => s"u${i}w$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val sh = DedupQueries.shinglePostings(docs)
+    val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val slotAggs = (0 until 32).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    val sig = hashed.groupBy("doc_id").agg(slotAggs.head, slotAggs.tail: _*)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band_id"),
+          xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as("band_key"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+
+    // observability: the hot buckets are visible with their bounded cost
+    val stats = LshBlocking.bucketSkewStats(bands, Seq("band_id", "band_key"), "doc_id", 64)
+      .collect()
+    assert(stats.length == 8, s"expected 8 hot buckets (one per band), got ${stats.length}")
+    assert(stats.forall(_.getAs[Long]("bucket_size") == 150L))
+    assert(stats.forall(_.getAs[Long]("pairs_guarded") == 149L))
+
+    val cands = LshBlocking.boundedBucketPairs(bands, Seq("band_id", "band_key"), "doc_id", 64)
+    // bounded: 8 bands × 149 star edges dedup to 149 distinct pairs, plus
+    // whatever the unique docs contribute (none — their buckets are singletons)
+    val n = cands.count()
+    assert(n <= 500, s"guard failed to bound candidates: $n pairs")
+    // connectivity: every boilerplate doc still reaches the representative
+    val starEdges = cands.filter(col("id_a") === 1L)
+      .collect().map(_.getAs[Long]("id_b")).toSet
+    assert(starEdges == (2L to 150L).toSet, "hot-bucket star must connect the whole cluster")
+  }
+
   test("df-prune + size-ratio prune preserve the exact near-dup pair set") {
     // naive formulation: plain inverted-index join, no prunes — the pruned
     // production plan must return identical rows (values included)

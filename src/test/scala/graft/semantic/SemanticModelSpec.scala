@@ -67,6 +67,52 @@ class SemanticModelSpec extends SparkSpec {
     assert(revs.dropWhile(_.isDefined).forall(_.isEmpty))
   }
 
+  test("generic compile: composed request equals hand-written SQL") {
+    tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    val expected = spark.sql(
+      """SELECT d.specialization, a.appointment_type,
+        |       COUNT(*) AS n_appointments,
+        |       COUNT(DISTINCT a.patient_id) AS unique_patients
+        |FROM appointments a LEFT JOIN doctors d
+        |  ON a.doctor_id = d.doctor_id AND d.`_snowflake_deleted` = FALSE
+        |WHERE a.`_snowflake_deleted` = FALSE AND a.status <> 'CANCELLED'
+        |GROUP BY d.specialization, a.appointment_type""".stripMargin)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val got = qb.compile(SemanticRequest(
+      root = "appointments",
+      relationships = Seq("appointments_to_doctors"),
+      dimensions = Seq(SemRef("doctors", "specialization"), SemRef("appointments", "appointment_type")),
+      metrics = Seq(
+        SemMetric("count_star", None, "n_appointments"),
+        SemMetric("count_distinct", Some(SemRef("appointments", "patient_id")), "unique_patients")),
+      filters = Seq(SemFilter(SemRef("appointments", "status"), "ne", Some("CANCELLED"))),
+      orderBy = Seq(SemOrder("specialization", nullsLast = true), SemOrder("appointment_type"))))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("generic compile rejects columns and joins the graph does not declare") {
+    intercept[NoSuchElementException] {
+      qb.compile(SemanticRequest(
+        root = "appointments",
+        dimensions = Seq(SemRef("appointments", "no_such_column")),
+        metrics = Seq(SemMetric("count_star", None, "n"))))
+    }
+    intercept[IllegalArgumentException] {
+      // visits_to_doctors has left table doctors — not reachable from a
+      // join tree rooted at patients
+      qb.compile(SemanticRequest(
+        root = "patients",
+        relationships = Seq("visits_to_doctors"),
+        metrics = Seq(SemMetric("count_star", None, "n"))))
+    }
+  }
+
   test("soft-delete filter is always injected by the builder") {
     // builder must exclude soft-deleted rows without the caller asking
     val before = qb.verified("total_appointments_summary")
