@@ -53,6 +53,12 @@ object HealthcareData {
   def pq(table: String): String = s"read_parquet('$Root/$table/*.parquet')"
 
   private var built = false
+  private var streamBuilt = false
+
+  /** The demo's staged micro-batches, recorded by [[build]] so the streaming
+    * and bucketed replays apply the IDENTICAL event sequence.
+    */
+  private var recordedBatches: Seq[(String, Seq[CdcEvent])] = Nil
 
   def ensure(spark: SparkSession): Unit = synchronized {
     if (!built) { build(spark); built = true }
@@ -88,6 +94,43 @@ object HealthcareData {
     val s = new BucketedTableStore(spark, s"$Root/bucketed", nBuckets = 16)
     HealthcareTables(s.read("patients"), s.read("doctors"),
       s.read("appointments"), s.read("visits"))
+  }
+
+  /** Post-live-demo tables reached through the REAL STREAMING path: the
+    * recorded demo batches written as a JSON-lines file feed, consumed by
+    * `readStream` → 60 s-cadence trigger (collapsed to AvailableNow for the
+    * gate) → `foreachBatch` merge — reference EP1/T1 end to end. The
+    * change-volume oracle over this state reuses the flat path's DuckDB
+    * expectation, because the merge kernel is batch-split-invariant: the
+    * soft-delete flags and updated_at NULL-ness converge no matter how the
+    * source slices the feed into micro-batches.
+    */
+  def streamedLiveTables(spark: SparkSession): HealthcareTables = {
+    ensure(spark)
+    synchronized { if (!streamBuilt) { buildStreamed(spark); streamBuilt = true } }
+    val s = new TableStore(spark, s"$Root/stream_store", outputFiles = 1)
+    HealthcareTables(s.read("patients"), s.read("doctors"),
+      s.read("appointments"), s.read("visits"))
+  }
+
+  private def buildStreamed(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val feedDir = s"$Root/stream_feed"
+    Seq("stream_feed", "stream_ckpt", "stream_store").foreach(d =>
+      graft.cdc.FsUtils.deleteRecursively(Paths.get(s"$Root/$d")))
+    recordedBatches.foreach { case (_, evs) =>
+      spark.createDataset(evs).coalesce(1).write.mode("append").json(feedDir)
+    }
+    val store = new TableStore(spark, s"$Root/stream_store", outputFiles = 1)
+    val pipeline = new CdcPipeline(spark, store, HealthcareSchema.all,
+      HealthcareSchema.keyColumns,
+      clock = () => lit(NowTs).cast("timestamp_ntz"))
+    pipeline.loadSnapshot(HealthcareFixtures.all(spark, Now))
+    val q = pipeline.start(
+      CdcPipeline.fileEventStream(spark, feedDir),
+      s"$Root/stream_ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    require(q.awaitTermination(300000), "streamed CDC replay did not drain in 300 s")
   }
 
   private def write(df: DataFrame, table: String): Unit =
@@ -219,5 +262,6 @@ object HealthcareData {
       clock = at
       bPipeline.applyEventBatch(spark.createDataset(evs))
     }
+    recordedBatches = recorded.toList
   }
 }

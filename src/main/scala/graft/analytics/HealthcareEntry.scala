@@ -234,7 +234,7 @@ object HealthcareEntry {
     QueryDef(
       "hc_revenue_by_department",
       s"""SELECT d.department, COUNT(*) AS visit_count,
-         |       ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) / COUNT(v.total_charge), 2) AS avg_charge,
+         |       ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(v.total_charge), 2) AS avg_charge,
          |       ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) * 100.0 / CAST(SUM(SUM(CAST(v.total_charge AS DECIMAL(18,2)))) OVER () AS DOUBLE), 1) AS pct_of_total,
          |       CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) AS department_revenue
          |FROM $V v JOIN $D d ON v.doctor_id = d.doctor_id AND d.$NotDel
@@ -246,7 +246,7 @@ object HealthcareEntry {
       "hc_daily_revenue",
       s"""SELECT visit_date, COUNT(*) AS visit_count,
          |       CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue,
-         |       ROUND(CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DOUBLE) / COUNT(total_charge), 2) AS avg_revenue_per_visit,
+         |       ROUND(CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(total_charge), 2) AS avg_revenue_per_visit,
          |       MIN(total_charge) AS min_charge, MAX(total_charge) AS max_charge
          |FROM $V WHERE $NotDel AND visit_date >= DATE '$D30'
          |GROUP BY visit_date""".stripMargin)((s, _) =>
@@ -256,7 +256,7 @@ object HealthcareEntry {
       "hc_monthly_revenue",
       s"""SELECT strftime(visit_date, '%Y-%m') AS month, COUNT(*) AS total_visits,
          |       CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DOUBLE) AS monthly_revenue,
-         |       ROUND(CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DOUBLE) / COUNT(total_charge), 2) AS avg_revenue_per_visit,
+         |       ROUND(CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(total_charge), 2) AS avg_revenue_per_visit,
          |       COUNT(DISTINCT patient_id) AS unique_patients
          |FROM $V WHERE $NotDel
          |GROUP BY month""".stripMargin)((s, _) =>
@@ -285,7 +285,7 @@ object HealthcareEntry {
          |            ELSE 'Senior (65+)' END AS age_group,
          |       COUNT(DISTINCT p.patient_id) AS patient_count,
          |       COUNT(v.visit_id) AS total_visits,
-         |       ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) / COUNT(v.total_charge), 2) AS avg_visit_cost
+         |       ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(v.total_charge), 2) AS avg_visit_cost
          |FROM $P p LEFT JOIN $V v ON p.patient_id = v.patient_id AND v.$NotDel
          |WHERE p.$NotDel
          |GROUP BY 1""".stripMargin)((s, _) =>
@@ -410,6 +410,14 @@ object HealthcareEntry {
     QueryDef("hc_cdc_bucketed_scenario", changeVolumeSql)((s, _) =>
       HealthcareQueries.changeVolume(HealthcareData.bucketedLiveTables(s))),
 
+    /** Same final check over the STREAMING path: the demo batches as a
+      * JSON-lines file feed through readStream → trigger → foreachBatch
+      * ([[graft.cdc.CdcPipeline.start]]) — the reference's EP1/T1 loop under
+      * the driver gate instead of spec-only.
+      */
+    QueryDef("hc_cdc_stream", changeVolumeSql)((s, _) =>
+      HealthcareQueries.changeVolume(HealthcareData.streamedLiveTables(s))),
+
     // ---- category 8: executive KPIs ----
     QueryDef(
       "hc_executive_summary",
@@ -421,7 +429,7 @@ object HealthcareEntry {
          |       ROUND(SUM(CASE WHEN a.status = 'no_show' THEN 1 ELSE 0 END) * 100.0 / CAST(COUNT(a.appointment_id) AS DOUBLE), 1) AS no_show_rate,
          |       COUNT(DISTINCT v.visit_id) AS total_visits,
          |       CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
-         |       ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) / COUNT(v.total_charge), 2) AS avg_revenue_per_visit,
+         |       ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(v.total_charge), 2) AS avg_revenue_per_visit,
          |       COUNT(DISTINCT v.doctor_id) AS active_doctors
          |FROM $A a LEFT JOIN $V v ON a.appointment_id = v.appointment_id AND v.$NotDel
          |WHERE a.$NotDel
@@ -495,5 +503,27 @@ object HealthcareEntry {
           SemFilter(SemRef("appointments", "status"), "ne", Some("CANCELLED"))),
         orderBy = Seq(
           SemOrder("specialization", nullsLast = true),
-          SemOrder("appointment_type", nullsLast = true))))))
+          SemOrder("appointment_type", nullsLast = true))))),
+
+    // Model-declared NAMED FILTER + synonym-addressed refs: the request
+    // refers to 'medical_condition' / 'revenue' / 'expensive_visits', all
+    // synonyms the YAML declares; the WHERE comes from the model's
+    // `filters:` block, not from the request.
+    QueryDef(
+      "sm_named_filter_high_value",
+      s"""SELECT diagnosis, COUNT(*) AS visit_count,
+         |       CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+         |FROM $VL
+         |WHERE $NotDel AND total_charge >= 200
+         |GROUP BY diagnosis""".stripMargin)((s, _) =>
+      semanticCompile(s, SemanticRequest(
+        root = "visits",
+        dimensions = Seq(SemRef("visits", "medical_condition")),
+        metrics = Seq(
+          SemMetric("count_star", None, "visit_count"),
+          SemMetric("sum_money", Some(SemRef("visits", "revenue")), "total_revenue")),
+        namedFilters = Seq(SemRef("visits", "expensive_visits")),
+        orderBy = Seq(
+          SemOrder("total_revenue", desc = true, nullsLast = true),
+          SemOrder("diagnosis"))))))
 }

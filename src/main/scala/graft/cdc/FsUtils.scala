@@ -44,16 +44,57 @@ private[cdc] object Journals {
   private def dir(root: String, table: String) =
     Paths.get(root, s"${table}_journal")
 
-  def append(root: String, table: String, events: DataFrame): Unit =
+  def append(root: String, table: String, events: DataFrame): Unit = {
+    ensureLayout(events.sparkSession, dir(root, table))
     events
       .withColumn(PartCol, org.apache.spark.sql.functions.to_date(
         org.apache.spark.sql.functions.col("commitTs")))
       .write.mode(SaveMode.Append)
       .partitionBy(PartCol)
       .parquet(dir(root, table).toString)
+  }
 
-  def read(spark: SparkSession, root: String, table: String): DataFrame =
+  def read(spark: SparkSession, root: String, table: String): DataFrame = {
+    ensureLayout(spark, dir(root, table))
     spark.read.parquet(dir(root, table).toString).drop(PartCol)
+  }
+
+  /** Root-level data files = a journal written before the hive-partitioned
+    * layout. Mixing them with partition dirs makes Spark's partition
+    * discovery fail ("conflicting directory structures"), and the journal is
+    * the one dataset meant to be durable forever — so migrate, don't break.
+    */
+  private def flatFiles(base: Path): Seq[Path] =
+    if (!Files.exists(base)) Seq.empty
+    else FsUtils.listDir(base).filter(p =>
+      !Files.isDirectory(p) && p.getFileName.toString.endsWith(".parquet"))
+
+  /** One-time, crash-safe migration of a pre-partitioning flat journal into
+    * the `_journal_date=` layout. A marker file makes the rewrite-then-delete
+    * idempotent: the marker is written only AFTER the partitioned copy is
+    * durable, and a retry that finds the marker skips the copy and only
+    * finishes deleting the flat originals — no batch is lost or duplicated.
+    */
+  private def ensureLayout(spark: SparkSession, base: Path): Unit = {
+    val flat = flatFiles(base)
+    val marker = base.resolve("_flat_migration_done")
+    if (flat.nonEmpty && !Files.exists(marker)) {
+      spark.read.parquet(flat.map(_.toString): _*)
+        .withColumn(PartCol, org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("commitTs")))
+        .write.mode(SaveMode.Append)
+        .partitionBy(PartCol)
+        .parquet(base.toString)
+      Files.write(marker,
+        flat.map(_.getFileName.toString).mkString("\n").getBytes("UTF-8"))
+    }
+    if (Files.exists(marker)) {
+      Files.readAllLines(marker).asScala
+        .filter(_.nonEmpty)
+        .foreach(n => Files.deleteIfExists(base.resolve(n)))
+      Files.deleteIfExists(marker)
+    }
+  }
 
   /** Drop journal partitions with commit date STRICTLY BEFORE `olderThan`.
     * Returns the dropped partition names. Unparseable partition values

@@ -50,7 +50,13 @@ object SkewUtils {
       if (saltCols.nonEmpty) saltCols
       else {
         val nonKey = df.columns.toSeq.diff(keys)
-        if (nonKey.nonEmpty) nonKey else df.columns.toSeq
+        // hash-of-key would give every row of a hot key the SAME salt — the
+        // guard silently does nothing. Refuse rather than degrade silently.
+        require(nonKey.nonEmpty,
+          s"contentSalt over keys ${keys.mkString(",")}: no non-key columns to " +
+            "salt from, so a hot key cannot be spread. Pass saltCols (e.g. a " +
+            "unique id column) explicitly.")
+        nonKey
       }
     pmod(xxhash64(input.map(col): _*), lit(salts))
   }

@@ -30,6 +30,22 @@ object DedupQueries {
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
 
+  /** Shared DuckDB CTEs: distinct 3-shingle postings (`ex`) + per-doc
+    * distinct-shingle counts (`sizes`) — the oracle-side mirror of
+    * [[shinglePostings]], used by the ngram oracle and the staged-candidate
+    * minhash oracle.
+    */
+  private val shingleCtes =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |              CASE WHEN len(toks) >= 3
+       |                   THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
+       |                                      i -> array_to_string(toks[i:i+2], ' ')))
+       |                   ELSE [] END AS shingles
+       |       FROM t),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)""".stripMargin
+
   /** Distinct (doc_id, sh) 3-word-shingle postings, built with
     * posexplode + windowed lead — every expression codegen-friendly. The
     * window partitions by doc_id (tokens of one doc are never large), and
@@ -126,15 +142,7 @@ object DedupQueries {
     // ----- Exact n-gram Jaccard near-dup pairs (inverted-index join) -----
     QueryDef(
       "q_dedup_ngram_jaccard",
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |sh AS (SELECT doc_id,
-         |              CASE WHEN len(toks) >= 3
-         |                   THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
-         |                                      i -> array_to_string(toks[i:i+2], ' ')))
-         |                   ELSE [] END AS shingles
-         |       FROM t),
-         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-         |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+      s"""WITH $shingleCtes,
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
          |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
@@ -147,9 +155,24 @@ object DedupQueries {
     },
 
     // ----- MinHash + LSH banding, exact-verified (the at-scale dedup path) -----
-    // Probabilistic candidate generation → no oracle; DedupSpec asserts it
-    // recovers the exact-Jaccard pair set on the test corpus.
-    QueryDef.rowsOnly("q_dedup_minhash_lsh") { (s, d) =>
+    // Candidate generation is seeded-hash DETERMINISTIC but not expressible
+    // in DuckDB; the ORACLE therefore re-verifies the exact-Jaccard final
+    // stage over the STAGED candidate pairs (OracleStage), while DedupSpec
+    // asserts the candidates recover the exact pair set on the test corpus.
+    QueryDef(
+      "q_dedup_minhash_lsh",
+      s"""WITH $shingleCtes,
+         |cand AS (SELECT doc_a, doc_b FROM ${graft.OracleStage.pq("cands_minhash")}),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+         |          FROM cand c
+         |          JOIN ex a ON a.doc_id = c.doc_a
+         |          JOIN ex b ON b.doc_id = c.doc_b AND b.s = a.s
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+         |       CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val sh = shinglePostings(s, d)
       val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
       // 32 min-aggregates in ONE hash aggregate = the whole signature build.
@@ -167,17 +190,38 @@ object DedupQueries {
         .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
       // skew guard: bounded per-bucket pair generation (hot band buckets —
       // boilerplate/empty docs — degrade to a linear star, never B²)
-      val cands = LshBlocking.boundedBucketPairs(
-          bands, Seq("band_id", "band_key"), "doc_id")
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val cands = graft.OracleStage.stage("cands_minhash",
+        LshBlocking.boundedBucketPairs(bands, Seq("band_id", "band_key"), "doc_id")
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       val sizes = sig.select(col("doc_id"), col("n"))
       verifyByJaccard(cands, sh, sizes, minJ = 0.8)
     },
 
     // ----- SimHash fingerprints + Hamming-blocked near-dup pairs -----
-    QueryDef.rowsOnly("q_dedup_simhash") { (s, d) =>
-      val fp = simHashByExplode(Tables.documents(s, d).select("doc_id", "text"))
-      // 4 chunks of 16 bits; Hamming ≤ 3 ⇒ some chunk matches exactly
+    // Fingerprints are deterministic xxhash64 votes (not DuckDB-expressible);
+    // the oracle re-verifies the Hamming stage — XOR + popcount + threshold —
+    // over the STAGED fingerprints and candidate pairs.
+    QueryDef(
+      "q_dedup_simhash",
+      s"""WITH cand AS (SELECT doc_a, doc_b FROM ${graft.OracleStage.pq("cands_simhash")}),
+         |fp AS (SELECT doc_id, simhash FROM ${graft.OracleStage.pq("fp_simhash")})
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER) AS hamming
+         |FROM cand c
+         |JOIN fp fa ON fa.doc_id = c.doc_a
+         |JOIN fp fb ON fb.doc_id = c.doc_b
+         |WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val fp = graft.OracleStage.stage("fp_simhash",
+        simHashByExplode(Tables.documents(s, d).select("doc_id", "text")))
+      // 4 chunks of 16 bits; Hamming ≤ 3 ⇒ some chunk matches exactly — but
+      // that pigeonhole completeness holds only for NON-HOT buckets: the skew
+      // guard below degrades a hot chunk bucket (> max(64, 8× mean), i.e.
+      // boilerplate/identical docs) to a star around a representative, and
+      // unlike MinHash there are no other bands to recover a pair whose only
+      // shared chunk was starred away. Accepted trade: at 100 TB an unguarded
+      // hot bucket is B² pairs of near-identical docs, which no downstream
+      // consumer wants enumerated anyway.
       val chunks = fp.select(col("doc_id"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("chunk_id"),
@@ -186,8 +230,9 @@ object DedupQueries {
       // skew-guarded candidates as BARE id pairs; the 64-bit fingerprints
       // rejoin only for the Hamming check, so the chunk self-join never
       // shuffles them and hot chunks (identical docs) stay linear
-      LshBlocking.boundedBucketPairs(chunks, Seq("chunk_id", "chunk"), "doc_id")
-        .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+      graft.OracleStage.stage("cands_simhash",
+          LshBlocking.boundedBucketPairs(chunks, Seq("chunk_id", "chunk"), "doc_id")
+            .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b"))
         .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
         .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
         .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))

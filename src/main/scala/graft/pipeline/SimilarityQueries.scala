@@ -144,9 +144,21 @@ object SimilarityQueries {
 
     // ----- Random-hyperplane LSH KNN (the bucketed scale path for cosine) -----
     // 16 signed projections → 2 bands of 8 bits; candidates share a band,
-    // then get exactly re-scored. Probabilistic recall → rows-only;
-    // SimilaritySpec measures recall on genuinely clustered data.
-    QueryDef.rowsOnly("q_ann_rp_lsh_topk") { (s, d) =>
+    // then get exactly re-scored. The signatures are fixed-seed deterministic
+    // but not DuckDB-expressible, so the oracle re-verifies the exact
+    // re-scoring + per-query top-k over the STAGED candidate pairs;
+    // SimilaritySpec still measures recall on genuinely clustered data.
+    QueryDef(
+      "q_ann_rp_lsh_topk",
+      s"""WITH cand AS (SELECT query_id, neighbor_id FROM ${graft.OracleStage.pq("cands_rp_topk")}),
+         |scored AS (SELECT query_id, neighbor_id,
+         |                  ROUND(${cosSql("c.embedding", "q.embedding")}, 9) AS cosine
+         |           FROM cand
+         |           JOIN embeddings c ON c.vec_id = cand.neighbor_id
+         |           JOIN embeddings q ON q.vec_id = cand.query_id)
+         |SELECT query_id, neighbor_id, cosine FROM scored
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 5
+         |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
       // band join + distinct over bare id pairs; vectors rejoin for scoring
       def banded(df: org.apache.spark.sql.DataFrame, idCol: String) = df
@@ -159,9 +171,10 @@ object SimilarityQueries {
       val qs = banded(e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding")), "query_id")
       val corpus = banded(e.filter(col("vec_id") >= 20), "vec_id")
-      val cands = corpus.join(qs, Seq("band_id", "band_key"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"))
-        .distinct()
+      val cands = graft.OracleStage.stage("cands_rp_topk",
+        corpus.join(qs, Seq("band_id", "band_key"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+          .distinct())
       // corpus-side vector lookup unhinted (AQE decides); the 20-query side
       // is genuinely bounded → broadcast
       val vecs = e.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
@@ -209,9 +222,19 @@ object SimilarityQueries {
     // re-scoring — the corpus never self-joins n². 3-bit bands (coarser than
     // the top-k query's) because the dedup threshold τ=0.42 sits low:
     // p = 1-acos(τ)/π ≈ 0.64, so expected recall 1-(1-p³)^10 ≈ 0.95 vs
-    // ≈ 0.77 for 8×4. Probabilistic candidate set → rows-only;
-    // SimilaritySpec asserts ≥90% recall against q_dedup_embedding.
-    QueryDef.rowsOnly("q_dedup_embedding_lsh") { (s, d) =>
+    // ≈ 0.77 for 8×4. The oracle re-verifies the exact cosine re-score +
+    // threshold over the STAGED candidate pairs; SimilaritySpec asserts
+    // ≥90% recall against q_dedup_embedding.
+    QueryDef(
+      "q_dedup_embedding_lsh",
+      s"""WITH cand AS (SELECT vec_a, vec_b FROM ${graft.OracleStage.pq("cands_emb_lsh")})
+         |SELECT c.vec_a, c.vec_b,
+         |       ROUND(${cosSql("a.embedding", "b.embedding")}, 9) AS cosine
+         |FROM cand c
+         |JOIN embeddings a ON a.vec_id = c.vec_a
+         |JOIN embeddings b ON b.vec_id = c.vec_b
+         |WHERE ROUND(${cosSql("a.embedding", "b.embedding")}, 9) >= 0.42
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
       // candidates are generated and deduplicated as BARE ID PAIRS — the
       // 64-float vectors rejoin only for the exact re-score, so the band
@@ -222,9 +245,9 @@ object SimilarityQueries {
         .select(col("vec_id"), col("b.band_id"), col("b.band_key"))
       // skew guard: hot band buckets (near-identical / zero vectors) degrade
       // to a linear star instead of B² pairs; see LshBlocking
-      val cands = LshBlocking.boundedBucketPairs(
-          banded, Seq("band_id", "band_key"), "vec_id")
-        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+      val cands = graft.OracleStage.stage("cands_emb_lsh",
+        LshBlocking.boundedBucketPairs(banded, Seq("band_id", "band_key"), "vec_id")
+          .select(col("id_a").as("vec_a"), col("id_b").as("vec_b")))
       // no broadcast hint: the vector table is corpus-sized, so AQE must be
       // free to pick shuffle join at scale (it still broadcasts when small)
       val vecs = e.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
@@ -240,9 +263,20 @@ object SimilarityQueries {
     },
 
     // ----- IVF-style partitioned ANN: probe best partitions only -----
-    // Probabilistic recall (depends on partition quality) → rows-only here;
-    // SimilaritySpec measures recall@10 against the brute-force baseline.
-    QueryDef.rowsOnly("q_ann_ivf_topk") { (s, d) =>
+    // Recall depends on partition quality (SimilaritySpec measures recall@10
+    // against brute force); the probe decision itself is deterministic, so
+    // the oracle re-runs the probed-partition search — filter, exact cosine,
+    // top-k — over the STAGED probe result.
+    QueryDef(
+      "q_ann_ivf_topk",
+      s"""WITH probed AS (SELECT label FROM ${graft.OracleStage.pq("ivf_probed")}),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label,
+         |       ROUND(${cosSql("e.embedding", "qv")}, 9) AS cosine
+         |FROM embeddings e JOIN probed p ON e.label = p.label, q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cosine DESC, vec_id
+         |LIMIT 10""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"), norm(col("embedding")).as("nq"))
@@ -253,11 +287,12 @@ object SimilarityQueries {
         .select(col("label"),
           transform(col("sumv"), x => x / col("n")).as("centroid"))
       // probe: top-2 centroids by cosine to the query
-      val probed = centroids.crossJoin(broadcast(q))
-        .select(col("label"), cosine(col("centroid"), col("qv")).as("cscore"))
-        .orderBy(col("cscore").desc, col("label"))
-        .limit(2)
-        .select(col("label"))
+      val probed = graft.OracleStage.stage("ivf_probed",
+        centroids.crossJoin(broadcast(q))
+          .select(col("label"), cosine(col("centroid"), col("qv")).as("cscore"))
+          .orderBy(col("cscore").desc, col("label"))
+          .limit(2)
+          .select(col("label")))
       // search only the probed partitions (join prunes before scoring)
       e.filter(col("vec_id") =!= 0)
         .join(broadcast(probed), "label")

@@ -26,6 +26,11 @@ final case class SemOrder(alias: String, desc: Boolean = false, nullsLast: Boole
 /** A deterministic query request against the model graph — the compile
   * input Cortex Analyst would produce from a natural-language question
   * (NL understanding itself is out of scope, SURVEY §3 EP3).
+  *
+  * `namedFilters` select model-declared reusable predicates (the YAML's
+  * per-table `filters:` blocks) by table + filter name/synonym; each is
+  * applied to its table's frame BELOW the join (the J4 rule), exactly like
+  * the always-on soft-delete exclusion.
   */
 final case class SemanticRequest(
     root: String,
@@ -33,6 +38,7 @@ final case class SemanticRequest(
     dimensions: Seq[SemRef] = Nil,
     metrics: Seq[SemMetric] = Nil,
     filters: Seq[SemFilter] = Nil,
+    namedFilters: Seq[SemRef] = Nil,
     orderBy: Seq[SemOrder] = Nil)
 
 /** Deterministic query compilation over a [[SemanticModel]] (reference EP3).
@@ -87,10 +93,17 @@ final class QueryBuilder(model: SemanticModel, source: String => DataFrame) {
     * uses in a declared relationship (FKs are model-visible even when not
     * listed as dimensions).
     */
-  private def resolve(ref: SemRef): (Column, String) = {
+  private final case class Resolved(
+      column: Column, dataType: String, canonical: String, physical: String)
+
+  /** Resolve by canonical name OR any declared synonym — the model's
+    * `synonyms:` blocks are first-class addresses, as in the reference's
+    * Cortex spec (nearly every dimension there declares them).
+    */
+  private def resolve(ref: SemRef): Resolved = {
     val t = model.table(ref.table)
     val declared = (t.dimensions ++ t.timeDimensions ++ t.facts)
-      .find(_.name == ref.column)
+      .find(c => c.name == ref.column || c.synonyms.contains(ref.column))
     val physical = declared.map(_.expr).orElse {
       val relCols = model.relationships.flatMap { r =>
         (if (r.leftTable == ref.table) r.columns.map(_._1) else Nil) ++
@@ -103,7 +116,10 @@ final class QueryBuilder(model: SemanticModel, source: String => DataFrame) {
       s"${ref.table}.${ref.column} is not declared in the semantic model"))
     require(Ident.matches(physical),
       s"${ref.table}.${ref.column}: expr '$physical' is not a plain column and cannot be table-qualified")
-    (col(s"${ref.table}.$physical"), declared.map(_.dataType).getOrElse(""))
+    Resolved(col(s"${ref.table}.$physical"),
+      declared.map(_.dataType).getOrElse(""),
+      declared.map(_.name).getOrElse(ref.column),
+      physical)
   }
 
   private def typedLit(value: String, dataType: String): Column = dataType match {
@@ -114,10 +130,30 @@ final class QueryBuilder(model: SemanticModel, source: String => DataFrame) {
     case _ => lit(value)
   }
 
+  /** Literal typing for refs with no declared data_type (PK/FK-only columns):
+    * infer from the base table's Spark schema instead of falling through to a
+    * raw string literal — a string compared to a numeric/date column would
+    * lean on implicit casts and can silently misbehave.
+    */
+  private def schemaTypedLit(value: String, ref: SemRef, physical: String): Column = {
+    val base = model.table(ref.table).baseTable
+    val field = source(base).schema.find(_.name == physical).getOrElse(
+      throw new NoSuchElementException(
+        s"${ref.table}.${ref.column}: physical column $physical not in base table $base"))
+    field.dataType match {
+      case org.apache.spark.sql.types.StringType => lit(value)
+      case other => lit(value).cast(other)
+    }
+  }
+
   private def filterCol(f: SemFilter): Column = {
-    val (c, dt) = resolve(f.ref)
-    def v = typedLit(f.value.getOrElse(
-      throw new IllegalArgumentException(s"filter ${f.op} on ${f.ref} needs a value")), dt)
+    val r = resolve(f.ref)
+    val (c, dt) = (r.column, r.dataType)
+    def v = {
+      val raw = f.value.getOrElse(
+        throw new IllegalArgumentException(s"filter ${f.op} on ${f.ref} needs a value"))
+      if (dt.nonEmpty) typedLit(raw, dt) else schemaTypedLit(raw, f.ref, r.physical)
+    }
     f.op match {
       case "is_null" => c.isNull
       case "is_not_null" => c.isNotNull
@@ -131,7 +167,7 @@ final class QueryBuilder(model: SemanticModel, source: String => DataFrame) {
 
   private def metricCol(m: SemMetric): Column = {
     def c = resolve(m.ref.getOrElse(throw new IllegalArgumentException(
-      s"metric ${m.fn} as ${m.alias} needs a column ref")))._1
+      s"metric ${m.fn} as ${m.alias} needs a column ref"))).column
     val agg = m.fn match {
       case "count_star" => count(lit(1))
       case "count" => count(c)
@@ -141,7 +177,9 @@ final class QueryBuilder(model: SemanticModel, source: String => DataFrame) {
       case "max" => max(c)
       case "sum_money" => sum(c.cast("decimal(18,2)")).cast("double")
       case "avg_money" =>
-        round(sum(c.cast("decimal(18,2)")).cast("double") / count(c), 2)
+        // Decimal division + decimal ROUND (HALF_UP on the exact quotient);
+        // a DOUBLE-side round diverges from the oracle on half-cent quotients.
+        round(sum(c.cast("decimal(18,2)")) / count(c), 2).cast("double")
       case other => throw new IllegalArgumentException(s"unknown metric fn $other")
     }
     agg.as(m.alias)
@@ -158,10 +196,21 @@ final class QueryBuilder(model: SemanticModel, source: String => DataFrame) {
   def compile(req: SemanticRequest): DataFrame = {
     require(req.metrics.nonEmpty || req.dimensions.nonEmpty,
       "request needs at least one dimension or metric")
+    // model-declared named filters apply to their table's frame BELOW the
+    // join (J4: an outer join's preserved side keeps its rows)
+    val namedByTable = req.namedFilters.groupBy(_.table).map { case (t, refs) =>
+      t -> refs.map(r => model.table(t).filter(r.column))
+    }
+    def tableFrame(name: String): DataFrame =
+      namedByTable.getOrElse(name, Nil)
+        .foldLeft(table(name))((d, f) => d.filter(expr(f.expr)))
+    namedByTable.keys.foreach(t => require(
+      t == req.root || req.relationships.exists(model.relationship(_).rightTable == t),
+      s"named filter on $t, but $t is not in the join tree"))
     // join tree: every relationship must attach a NEW table to one already
     // in the tree via its declared left side (the preserved side)
     var inTree = Set(req.root)
-    var df = table(req.root).as(req.root)
+    var df = tableFrame(req.root).as(req.root)
     req.relationships.foreach { relName =>
       val r = model.relationship(relName)
       require(inTree(r.leftTable),
@@ -171,11 +220,19 @@ final class QueryBuilder(model: SemanticModel, source: String => DataFrame) {
       val cond = r.columns.map { case (lc, rc) =>
         col(s"${r.leftTable}.$lc") === col(s"${r.rightTable}.$rc")
       }.reduce(_ && _)
-      df = df.join(table(r.rightTable).as(r.rightTable), cond, sparkJoinType(r.joinType))
+      df = df.join(tableFrame(r.rightTable).as(r.rightTable), cond, sparkJoinType(r.joinType))
       inTree += r.rightTable
     }
     val filtered = req.filters.map(filterCol).foldLeft(df)(_ filter _)
-    val dimCols = req.dimensions.map(d => resolve(d)._1.as(d.column))
+    // dimensions surface under their CANONICAL names (synonym-addressed refs
+    // normalize); two same-named dimensions from different tables would make
+    // the output schema ill-formed and the orderBy-on-alias ambiguous
+    val dimAliases = req.dimensions.map(d => resolve(d).canonical)
+    require(dimAliases.distinct.size == dimAliases.size,
+      s"duplicate dimension output names ${dimAliases.diff(dimAliases.distinct).distinct.mkString(", ")}: " +
+        "two dimensions resolve to the same column name — drop one or extend " +
+        "the model with a distinctly-named dimension (e.g. doctor_first_name)")
+    val dimCols = req.dimensions.zip(dimAliases).map { case (d, a) => resolve(d).column.as(a) }
     val aggCols = req.metrics.map(metricCol)
     val aggregated =
       if (req.dimensions.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)

@@ -32,9 +32,27 @@ final case class SemTable(
     primaryKey: Seq[String],
     dimensions: Seq[SemColumn],
     timeDimensions: Seq[SemColumn],
-    facts: Seq[SemColumn])
+    facts: Seq[SemColumn],
+    filters: Seq[SemNamedFilter] = Nil,
+    synonyms: Seq[String] = Nil) {
 
-final case class SemColumn(name: String, expr: String, dataType: String)
+  /** Resolve a named filter by its canonical name or any declared synonym. */
+  def filter(name: String): SemNamedFilter =
+    filters.find(f => f.name == name || f.synonyms.contains(name)).getOrElse(
+      throw new NoSuchElementException(
+        s"semantic table ${this.name} declares no filter named '$name' " +
+          s"(declared: ${filters.map(_.name).mkString(", ")})"))
+}
+
+final case class SemColumn(
+    name: String, expr: String, dataType: String, synonyms: Seq[String] = Nil)
+
+/** A model-declared reusable predicate (the Cortex semantic-model spec's
+  * per-table `filters:` block): a name plus a SQL expression over the
+  * table's physical columns, selectable by name or synonym at request time.
+  */
+final case class SemNamedFilter(
+    name: String, expr: String, synonyms: Seq[String] = Nil)
 
 final case class Relationship(
     name: String,
@@ -58,9 +76,19 @@ object SemanticModel {
     def str(m: scala.collection.Map[String, Object], k: String, dflt: String = ""): String =
       m.get(k).map(_.toString).getOrElse(dflt)
 
+    def strs(m: scala.collection.Map[String, Object], k: String): Seq[String] =
+      Option(m.getOrElse(k, null))
+        .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.toString))
+        .getOrElse(Seq.empty)
+
     def cols(m: scala.collection.Map[String, Object], k: String): Seq[SemColumn] =
       seqOfMaps(m.getOrElse(k, null)).map(c =>
-        SemColumn(str(c, "name"), str(c, "expr", str(c, "name")), str(c, "data_type")))
+        SemColumn(str(c, "name"), str(c, "expr", str(c, "name")), str(c, "data_type"),
+          strs(c, "synonyms")))
+
+    def filters(m: scala.collection.Map[String, Object]): Seq[SemNamedFilter] =
+      seqOfMaps(m.getOrElse("filters", null)).map(f =>
+        SemNamedFilter(str(f, "name"), str(f, "expr"), strs(f, "synonyms")))
 
     val tables = seqOfMaps(root.getOrElse("tables", null)).map { t =>
       val base = t.get("base_table").map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
@@ -73,7 +101,9 @@ object SemanticModel {
         primaryKey = pk,
         dimensions = cols(t, "dimensions"),
         timeDimensions = cols(t, "time_dimensions"),
-        facts = cols(t, "facts"))
+        facts = cols(t, "facts"),
+        filters = filters(t),
+        synonyms = strs(t, "synonyms"))
     }
 
     val rels = seqOfMaps(root.getOrElse("relationships", null)).map { r =>
