@@ -42,10 +42,14 @@ object Bench {
         }
       case other => sys.error(s"SPARK_GRAFT_BENCH_ORDER=$other (alpha|reverse|seed:<n>)")
     }
-    // ISOLATE=1: clear the SQL cache + force a GC before each query, so one
-    // query's leftovers (cached relations, un-collected garbage) can't bill
-    // to the next — the knob that separates plan cost from session drift
-    val isolate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "0") == "1"
+    // ISOLATE=1 (default): clear the SQL cache + force a GC before each
+    // query, so one query's leftovers (cached relations, un-collected
+    // garbage) can't bill to the next. Round-5 forensics (BASELINE.md) showed
+    // un-isolated runs attribute 13–49 s of GC debt to whichever heavy
+    // self-join runs at the wrong position — the victim MOVED with run order
+    // (alpha: minhash 16 s; reverse: embedding_lsh 52 s; isolated: every
+    // dedup query 2.9–3.6 s). Set ISOLATE=0 to measure session drift itself.
+    val isolate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "1") == "1"
     val results = ordered.map { case (name, fn) =>
       if (isolate) { spark.catalog.clearCache(); System.gc() }
       val times = (1 to reps).flatMap { _ =>

@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *    other, less-skewed bands still catch (the standard b-bands recall
   *    argument), and that exact verification would mostly reject anyway.
   *
-  * The bucket-size aggregate shuffles on the same keys as the self-join, so
-  * the exchange is reused — the guard costs one hash aggregate, not an extra
-  * full shuffle.
+  * The bucket sizes come from a WINDOW over the bucket key, so the guard and
+  * the self-join hang off ONE exchange of the banded rows (see tagHot) — the
+  * guard costs a per-partition sort, not a recompute of the banding's
+  * upstream.
   */
 object LshBlocking {
 
@@ -34,22 +35,33 @@ object LshBlocking {
     * to the banding's typical bucket, not a fixed count. Coarse bandings
     * (few bits per band) legitimately produce large-but-uniform buckets —
     * capping those is a recall bug, not a skew guard; the fix for uniformly
-    * huge buckets is more bits per band, chosen by the caller. The 1-row
-    * mean broadcasts, so the relative threshold costs no extra shuffle.
+    * huge buckets is more bits per band, chosen by the caller.
+    *
+    * Shaped as a WINDOW over the bucket key, not aggregate-then-join-back:
+    * an aggregate's exchange (partial-agg rows) and the join's exchange (raw
+    * rows) are different subtrees, so the agg+join form recomputes `banded`'s
+    * whole upstream — for MinHash that is the full signature pipeline —
+    * twice. The window tags sizes in ONE pass over one exchange, and every
+    * downstream consumer (both self-join sides, the hot-star branch, the
+    * mean) hangs off that same exchange, which ReuseExchange then dedupes.
+    * The 1-row mean broadcast-cross-joins on top — a nested-loop join with a
+    * PROVABLY single-row build side is O(n), and PlanAuditSpec's unkeyed-join
+    * audit admits exactly that case (a constant equi-key doesn't survive the
+    * optimizer: FoldablePropagation folds `1 = 1` away and the plan
+    * degenerates to the same cross join).
     */
   private def tagHot(banded: DataFrame, keyCols: Seq[String], idCol: String,
       minHot: Int, skewFactor: Double): DataFrame = {
     require(minHot >= 2, s"minHot=$minHot: need ≥ 2 for any pair to survive")
     require(skewFactor > 1.0, s"skewFactor=$skewFactor: must exceed 1 (mean bucket is not hot)")
-    val counts = banded.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("_bsz"), min(col(idCol)).as("_rep"))
-    // the 1-row mean broadcast-cross-joins onto the bucket counts — a
-    // nested-loop join with a PROVABLY single-row build side is O(n), and
-    // PlanAuditSpec's unkeyed-join audit admits exactly that case (a
-    // constant equi-key doesn't survive the optimizer: FoldablePropagation
-    // folds `1 = 1` away and the plan degenerates to the same cross join)
-    val meanSize = counts.agg(avg(col("_bsz")).as("_mean"))
-    counts.crossJoin(broadcast(meanSize))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
+    val sized = banded
+      .withColumn("_bsz", count(lit(1)).over(w))
+      .withColumn("_rep", min(col(idCol)).over(w))
+    val meanSize = sized
+      .select(keyCols.map(col) :+ col("_bsz"): _*).distinct()
+      .agg(avg(col("_bsz")).as("_mean"))
+    sized.crossJoin(broadcast(meanSize))
       .withColumn("_hot",
         col("_bsz") > greatest(lit(minHot.toLong), lit(skewFactor) * col("_mean")))
       .drop("_mean")
@@ -63,7 +75,7 @@ object LshBlocking {
     */
   def boundedBucketPairs(banded: DataFrame, keyCols: Seq[String], idCol: String,
       minHot: Int = 64, skewFactor: Double = 8.0): DataFrame = {
-    val tagged = banded.join(tagHot(banded, keyCols, idCol, minHot, skewFactor), keyCols)
+    val tagged = tagHot(banded, keyCols, idCol, minHot, skewFactor)
     val small = tagged.filter(!col("_hot"))
     val joinCond: Column = keyCols.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
       col(s"x.$idCol") < col(s"y.$idCol")
@@ -87,6 +99,7 @@ object LshBlocking {
     tagHot(banded, keyCols, idCol, minHot, skewFactor)
       .filter(col("_hot"))
       .select(keyCols.map(col) :+ col("_bsz").as("bucket_size"): _*)
+      .distinct() // tagHot tags members; stats report one row per bucket
       .withColumn("pairs_unguarded", col("bucket_size") * (col("bucket_size") - 1) / 2)
       .withColumn("pairs_guarded", col("bucket_size") - 1)
 }

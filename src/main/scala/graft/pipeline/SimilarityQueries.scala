@@ -66,6 +66,35 @@ object SimilarityQueries {
     }: _*)
   }
 
+  /** Exact all-pairs embedding near-dup BASELINE — deliberately guarded.
+    *
+    * The plan broadcasts the FULL corpus and scores O(n²) pairs: correct and
+    * fast at verification scale, an OOM + quadratic wall at production scale.
+    * The guard refuses corpora beyond `maxCorpus` rows (a cheap parquet
+    * metadata count) so the baseline cannot be lifted into a 100 TB pipeline
+    * unnoticed — `q_dedup_embedding_lsh` is the scale path.
+    */
+  def exactNearDupPairs(e: org.apache.spark.sql.DataFrame, minCos: Double,
+      maxCorpus: Long = 100000L): org.apache.spark.sql.DataFrame = {
+    val n = e.count()
+    require(n <= maxCorpus,
+      s"exact embedding near-dup baseline refused: corpus has $n rows > $maxCorpus. " +
+        "This plan broadcasts the full corpus and compares O(n^2) pairs — " +
+        "use the RP-LSH banded variant (q_dedup_embedding_lsh) at scale.")
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      norm(col("embedding")).as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      norm(col("embedding")).as("nb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      // membership decided on the ROUNDED value in both engines — raw
+      // doubles an ulp from τ must not flip the set under the hash gate
+      .filter(round(col("cos"), 9) >= minCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 9).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- Brute-force cosine scoring against a fixed query vector -----
@@ -202,19 +231,7 @@ object SimilarityQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ROUND(${cosSql("a.embedding", "b.embedding")}, 9) >= 0.42
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        norm(col("embedding")).as("na"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-        norm(col("embedding")).as("nb"))
-      a.crossJoin(broadcast(b))
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-        // membership decided on the ROUNDED value in both engines — raw
-        // doubles an ulp from τ must not flip the set under the hash gate
-        .filter(round(col("cos"), 9) >= 0.42)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 9).as("cosine"))
-        .orderBy("vec_a", "vec_b")
+      exactNearDupPairs(Tables.embeddings(s, d), minCos = 0.42)
     },
 
     // ----- Embedding near-dup via RP-LSH blocking (the scale path) -----

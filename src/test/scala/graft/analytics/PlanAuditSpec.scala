@@ -154,4 +154,30 @@ class PlanAuditSpec extends SparkSpec {
     assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[sh#".r
       .findFirstIn(p).isDefined, p)
   }
+
+  test("LSH skew guard: pair-generating consumers share ONE banded exchange") {
+    // tagHot is a window over the bucket key precisely so the PAIR-GENERATING
+    // consumers — both self-join sides and the hot-star branch — hang off a
+    // single exchange of the banded rows (the agg+join-back shape recomputed
+    // the whole upstream — for MinHash, the signature pipeline — once per
+    // consumer; AQE stage reuse can't unify a partial-agg exchange with a
+    // raw-row exchange). The one consumer that legitimately keeps its own
+    // exchange is the 1-row mean: column pruning drops the id from its
+    // branch, so its exchange carries a narrower schema and cannot be the
+    // same shuffle. AQE prints a reused stage's subtree at every use site,
+    // so DISTINCT plan_ids in the FINAL plan (not occurrence count) is the
+    // dedup evidence: 4 consumers, ≤2 distinct exchanges, and the modal one
+    // serves ≥3 use sites.
+    val df = graft.SparkEntry.queries("q_dedup_simhash")(spark, sf())
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val ids =
+      raw"Exchange hashpartitioning\(chunk_id#\d+, chunk#\d+L?, \d+\), ENSURE_REQUIREMENTS, \[plan_id=(\d+)\]".r
+        .findAllMatchIn(finalPlan).map(_.group(1)).toList
+    val distinct = ids.toSet
+    assert(distinct.size <= 2, s"banded exchange duplicated: $ids\n${finalPlan.take(4000)}")
+    val modalUses = ids.groupBy(identity).values.map(_.size).max
+    assert(modalUses >= 3,
+      s"expected the shared banded exchange at ≥3 use sites, got $ids\n${finalPlan.take(4000)}")
+  }
 }

@@ -70,6 +70,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("exact near-dup baseline refuses corpora beyond its broadcast guard") {
+    val df = (0L until 10L).map(i => (i, Array.fill(4)(i.toFloat + 1f))).toDF("vec_id", "embedding")
+    // under the limit: builds and runs
+    assert(SimilarityQueries.exactNearDupPairs(df, minCos = 2.0, maxCorpus = 10).count() == 0)
+    // over the limit: refused at build time with the scale-path pointer
+    val e = intercept[IllegalArgumentException] {
+      SimilarityQueries.exactNearDupPairs(df, minCos = 2.0, maxCorpus = 9)
+    }
+    assert(e.getMessage.contains("q_dedup_embedding_lsh"))
+  }
+
   test("codegen FloatVectorDot is bit-identical to the declarative HOF dot") {
     val e = graft.analytics.Tables.embeddings(spark, sf())
     val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
