@@ -449,6 +449,37 @@ object HealthcareEntry {
          |ORDER BY check_name""".stripMargin)((s, _) =>
       HealthcareQueries.dataQualityChecks(snap(s))),
 
+    /** The reference's snapshot eyeball check (sql/2.verify_snapshot.sql:
+      * 51-83, SELECT * … LIMIT 10 shapes) with a deterministic order — the
+      * full row including CDC metadata columns, hash-gated.
+      */
+    QueryDef(
+      "hc_sample_patients",
+      s"SELECT * FROM $P ORDER BY patient_id LIMIT 10")((s, _) =>
+      HealthcareData.tables(s).patients.orderBy("patient_id").limit(10)),
+
+    /** PII masking for downstream/training exports: local-part-stripped
+      * email, last-4-only phone. Pure string/regex ops chosen for exact
+      * cross-engine parity (no lookaround, no backrefs).
+      */
+    QueryDef(
+      "hc_pii_masked",
+      s"""SELECT patient_id,
+         |       regexp_replace(email, '^[^@]+', '***') AS masked_email,
+         |       repeat('*', length(phone) - 4) || substr(phone, length(phone) - 3, 4) AS masked_phone,
+         |       city, state
+         |FROM $P WHERE $NotDel
+         |ORDER BY patient_id""".stripMargin)((s, _) => {
+      HealthcareData.tables(s).patients
+        .filter(s"${graft.cdc.CdcApplier.MetaDeleted} = false")
+        .selectExpr(
+          "patient_id",
+          "regexp_replace(email, '^[^@]+', '***') AS masked_email",
+          "concat(repeat('*', length(phone) - 4), substring(phone, length(phone) - 3, 4)) AS masked_phone",
+          "city", "state")
+        .orderBy("patient_id")
+    }),
+
     // ---- semantic-model verified queries (EP3) ----
     QueryDef(
       "sm_total_appointments",

@@ -197,6 +197,41 @@ object DedupQueries {
       verifyByJaccard(cands, sh, sizes, minJ = 0.8)
     },
 
+    // ----- Benchmark decontamination: flag training docs overlapping a
+    // held-out benchmark set by shared n-grams (the standard pre-training
+    // hygiene step: no eval shingle may leak into the training corpus).
+    // Same inverted-index shape as the near-dup join: shuffle key is the
+    // shingle, the benchmark side is bounded by construction (benchmarks are
+    // small) and broadcast, so the training corpus never shuffles at all —
+    // a map-side semi-join at any scale. -----
+    QueryDef(
+      "q_decontaminate",
+      s"""WITH $shingleCtes,
+         |bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
+         |train AS (SELECT doc_id, s FROM ex WHERE doc_id % 97 <> 0),
+         |hits AS (SELECT t.doc_id, COUNT(*) AS contaminated_shingles
+         |         FROM train t JOIN bench b ON t.s = b.s
+         |         GROUP BY t.doc_id)
+         |SELECT h.doc_id, contaminated_shingles, sz.n AS n_shingles,
+         |       CAST(contaminated_shingles AS DOUBLE) / sz.n AS contamination_rate
+         |FROM hits h JOIN sizes sz ON h.doc_id = sz.doc_id
+         |ORDER BY contamination_rate DESC, h.doc_id
+         |LIMIT 100""".stripMargin) { (s, d) =>
+      val sh = shinglePostings(s, d)
+      // stand-in benchmark slice: every 97th doc (deterministic holdout)
+      val benchSh = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
+      val train = sh.filter(col("doc_id") % 97 =!= 0)
+      val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      train.join(broadcast(benchSh), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("contaminated_shingles"))
+        .join(sizes, "doc_id")
+        .withColumn("contamination_rate",
+          col("contaminated_shingles").cast("double") / col("n_shingles"))
+        .select("doc_id", "contaminated_shingles", "n_shingles", "contamination_rate")
+        .orderBy(col("contamination_rate").desc, col("doc_id"))
+        .limit(100)
+    },
+
     // ----- SimHash fingerprints + Hamming-blocked near-dup pairs -----
     // Fingerprints are deterministic xxhash64 votes (not DuckDB-expressible);
     // the oracle re-verifies the Hamming stage — XOR + popcount + threshold —
