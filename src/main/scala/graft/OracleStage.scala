@@ -32,6 +32,19 @@ object OracleStage {
 
   private val written = scala.collection.mutable.Set.empty[String]
 
+  /** Recursively delete the staging root (Verify calls this at startup so a
+    * failed staging can never alias a previous run's candidates).
+    */
+  def clean(): Unit = synchronized {
+    written.clear()
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(Root))
+  }
+
   /** In oracle-stage mode: materialize `df` under `name` (once per JVM) and
     * return a scan of the materialized copy. Otherwise: `df` unchanged.
     */

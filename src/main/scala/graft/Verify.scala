@@ -9,6 +9,10 @@ object Verify {
     // materialize deterministic candidate stages so their exact-verification
     // final stage is DuckDB-checkable (see OracleStage)
     System.setProperty("graft.oracle.stage", "1")
+    // drop any previous run's staged candidates: a query that dies before
+    // (re)staging must surface as a missing-file oracle error, not silently
+    // compare against a stale parquet from an earlier run
+    OracleStage.clean()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -234,7 +234,7 @@ object HealthcareEntry {
     QueryDef(
       "hc_revenue_by_department",
       s"""SELECT d.department, COUNT(*) AS visit_count,
-         |       ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(v.total_charge), 2) AS avg_charge,
+         |       CAST(ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(v.total_charge), 2) AS DOUBLE) AS avg_charge,
          |       ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) * 100.0 / CAST(SUM(SUM(CAST(v.total_charge AS DECIMAL(18,2)))) OVER () AS DOUBLE), 1) AS pct_of_total,
          |       CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) AS department_revenue
          |FROM $V v JOIN $D d ON v.doctor_id = d.doctor_id AND d.$NotDel
@@ -246,7 +246,7 @@ object HealthcareEntry {
       "hc_daily_revenue",
       s"""SELECT visit_date, COUNT(*) AS visit_count,
          |       CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue,
-         |       ROUND(CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(total_charge), 2) AS avg_revenue_per_visit,
+         |       CAST(ROUND(CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(total_charge), 2) AS DOUBLE) AS avg_revenue_per_visit,
          |       MIN(total_charge) AS min_charge, MAX(total_charge) AS max_charge
          |FROM $V WHERE $NotDel AND visit_date >= DATE '$D30'
          |GROUP BY visit_date""".stripMargin)((s, _) =>
@@ -256,7 +256,7 @@ object HealthcareEntry {
       "hc_monthly_revenue",
       s"""SELECT strftime(visit_date, '%Y-%m') AS month, COUNT(*) AS total_visits,
          |       CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DOUBLE) AS monthly_revenue,
-         |       ROUND(CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(total_charge), 2) AS avg_revenue_per_visit,
+         |       CAST(ROUND(CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(total_charge), 2) AS DOUBLE) AS avg_revenue_per_visit,
          |       COUNT(DISTINCT patient_id) AS unique_patients
          |FROM $V WHERE $NotDel
          |GROUP BY month""".stripMargin)((s, _) =>
@@ -285,7 +285,7 @@ object HealthcareEntry {
          |            ELSE 'Senior (65+)' END AS age_group,
          |       COUNT(DISTINCT p.patient_id) AS patient_count,
          |       COUNT(v.visit_id) AS total_visits,
-         |       ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(v.total_charge), 2) AS avg_visit_cost
+         |       CAST(ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(v.total_charge), 2) AS DOUBLE) AS avg_visit_cost
          |FROM $P p LEFT JOIN $V v ON p.patient_id = v.patient_id AND v.$NotDel
          |WHERE p.$NotDel
          |GROUP BY 1""".stripMargin)((s, _) =>
@@ -429,7 +429,7 @@ object HealthcareEntry {
          |       ROUND(SUM(CASE WHEN a.status = 'no_show' THEN 1 ELSE 0 END) * 100.0 / CAST(COUNT(a.appointment_id) AS DOUBLE), 1) AS no_show_rate,
          |       COUNT(DISTINCT v.visit_id) AS total_visits,
          |       CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
-         |       ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(v.total_charge), 2) AS avg_revenue_per_visit,
+         |       CAST(ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(v.total_charge), 2) AS DOUBLE) AS avg_revenue_per_visit,
          |       COUNT(DISTINCT v.doctor_id) AS active_doctors
          |FROM $A a LEFT JOIN $V v ON a.appointment_id = v.appointment_id AND v.$NotDel
          |WHERE a.$NotDel

@@ -1,13 +1,21 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py [--tolerant] <sfDir> <verifyOutDir>
 
 For each <name> subdir in verifyOutDir (Spark parquet result) with an entry in
 oracle_sql.json, runs the oracle SQL in DuckDB (tables = parquet files in
-sfDir), sorts columns by name, sorts rows, and compares values (exact for
-ints/strings, 1e-9 rel for floats). Prints per-query PASS/FAIL.
+sfDir), sorts columns by name, sorts rows, and compares values.
+
+Default mode is STRICT, mirroring the driver's hash gate: every value is
+compared by its exact string repr with NO float tolerance and NO cross-type
+coercion beyond str() — so Decimal('228.40') != 228.4 (trailing zero),
+0.30000000000000004 != 0.3, and a DECIMAL column vs a DOUBLE column fails
+even when the numbers are "equal". If strict passes locally, the driver's
+hash compare passes. --tolerant restores the old 1e-9-relative float compare
+for debugging whether a failure is value-level or formatting-level.
 """
+import datetime as _dt
 import json
 import math
 import sys
@@ -20,13 +28,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, float):
-        return v
-    return v
-
-
-def values_equal(a, b):
+def values_equal_tolerant(a, b):
     if a is None and b is None:
         return True
     if isinstance(a, float) or isinstance(b, float):
@@ -39,7 +41,30 @@ def values_equal(a, b):
     return str(a) == str(b)
 
 
-def main(sf_dir, out_dir):
+def strict_repr(v):
+    """Exact repr the way a hash gate would see it: str() of the raw value.
+
+    str(float) is repr(float) in py3 (shortest round-trip), str(Decimal)
+    preserves scale ('228.40'), None is 'None'. No normalization on purpose.
+    """
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else repr(v)
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        # Spark parquet timestamps are UTC-adjusted (tz-aware via pyarrow);
+        # DuckDB returns naive datetimes. Driver-green timestamp queries show
+        # the gate treats these as the same instant — normalize to naive UTC.
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return str(v)
+
+
+def main(argv):
+    strict = True
+    args = [a for a in argv if a != "--tolerant"]
+    if len(args) != len(argv):
+        strict = False
+    sf_dir, out_dir = args[0], args[1]
     out = Path(out_dir)
     oracle = json.loads((out / "oracle_sql.json").read_text())
     con = duckdb.connect()
@@ -72,18 +97,23 @@ def main(sf_dir, out_dir):
             print(f"SCHEMA {name}: spark={s_cols} duck={d_cols}")
             n_fail += 1
             continue
-        s_rows = sorted(map(tuple, map(lambda r: [str(norm(x)) if not isinstance(x, float) else x for x in r],
-                                       zip(*[spark_tbl.column(c).to_pylist() for c in s_cols]))), key=str)
-        d_rows = sorted(map(tuple, map(lambda r: [str(norm(x)) if not isinstance(x, float) else x for x in r],
-                                       zip(*[duck.column(c).to_pylist() for c in d_cols]))), key=str)
+        if strict:
+            s_rows = sorted(tuple(strict_repr(x) for x in r)
+                            for r in zip(*[spark_tbl.column(c).to_pylist() for c in s_cols]))
+            d_rows = sorted(tuple(strict_repr(x) for x in r)
+                            for r in zip(*[duck.column(c).to_pylist() for c in d_cols]))
+        else:
+            s_rows = sorted(map(tuple, zip(*[spark_tbl.column(c).to_pylist() for c in s_cols])), key=str)
+            d_rows = sorted(map(tuple, zip(*[duck.column(c).to_pylist() for c in d_cols])), key=str)
         if len(s_rows) != len(d_rows):
             print(f"ROWS {name}: spark={len(s_rows)} duck={len(d_rows)}")
             n_fail += 1
             continue
         bad = None
         for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
-            for c, (sv, dv) in zip(s_cols, zip(sr, dr)):
-                if not values_equal(sv, dv):
+            for c, sv, dv in zip(s_cols, sr, dr):
+                ok = (sv == dv) if strict else values_equal_tolerant(sv, dv)
+                if not ok:
                     bad = (i, c, sv, dv)
                     break
             if bad:
@@ -94,9 +124,10 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(s_rows)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    mode = "strict" if strict else "tolerant"
+    print(f"\n[{mode}] {n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1:]))
