@@ -466,7 +466,9 @@ object HealthcareEntry {
       "hc_pii_masked",
       s"""SELECT patient_id,
          |       regexp_replace(email, '^[^@]+', '***') AS masked_email,
-         |       repeat('*', length(phone) - 4) || substr(phone, length(phone) - 3, 4) AS masked_phone,
+         |       CASE WHEN length(phone) >= 4
+         |            THEN repeat('*', length(phone) - 4) || substr(phone, length(phone) - 3, 4)
+         |            ELSE repeat('*', length(phone)) END AS masked_phone,
          |       city, state
          |FROM $P WHERE $NotDel
          |ORDER BY patient_id""".stripMargin)((s, _) => {
@@ -475,7 +477,11 @@ object HealthcareEntry {
         .selectExpr(
           "patient_id",
           "regexp_replace(email, '^[^@]+', '***') AS masked_email",
-          "concat(repeat('*', length(phone) - 4), substring(phone, length(phone) - 3, 4)) AS masked_phone",
+          // short phones: Spark treats substring pos <= 0 as 1 while DuckDB
+          // yields fewer chars — guard so both engines mask the whole value
+          """CASE WHEN length(phone) >= 4
+             THEN concat(repeat('*', length(phone) - 4), substring(phone, length(phone) - 3, 4))
+             ELSE repeat('*', length(phone)) END AS masked_phone""",
           "city", "state")
         .orderBy("patient_id")
     }),

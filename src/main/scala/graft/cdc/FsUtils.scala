@@ -69,30 +69,62 @@ private[cdc] object Journals {
     else FsUtils.listDir(base).filter(p =>
       !Files.isDirectory(p) && p.getFileName.toString.endsWith(".parquet"))
 
-  /** One-time, crash-safe migration of a pre-partitioning flat journal into
-    * the `_journal_date=` layout. A marker file makes the rewrite-then-delete
-    * idempotent: the marker is written only AFTER the partitioned copy is
-    * durable, and a retry that finds the marker skips the copy and only
-    * finishes deleting the flat originals — no batch is lost or duplicated.
+  /** Serializes ensureLayout: a concurrent append() + read() first touching
+    * a legacy flat journal must not both run the migration copy. Migration
+    * is one-time and the steady-state check is a cheap directory listing,
+    * so one JVM-wide monitor is enough.
     */
-  private def ensureLayout(spark: SparkSession, base: Path): Unit = {
+  private val migrationLock = new Object
+
+  /** One-time, crash-safe migration of a pre-partitioning flat journal into
+    * the `_journal_date=` layout, via a two-marker protocol:
+    *
+    *  1. `_flat_migration_pending` (listing the flat files) is written
+    *     BEFORE the partitioned copy;
+    *  2. the copy runs (partitioned Append from the flat files);
+    *  3. `_flat_migration_done` is written, pending is removed;
+    *  4. the flat originals are deleted, done is removed.
+    *
+    * A retry that finds `pending` without `done` wipes the partition dirs
+    * and redoes the copy — safe because in that state the partition dirs can
+    * only hold the crashed copy's output: every append() migrates (and
+    * deletes the flat files) before its first partitioned write, so flat
+    * files coexisting with partition data means an interrupted migration.
+    * A retry that finds `done` skips the copy and only finishes deleting the
+    * flat originals. No batch is lost or duplicated at any crash point.
+    */
+  private def ensureLayout(spark: SparkSession, base: Path): Unit = migrationLock.synchronized {
+    val pending = base.resolve("_flat_migration_pending")
+    val done = base.resolve("_flat_migration_done")
     val flat = flatFiles(base)
-    val marker = base.resolve("_flat_migration_done")
-    if (flat.nonEmpty && !Files.exists(marker)) {
+    if (flat.nonEmpty && !Files.exists(done)) {
+      if (Files.exists(pending)) {
+        // crashed mid-copy: the partition dirs hold a partial (or complete
+        // but unacknowledged) copy of the still-present flat files — drop
+        // them and redo the copy from the originals
+        FsUtils.listDir(base)
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(s"$PartCol="))
+          .foreach(FsUtils.deleteRecursively)
+      }
+      Files.write(pending,
+        flat.map(_.getFileName.toString).mkString("\n").getBytes("UTF-8"))
       spark.read.parquet(flat.map(_.toString): _*)
         .withColumn(PartCol, org.apache.spark.sql.functions.to_date(
           org.apache.spark.sql.functions.col("commitTs")))
         .write.mode(SaveMode.Append)
         .partitionBy(PartCol)
         .parquet(base.toString)
-      Files.write(marker,
+      Files.write(done,
         flat.map(_.getFileName.toString).mkString("\n").getBytes("UTF-8"))
+      Files.deleteIfExists(pending)
     }
-    if (Files.exists(marker)) {
-      Files.readAllLines(marker).asScala
+    if (Files.exists(done)) {
+      Files.readAllLines(done).asScala
         .filter(_.nonEmpty)
         .foreach(n => Files.deleteIfExists(base.resolve(n)))
-      Files.deleteIfExists(marker)
+      Files.deleteIfExists(pending) // crash between steps 3 and 4 leaves both
+      Files.deleteIfExists(done)
     }
   }
 

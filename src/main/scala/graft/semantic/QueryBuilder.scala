@@ -102,8 +102,14 @@ final class QueryBuilder(model: SemanticModel, source: String => DataFrame) {
     */
   private def resolve(ref: SemRef): Resolved = {
     val t = model.table(ref.table)
-    val declared = (t.dimensions ++ t.timeDimensions ++ t.facts)
-      .find(c => c.name == ref.column || c.synonyms.contains(ref.column))
+    // models built programmatically can bypass SemanticModel.validated —
+    // still refuse a first-declared-wins resolution on ambiguous addresses
+    val matches = (t.dimensions ++ t.timeDimensions ++ t.facts)
+      .filter(c => c.name == ref.column || c.synonyms.contains(ref.column))
+    require(matches.map(_.name).distinct.size <= 1,
+      s"${ref.table}.${ref.column} is ambiguous: matches " +
+        matches.map(_.name).distinct.mkString(", "))
+    val declared = matches.headOption
     val physical = declared.map(_.expr).orElse {
       val relCols = model.relationships.flatMap { r =>
         (if (r.leftTable == ref.table) r.columns.map(_._1) else Nil) ++

@@ -24,6 +24,30 @@ final case class SemanticModel(
   def relationship(name: String): Relationship =
     relationships.find(_.name == name).getOrElse(
       throw new NoSuchElementException(s"relationship $name"))
+
+  /** Fail fast on address collisions: a synonym that duplicates another
+    * column's canonical name (or another synonym) in the same table would
+    * otherwise resolve by declaration order — which column wins would depend
+    * on dimensions/time_dimensions/facts ordering. Same rule for named
+    * filters. Returns `this` so load() can validate inline.
+    */
+  def validated: SemanticModel = {
+    for (t <- tables) {
+      val colAddrs = (t.dimensions ++ t.timeDimensions ++ t.facts)
+        .flatMap(c => (c.name +: c.synonyms).map(_ -> c.name))
+      val dupCols = colAddrs.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1)
+      require(dupCols.isEmpty,
+        s"semantic table ${t.name}: ambiguous column address(es) " +
+          dupCols.map { case (a, cs) => s"'$a' -> {${cs.map(_._2).distinct.mkString(", ")}}" }
+            .mkString("; "))
+      val filterAddrs = t.filters.flatMap(f => (f.name +: f.synonyms).map(_ -> f.name))
+      val dupFilters = filterAddrs.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1)
+      require(dupFilters.isEmpty,
+        s"semantic table ${t.name}: ambiguous filter address(es) " +
+          dupFilters.keys.mkString(", "))
+    }
+    this
+  }
 }
 
 final case class SemTable(
@@ -36,12 +60,19 @@ final case class SemTable(
     filters: Seq[SemNamedFilter] = Nil,
     synonyms: Seq[String] = Nil) {
 
-  /** Resolve a named filter by its canonical name or any declared synonym. */
-  def filter(name: String): SemNamedFilter =
-    filters.find(f => f.name == name || f.synonyms.contains(name)).getOrElse(
+  /** Resolve a named filter by its canonical name or any declared synonym;
+    * refuses an ambiguous address rather than taking declaration order.
+    */
+  def filter(name: String): SemNamedFilter = {
+    val matches = filters.filter(f => f.name == name || f.synonyms.contains(name))
+    require(matches.map(_.name).distinct.size <= 1,
+      s"semantic table ${this.name}: filter address '$name' is ambiguous: " +
+        matches.map(_.name).distinct.mkString(", "))
+    matches.headOption.getOrElse(
       throw new NoSuchElementException(
         s"semantic table ${this.name} declares no filter named '$name' " +
           s"(declared: ${filters.map(_.name).mkString(", ")})"))
+  }
 }
 
 final case class SemColumn(
@@ -116,7 +147,7 @@ object SemanticModel {
     val vqs = seqOfMaps(root.getOrElse("verified_queries", null)).map(q =>
       VerifiedQuery(str(q, "name"), str(q, "question"), str(q, "sql")))
 
-    SemanticModel(str(root, "name"), str(root, "description"), tables, rels, vqs)
+    SemanticModel(str(root, "name"), str(root, "description"), tables, rels, vqs).validated
   }
 
   def loadResource(path: String): SemanticModel = {
