@@ -33,6 +33,22 @@ object HealthcareEntry {
 
   private val NotDel = "_snowflake_deleted = FALSE"
 
+  /** Version-proof HALF_UP money average for oracle SQL, in integer cents.
+    *
+    * `ROUND(quotient, 2)` semantics drift across DuckDB versions: on the
+    * half-cent quotient 523.77/2 = 261.885 a ROUND over DOUBLE sees the
+    * binary value 261.88499… and (correctly) rounds DOWN in 1.1+, while
+    * Spark's decimal HALF_UP rounds UP — four rounds of `hc_daily_revenue`
+    * hash failures. So the oracle never rounds a quotient: it computes
+    * HALF_UP itself with BIGINT floor division, `(2c + n) // (2n)` (exact
+    * for the CHECK >= 0 charges), and the final `/100` is the same IEEE
+    * division in every engine. Bit-identical to Spark's
+    * [[graft.functions.SnowflakeFunctions.moneyAvg2]] (decimal HALF_UP on
+    * the exact quotient).
+    */
+  private def moneyAvgSql(x: String): String =
+    s"CAST((2*CAST(SUM(CAST($x AS DECIMAL(18,2)))*100 AS BIGINT) + COUNT($x)) // (2*COUNT($x)) AS DOUBLE)/100"
+
   /** Lifetime change-volume oracle (sql/3.live_appointments.sql:366-402),
     * shared verbatim by the flat and bucketed CDC scenario entries.
     */
@@ -234,7 +250,7 @@ object HealthcareEntry {
     QueryDef(
       "hc_revenue_by_department",
       s"""SELECT d.department, COUNT(*) AS visit_count,
-         |       CAST(ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(v.total_charge), 2) AS DOUBLE) AS avg_charge,
+         |       ${moneyAvgSql("v.total_charge")} AS avg_charge,
          |       ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) * 100.0 / CAST(SUM(SUM(CAST(v.total_charge AS DECIMAL(18,2)))) OVER () AS DOUBLE), 1) AS pct_of_total,
          |       CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) AS department_revenue
          |FROM $V v JOIN $D d ON v.doctor_id = d.doctor_id AND d.$NotDel
@@ -246,7 +262,7 @@ object HealthcareEntry {
       "hc_daily_revenue",
       s"""SELECT visit_date, COUNT(*) AS visit_count,
          |       CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue,
-         |       CAST(ROUND(CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(total_charge), 2) AS DOUBLE) AS avg_revenue_per_visit,
+         |       ${moneyAvgSql("total_charge")} AS avg_revenue_per_visit,
          |       MIN(total_charge) AS min_charge, MAX(total_charge) AS max_charge
          |FROM $V WHERE $NotDel AND visit_date >= DATE '$D30'
          |GROUP BY visit_date""".stripMargin)((s, _) =>
@@ -256,7 +272,7 @@ object HealthcareEntry {
       "hc_monthly_revenue",
       s"""SELECT strftime(visit_date, '%Y-%m') AS month, COUNT(*) AS total_visits,
          |       CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DOUBLE) AS monthly_revenue,
-         |       CAST(ROUND(CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(total_charge), 2) AS DOUBLE) AS avg_revenue_per_visit,
+         |       ${moneyAvgSql("total_charge")} AS avg_revenue_per_visit,
          |       COUNT(DISTINCT patient_id) AS unique_patients
          |FROM $V WHERE $NotDel
          |GROUP BY month""".stripMargin)((s, _) =>
@@ -285,7 +301,7 @@ object HealthcareEntry {
          |            ELSE 'Senior (65+)' END AS age_group,
          |       COUNT(DISTINCT p.patient_id) AS patient_count,
          |       COUNT(v.visit_id) AS total_visits,
-         |       CAST(ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(v.total_charge), 2) AS DOUBLE) AS avg_visit_cost
+         |       ${moneyAvgSql("v.total_charge")} AS avg_visit_cost
          |FROM $P p LEFT JOIN $V v ON p.patient_id = v.patient_id AND v.$NotDel
          |WHERE p.$NotDel
          |GROUP BY 1""".stripMargin)((s, _) =>
@@ -429,7 +445,7 @@ object HealthcareEntry {
          |       ROUND(SUM(CASE WHEN a.status = 'no_show' THEN 1 ELSE 0 END) * 100.0 / CAST(COUNT(a.appointment_id) AS DOUBLE), 1) AS no_show_rate,
          |       COUNT(DISTINCT v.visit_id) AS total_visits,
          |       CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
-         |       CAST(ROUND(CAST(SUM(CAST(v.total_charge AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(v.total_charge), 2) AS DOUBLE) AS avg_revenue_per_visit,
+         |       ${moneyAvgSql("v.total_charge")} AS avg_revenue_per_visit,
          |       COUNT(DISTINCT v.doctor_id) AS active_doctors
          |FROM $A a LEFT JOIN $V v ON a.appointment_id = v.appointment_id AND v.$NotDel
          |WHERE a.$NotDel

@@ -35,17 +35,8 @@ object HealthcareQueries {
 
   private def moneySum(c: Column): Column = sum(dec2(c)).cast("double")
 
-  /** ROUND(AVG(money), 2) with deterministic decimal math end to end.
-    *
-    * The division and the ROUND both stay in DECIMAL: Spark's `round` on
-    * DOUBLE does HALF_UP on the exact binary value (261.885 is stored as
-    * 261.88499…, rounding DOWN), while DuckDB rounds the decimal
-    * representation UP — half-cent quotients (523.77/2) diverged. Decimal
-    * division (scale ≥ 6) then decimal ROUND is HALF_UP on the exact
-    * quotient in both engines; only the final surfaced value is DOUBLE.
-    */
-  private def moneyAvg2(c: Column): Column =
-    round(sum(dec2(c)) / count(c), 2).cast("double")
+  // moneyAvg2 comes from SnowflakeFunctions (single source of truth for the
+  // decimal-HALF_UP money-average invariant; see its scaladoc).
 
   // ---- Category 1: appointment status (sql/4.analytics_queries.sql:27-41) ----
 

@@ -77,36 +77,37 @@ private[cdc] object Journals {
   private val migrationLock = new Object
 
   /** One-time, crash-safe migration of a pre-partitioning flat journal into
-    * the `_journal_date=` layout, via a two-marker protocol:
+    * the `_journal_date=` layout, via an isolated STAGING copy — live
+    * `_journal_date=` partition dirs are NEVER deleted, at any crash point:
     *
-    *  1. `_flat_migration_pending` (listing the flat files) is written
-    *     BEFORE the partitioned copy;
-    *  2. the copy runs (partitioned Append from the flat files);
-    *  3. `_flat_migration_done` is written, pending is removed;
-    *  4. the flat originals are deleted, done is removed.
+    *  1. `_flat_migration_pending` (listing the flat files) is written,
+    *     then the partitioned copy is built under
+    *     `_flat_migration_staging/` (wiping any half-built staging first);
+    *  2. `_flat_migration_staged` (a manifest of `partdir/file` staged data
+    *     files) is written — the commit point for the copy;
+    *  3. the manifest is replayed: each staged file moves into its live
+    *     partition dir (a file already gone from staging was moved by a
+    *     previous crashed run — the replay is idempotent);
+    *  4. the flat originals named in `pending` are deleted, then staging
+    *     and both markers.
     *
-    * A retry that finds `pending` without `done` wipes the partition dirs
-    * and redoes the copy — safe because in that state the partition dirs can
-    * only hold the crashed copy's output: every append() migrates (and
-    * deletes the flat files) before its first partitioned write, so flat
-    * files coexisting with partition data means an interrupted migration.
-    * A retry that finds `done` skips the copy and only finishes deleting the
-    * flat originals. No batch is lost or duplicated at any crash point.
+    * A crash before step 2 redoes the copy into a fresh staging dir; a crash
+    * after it resumes the move/cleanup from the manifest. Unlike a
+    * wipe-partitions-and-recopy recovery, a flat file that appears AFTER
+    * partitioned history exists (old-version writer in a rolling upgrade, a
+    * manual backfill drop) starts a new migration cycle that only ever ADDS
+    * its own staged files — the existing partitioned history is untouchable
+    * by construction. (`migrationLock` serializes within a JVM; the marker
+    * files keep any cross-process interleaving recoverable, since every
+    * recovery path is a redo-from-originals or an idempotent replay.)
     */
   private def ensureLayout(spark: SparkSession, base: Path): Unit = migrationLock.synchronized {
     val pending = base.resolve("_flat_migration_pending")
-    val done = base.resolve("_flat_migration_done")
+    val staged = base.resolve("_flat_migration_staged")
+    val staging = base.resolve("_flat_migration_staging")
     val flat = flatFiles(base)
-    if (flat.nonEmpty && !Files.exists(done)) {
-      if (Files.exists(pending)) {
-        // crashed mid-copy: the partition dirs hold a partial (or complete
-        // but unacknowledged) copy of the still-present flat files — drop
-        // them and redo the copy from the originals
-        FsUtils.listDir(base)
-          .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith(s"$PartCol="))
-          .foreach(FsUtils.deleteRecursively)
-      }
+    if (flat.nonEmpty && !Files.exists(staged)) {
+      FsUtils.deleteRecursively(staging) // a half-built copy from a crash
       Files.write(pending,
         flat.map(_.getFileName.toString).mkString("\n").getBytes("UTF-8"))
       spark.read.parquet(flat.map(_.toString): _*)
@@ -114,17 +115,30 @@ private[cdc] object Journals {
           org.apache.spark.sql.functions.col("commitTs")))
         .write.mode(SaveMode.Append)
         .partitionBy(PartCol)
-        .parquet(base.toString)
-      Files.write(done,
-        flat.map(_.getFileName.toString).mkString("\n").getBytes("UTF-8"))
-      Files.deleteIfExists(pending)
+        .parquet(staging.toString)
+      val stagedFiles = FsUtils.listDir(staging)
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(s"$PartCol="))
+        .flatMap(d => FsUtils.listDir(d)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(f => s"${d.getFileName}/${f.getFileName}"))
+      Files.write(staged, stagedFiles.mkString("\n").getBytes("UTF-8"))
     }
-    if (Files.exists(done)) {
-      Files.readAllLines(done).asScala
-        .filter(_.nonEmpty)
-        .foreach(n => Files.deleteIfExists(base.resolve(n)))
-      Files.deleteIfExists(pending) // crash between steps 3 and 4 leaves both
-      Files.deleteIfExists(done)
+    if (Files.exists(staged)) {
+      Files.readAllLines(staged).asScala.filter(_.nonEmpty).foreach { rel =>
+        val src = staging.resolve(rel)
+        if (Files.exists(src)) { // absent = already moved by a crashed run
+          val dst = base.resolve(rel)
+          Files.createDirectories(dst.getParent)
+          Files.move(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+      if (Files.exists(pending))
+        Files.readAllLines(pending).asScala.filter(_.nonEmpty)
+          .foreach(n => Files.deleteIfExists(base.resolve(n)))
+      FsUtils.deleteRecursively(staging)
+      Files.deleteIfExists(pending)
+      Files.deleteIfExists(staged)
     }
   }
 

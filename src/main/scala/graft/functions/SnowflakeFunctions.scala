@@ -77,4 +77,17 @@ object SnowflakeFunctions {
     */
   def exactAvg(c: Column): Column =
     sum(dec2(c)).cast("double") / count(c)
+
+  /** `ROUND(AVG(money), 2)` with HALF_UP applied to the EXACT decimal
+    * quotient, surfaced as DOUBLE. The division and the ROUND both stay in
+    * DECIMAL: rounding the quotient as a DOUBLE sees the binary value
+    * (261.885 is stored as 261.88499…) and rounds half-cent quotients DOWN,
+    * while decimal HALF_UP rounds them UP. Equals the integer-cents identity
+    * `(2·cents + n) div (2n) / 100` for non-negative money — the form the
+    * DuckDB oracles use so no engine-version ROUND semantics are involved.
+    * All money averages in the engine (and the semantic layer's `avg_money`)
+    * go through this.
+    */
+  def moneyAvg2(c: Column): Column =
+    round(sum(dec2(c)) / count(c), 2).cast("double")
 }

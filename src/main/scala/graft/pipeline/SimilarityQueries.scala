@@ -74,15 +74,15 @@ object SimilarityQueries {
     * metadata count) so the baseline cannot be lifted into a 100 TB pipeline
     * unnoticed — `q_dedup_embedding_lsh` is the scale path.
     */
-  /** Memo for the guard's corpus count, keyed by canonicalized plan — the
-    * fence costs one count job per distinct corpus per JVM, not per call.
-    */
-  private val guardCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
-
+  // The guard counts on EVERY call, deliberately unmemoized: a cached n keyed
+  // by plan shape goes stale when the underlying files grow within the JVM,
+  // and LocalRelation canonicalization omits row data, so two same-schema
+  // corpora would share a key — an oversized corpus could slip past the O(n²)
+  // fence. For parquet the count is metadata-only; that price buys a fence
+  // that cannot be wrong.
   def exactNearDupPairs(e: org.apache.spark.sql.DataFrame, minCos: Double,
       maxCorpus: Long = 100000L): org.apache.spark.sql.DataFrame = {
-    val n = guardCounts.getOrElseUpdate(
-      e.queryExecution.analyzed.canonicalized.toString, e.count())
+    val n = e.count()
     require(n <= maxCorpus,
       s"exact embedding near-dup baseline refused: corpus has $n rows > $maxCorpus. " +
         "This plan broadcasts the full corpus and compares O(n^2) pairs — " +

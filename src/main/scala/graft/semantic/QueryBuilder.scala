@@ -182,10 +182,7 @@ final class QueryBuilder(model: SemanticModel, source: String => DataFrame) {
       case "min" => min(c)
       case "max" => max(c)
       case "sum_money" => sum(c.cast("decimal(18,2)")).cast("double")
-      case "avg_money" =>
-        // Decimal division + decimal ROUND (HALF_UP on the exact quotient);
-        // a DOUBLE-side round diverges from the oracle on half-cent quotients.
-        round(sum(c.cast("decimal(18,2)")) / count(c), 2).cast("double")
+      case "avg_money" => graft.functions.SnowflakeFunctions.moneyAvg2(c)
       case other => throw new IllegalArgumentException(s"unknown metric fn $other")
     }
     agg.as(m.alias)

@@ -83,6 +83,26 @@ class SnowflakeFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("moneyAvg2 rounds half-cent quotients HALF_UP (the hc_daily_revenue invariant)") {
+    // the four half-cent sums that kept hc_daily_revenue red for 4 rounds:
+    // 523.77/2=261.885, 498.51/2, 440.51/2, 483.95/2 — HALF_UP must round UP
+    val pairs = Seq(
+      ("d1", 261.88), ("d1", 261.89), ("d2", 249.25), ("d2", 249.26),
+      ("d3", 220.25), ("d3", 220.26), ("d4", 241.97), ("d4", 241.98))
+    val got = pairs.toDF("g", "x").groupBy("g").agg(moneyAvg2($"x").as("a"))
+      .orderBy("g").collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq(261.89, 249.26, 220.26, 241.98))
+    // moneyAvg2 == the oracle's integer-cents identity (2c+n) div (2n) / 100
+    // on arbitrary non-negative cents data, at any group size
+    val base = spark.range(0, 5000)
+      .selectExpr("id % 37 AS g", "ROUND(rand(7) * 1000, 2) AS x")
+    val mismatches = base.groupBy("g")
+      .agg(sum(dec2($"x")).as("s"), count($"x").as("n"), moneyAvg2($"x").as("a"))
+      .selectExpr("a", "CAST((2*CAST(s*100 AS BIGINT) + n) DIV (2*n) AS DOUBLE)/100 AS b")
+      .where("a <> b").count()
+    assert(mismatches == 0L)
+  }
+
   test("exactAvg is reproducible across repartitioning") {
     val base = spark.range(1, 10001).select((rand(42) * 1000).as("x"))
     val a = base.repartition(1).agg(exactAvg($"x")).collect()(0).getDouble(0)
