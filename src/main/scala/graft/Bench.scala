@@ -15,6 +15,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // settle barrier: the driver launches the bench minutes after a full
+    // test session, and r6 showed 1.3–1.8× swings on UNTOUCHED queries from
+    // that ambient load even under ISOLATE=1. Wait (bounded) for the 1-min
+    // loadavg to drain below cpus/4 before timing anything, and report what
+    // was observed so a dirty environment is visible in the artifact.
+    def loadavg1(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val settleMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_SECS", "180").toInt
+    val settleTarget = cpus.toDouble / 4.0
+    val settleStart = System.nanoTime()
+    var load = loadavg1()
+    while (load >= 0 && load > settleTarget &&
+        (System.nanoTime() - settleStart) / 1e9 < settleMax) {
+      System.gc(); Thread.sleep(5000); load = loadavg1()
+    }
+    val settledSecs = (System.nanoTime() - settleStart) / 1e9
     // warm up the session (JIT, codegen, IO paths) so the first timed query
     // doesn't absorb one-time startup cost; materialize the healthcare
     // fixture parquet up front so hc_* timings measure queries, not builds
@@ -50,7 +68,7 @@ object Bench {
     // (alpha: minhash 16 s; reverse: embedding_lsh 52 s; isolated: every
     // dedup query 2.9–3.6 s). Set ISOLATE=0 to measure session drift itself.
     val isolate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "1") == "1"
-    val results = ordered.map { case (name, fn) =>
+    val detailed = ordered.map { case (name, fn) =>
       if (isolate) { spark.catalog.clearCache(); System.gc() }
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -62,14 +80,21 @@ object Bench {
         }
       }
       // -1 sentinel: a thrown query must not read as an impossibly fast run
-      name -> (if (times.size == reps) median(times) else -1.0)
+      (name, if (times.size == reps) median(times) else -1.0, times)
     }.sortBy(_._1) // report alphabetically regardless of run order
+    val results = detailed.map { case (n, m, _) => (n, m) }
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // every rep, not just the median: a single pathological rep (GC pause,
+    // IO stall) is then visible in the artifact instead of silently shaping
+    // the median's neighbors
+    val repsDetail = detailed.map { case (k, _, ts) =>
+      "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"loadavg_start":${fmt(math.max(load, 0.0))},"settle_secs":${fmt(settledSecs)},"reps_detail":$repsDetail}"""
     println(json)
     // the driver's log tail truncates; persist the full per-query list so a
     // round's numbers are always recoverable from the repo itself

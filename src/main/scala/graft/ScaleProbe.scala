@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** ≥10× scale datapoint for the dedup family (r6 verdict item 6).
+  *
+  * Builds a corpus `SPARK_GRAFT_SCALE_REPLICAS`× the size of
+  * `SPARK_GRAFT_SCALE_SRC` (default sf0.1 ×10 ≈ sf1: 50k docs / 20k
+  * vectors), DECORRELATED so replicas are not near-dups of each other —
+  * replica-k documents tag every token with `r<k>` (disjoint shingle
+  * space) and replica-k embeddings rotate the vector by k positions
+  * (decorrelated direction). Postings, band-bucket populations, and
+  * per-replica pair structure therefore grow LINEARLY in the replica
+  * count, which is exactly the axis the skew-guard/banding cost model
+  * claims to be linear in — a super-linear runtime here means the model
+  * is wrong, not the data.
+  *
+  * Runs the real registered queries (`SparkEntry.queries`, staging off —
+  * full candidate generation), one rep each after cache-clear + GC, and
+  * reports per-query seconds + minhash hot-bucket stats as ONE JSON line
+  * (also written to bench/scale_probe.json). Record results in
+  * BASELINE.md.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = new java.io.File(s"target/scale_probe_x$replicas").getAbsolutePath
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until replicas).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"r$k$$1").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until replicas).map { k =>
+      if (k == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        expr(s"transform(embedding, (x, i) -> element_at(embedding, (i + $k) % size(embedding) + 1))")
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // warm up IO + JIT before timing
+    spark.read.parquet(s"$dir/documents.parquet").count()
+    spark.read.parquet(s"$dir/embeddings.parquet").count()
+
+    val targets = Seq("q_dedup_minhash_lsh", "q_dedup_simhash",
+      "q_dedup_ngram_jaccard", "q_dedup_embedding_lsh", "q_corpus_clean")
+    val timed = targets.map { name =>
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      (name, (System.nanoTime() - t0) / 1e9, n)
+    }
+
+    // hot-bucket profile of the minhash banding at this scale: how many
+    // buckets trip the skew guard, the worst population, and the pair count
+    // the guard saved (B² star vs linear chain)
+    val bands = pipeline.DedupQueries.minhashBands(
+      pipeline.DedupQueries.minhashSignature(
+        pipeline.DedupQueries.shinglePostings(
+          spark.read.parquet(s"$dir/documents.parquet"))))
+    val hot = pipeline.LshBlocking
+      .bucketSkewStats(bands, Seq("band_id", "band_key"), "doc_id")
+      .agg(count(lit(1)).as("hot_buckets"),
+        coalesce(max(col("bucket_size")), lit(0L)).cast("long").as("max_bucket"),
+        coalesce(sum(col("pairs_unguarded")), lit(0L)).cast("long").as("pairs_unguarded"),
+        coalesce(sum(col("pairs_guarded")), lit(0L)).cast("long").as("pairs_guarded"))
+      .collect()(0)
+
+    def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = timed.map { case (k, secs, n) =>
+      "\"" + k + "\":{\"sec\":" + fmt(secs) + ",\"rows\":" + n + "}"
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"scale_probe","replicas":$replicas,"src":"$src","queries":$qs,""" +
+      s""""minhash_hot_buckets":${hot.getAs[Long]("hot_buckets")},""" +
+      s""""minhash_max_bucket":${hot.getAs[Long]("max_bucket")},""" +
+      s""""minhash_pairs_unguarded":${hot.getAs[Long]("pairs_unguarded")},""" +
+      s""""minhash_pairs_guarded":${hot.getAs[Long]("pairs_guarded")}}"""
+    println(json)
+    val outPath = java.nio.file.Paths.get("bench/scale_probe.json")
+    Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
+    spark.stop()
+  }
+}

@@ -434,6 +434,37 @@ object HealthcareEntry {
     QueryDef("hc_cdc_stream", changeVolumeSql)((s, _) =>
       HealthcareQueries.changeVolume(HealthcareData.streamedLiveTables(s))),
 
+    /** The 60 s sync-cadence SLA as an oracle-gated fact: per-batch apply
+      * latencies recorded from the REAL streamed replay's progress
+      * (CdcMetrics), aggregated against the budget in both engines.
+      */
+    QueryDef(
+      "hc_cdc_cadence",
+      s"""SELECT COUNT(*) AS n_batches,
+         |       CAST(SUM(input_rows) AS BIGINT) AS total_rows,
+         |       CAST(SUM(CASE WHEN within_budget THEN 1 ELSE 0 END) AS BIGINT) AS batches_within_budget,
+         |       MAX(apply_millis) AS max_apply_millis,
+         |       BOOL_AND(within_budget) AS cadence_met
+         |FROM ${pq("cdc_metrics")}""".stripMargin)((s, _) =>
+      HealthcareQueries.cadenceSummary(HealthcareData.cdcMetrics(s))),
+
+    /** Schema evolution through the real pipeline: the live demo replayed
+      * with a source ALTER TABLE ADD COLUMN before the 12:00 batch (see
+      * HealthcareData state 4). The gate pins that pre-evolution rows read
+      * NULL in the added column, evolved upserts carry values, and CDC
+      * metadata (soft deletes, updated_at) is preserved across the widening.
+      */
+    QueryDef(
+      "hc_cdc_schema_evolution",
+      s"""SELECT priority, COUNT(*) AS n_appointments,
+         |       COUNT(DISTINCT status) AS n_statuses,
+         |       CAST(SUM(CASE WHEN _snowflake_updated_at IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS updated_rows,
+         |       CAST(SUM(CASE WHEN _snowflake_deleted THEN 1 ELSE 0 END) AS BIGINT) AS deleted_rows,
+         |       MIN(appointment_id) AS min_id, MAX(appointment_id) AS max_id
+         |FROM ${pq("appointments_evolved")}
+         |GROUP BY priority""".stripMargin)((s, _) =>
+      HealthcareQueries.schemaEvolutionAudit(HealthcareData.evolvedAppointments(s))),
+
     // ---- category 8: executive KPIs ----
     QueryDef(
       "hc_executive_summary",

@@ -473,6 +473,36 @@ object HealthcareQueries {
       .orderBy(col("updated_at").desc, col("appointment_id"))
       .limit(50)
 
+  /** Schema-evolution audit (reference: connector-managed destination
+    * schema, sql/1.snowflake_setup.sql:47-49): distribution of a
+    * mid-stream-added column. Pre-evolution rows (and soft-deleted keys)
+    * surface NULL priority; evolved upserts carry source values — grouping
+    * on the added column with CDC-metadata effects pins both.
+    */
+  def schemaEvolutionAudit(evolved: DataFrame): DataFrame =
+    evolved.groupBy("priority")
+      .agg(
+        count(lit(1)).as("n_appointments"),
+        countDistinct(col("status")).as("n_statuses"),
+        sum(when(col(MetaUpdated).isNotNull, 1).otherwise(0)).as("updated_rows"),
+        sum(when(col(MetaDeleted), 1).otherwise(0)).as("deleted_rows"),
+        min("appointment_id").as("min_id"),
+        max("appointment_id").as("max_id"))
+      .orderBy("priority")
+
+  /** Sync-cadence SLA check over the streamed replay's per-batch metrics:
+    * the reference operates on a 60 s micro-batch budget
+    * (sql/3.live_appointments.sql:21-22,48-49) — a batch whose apply
+    * latency exceeds it means the pipeline is falling behind the source.
+    */
+  def cadenceSummary(metrics: DataFrame): DataFrame =
+    metrics.agg(
+      count(lit(1)).as("n_batches"),
+      sum(col("input_rows")).as("total_rows"),
+      sum(when(col("within_budget"), 1).otherwise(0)).as("batches_within_budget"),
+      max(col("apply_millis")).as("max_apply_millis"),
+      expr("bool_and(within_budget)").as("cadence_met"))
+
   /** Change-volume-by-table summary over the whole table lifetime (U1 UNION
     * ALL of labeled aggregates — the live-demo final check,
     * sql/3.live_appointments.sql:366-402).

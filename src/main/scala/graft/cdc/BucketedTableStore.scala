@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   *   <root>/<table>/b<bucket>/v<K>/part-*.parquet   immutable bucket data
-  *   <root>/<table>/m<N>                            manifest: "bucket version" lines
+  *   <root>/<table>/m<N>                            manifest: "schema {json}" + "bucket version" lines
   *   <root>/<table>/_CURRENT                        current manifest number
   * }}}
   *
@@ -53,6 +53,9 @@ final class BucketedTableStore(
 
   require(nBuckets > 0)
 
+  /** Manifest line carrying the committed table schema as single-line JSON. */
+  private val SchemaLine = "schema "
+
   def bucketOf(key: Column): Column = pmod(xxhash64(key), lit(nBuckets))
 
   private def tableDir(table: String): Path = Paths.get(root, table)
@@ -73,17 +76,30 @@ final class BucketedTableStore(
   /** bucket → bucket-version map of a specific manifest (time travel). */
   def manifestAt(table: String, n: Long): Map[Int, Long] =
     Files.readAllLines(tableDir(table).resolve(s"m$n")).asScala
-      .filter(_.nonEmpty)
+      .filter(l => l.nonEmpty && !l.startsWith(SchemaLine))
       .map { line =>
         val Array(b, v) = line.split(' '); b.toInt -> v.toLong
       }.toMap
+
+  /** The table schema as of manifest `n` (schema evolution: a merge that
+    * widens the table commits the wider schema WITH the manifest, atomically
+    * under the same pointer swap — untouched buckets' older files are then
+    * read with the manifest schema and null-fill the new columns, instead of
+    * a footer-merging `mergeSchema` scan over every file). None for
+    * manifests written before schema tracking.
+    */
+  def schemaAt(table: String, n: Long): Option[org.apache.spark.sql.types.StructType] =
+    Files.readAllLines(tableDir(table).resolve(s"m$n")).asScala
+      .find(_.startsWith(SchemaLine))
+      .map(l => org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix(SchemaLine))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** Time travel: the table as of manifest `n` — consistent as long as the
     * versions it references have not been vacuumed.
     */
   def readManifestVersion(table: String, n: Long): DataFrame = {
     val m = manifestAt(table, n)
-    readWith(table, m, m)
+    readWith(table, m, m, schemaAt(table, n))
   }
 
   private def bucketPath(table: String, bucket: Int, version: Long): String =
@@ -94,30 +110,40 @@ final class BucketedTableStore(
 
   /** Current snapshot: union of every bucket's current version. */
   override def read(table: String): DataFrame = {
-    val m = manifest(table)
-    readWith(table, m, m)
+    val n = currentManifest(table).getOrElse(throw new IllegalStateException(
+      s"table $table has no committed manifest under $root"))
+    val m = manifestAt(table, n)
+    readWith(table, m, m, schemaAt(table, n))
   }
 
   /** Only the given buckets' current data (partition pruning by bucket). */
   def readBuckets(table: String, buckets: Set[Int]): DataFrame = {
-    val m = manifest(table)
-    readWith(table, m.view.filterKeys(buckets).toMap, m)
+    val n = currentManifest(table).getOrElse(throw new IllegalStateException(
+      s"table $table has no committed manifest under $root"))
+    val m = manifestAt(table, n)
+    readWith(table, m.view.filterKeys(buckets).toMap, m, schemaAt(table, n))
   }
 
-  /** Read the buckets of `slice`; `full` (the whole manifest, parsed ONCE
-    * by the caller) anchors the schema when the slice is empty.
+  /** Read the buckets of `slice` under the manifest's committed `schema`
+    * (older bucket files null-fill columns added since they were written);
+    * `full` (the whole manifest, parsed ONCE by the caller) anchors the
+    * schema when the slice is empty and no schema was committed.
     */
-  private def readWith(table: String, slice: Map[Int, Long],
-      full: Map[Int, Long]): DataFrame = {
+  private def readWith(table: String, slice: Map[Int, Long], full: Map[Int, Long],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val paths = pathsFor(table, slice)
-    if (paths.nonEmpty) spark.read.parquet(paths: _*)
-    else {
-      // empty slice: merges into buckets holding no rows yet, or a table
-      // snapshotted empty — the `_schema` anchor keeps the schema recoverable
-      val anchor =
-        if (full.nonEmpty) pathsFor(table, full).head
-        else tableDir(table).resolve("_schema").toString
-      spark.read.parquet(anchor).limit(0)
+    (paths.nonEmpty, schema) match {
+      case (true, Some(s)) => spark.read.schema(s).parquet(paths: _*)
+      case (true, None) => spark.read.parquet(paths: _*)
+      case (false, Some(s)) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case (false, None) =>
+        // pre-schema-tracking layout: the `_schema` anchor (or any current
+        // file) keeps the schema recoverable for an empty slice
+        val anchor =
+          if (full.nonEmpty) pathsFor(table, full).head
+          else tableDir(table).resolve("_schema").toString
+        spark.read.parquet(anchor).limit(0)
     }
   }
 
@@ -164,11 +190,15 @@ final class BucketedTableStore(
     } finally FsUtils.deleteRecursively(stage)
   }
 
-  private def commitManifest(table: String, m: Map[Int, Long]): Long = {
+  private def commitManifest(table: String, m: Map[Int, Long],
+      schema: org.apache.spark.sql.types.StructType): Long = {
     val next = currentManifest(table).map(_ + 1).getOrElse(0L)
     val dir = tableDir(table)
     Files.createDirectories(dir)
-    val body = m.toSeq.sorted.map { case (b, v) => s"$b $v" }.mkString("\n")
+    // schema travels IN the manifest: one atomic pointer swap commits data
+    // pointers and schema together (StructType.json is single-line)
+    val body = (s"$SchemaLine${schema.json}" +:
+      m.toSeq.sorted.map { case (b, v) => s"$b $v" }).mkString("\n")
     Files.writeString(dir.resolve(s"m$next"), body)
     val tmp = dir.resolve(s"_CURRENT.tmp$next")
     Files.writeString(tmp, next.toString)
@@ -191,7 +221,7 @@ final class BucketedTableStore(
     df.limit(0).coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(tableDir(table).resolve("_schema").toString)
     val written = writeBuckets(table, df, keyCol)
-    commitManifest(table, written)
+    commitManifest(table, written, df.schema)
   }
 
   /** Partition-scoped merge: apply one table's typed event batch (op, lsn,
@@ -203,12 +233,16 @@ final class BucketedTableStore(
     // bounded collect: ≤ nBuckets ints, derived from keys — never row data
     val touched = events.select(bucketOf(col("key")).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val prev = manifest(table)
-    val dest = readWith(table, prev.view.filterKeys(touched).toMap, prev)
+    val n = currentManifest(table).getOrElse(throw new IllegalStateException(
+      s"table $table has no committed manifest under $root"))
+    val prev = manifestAt(table, n)
+    val dest = readWith(table, prev.view.filterKeys(touched).toMap, prev, schemaAt(table, n))
     val merged = CdcApplier.applyBatch(dest, events, keyCol, applyTs)
     val written = writeBuckets(table, merged, keyCol)
-    // untouched buckets carry forward by reference — files untouched
-    commitManifest(table, prev ++ written)
+    // untouched buckets carry forward by reference — files untouched; if the
+    // batch widened the schema, the new manifest's schema line widens every
+    // carried-forward bucket at read time (null-filled new columns)
+    commitManifest(table, prev ++ written, merged.schema)
   }
 
   /** Append-only journal sink (reference S5), same layout as TableStore. */

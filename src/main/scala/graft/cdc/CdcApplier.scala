@@ -73,6 +73,14 @@ object CdcApplier {
 
   /** Merge one table's batch into its destination table.
     *
+    * Schema evolution (reference: the connector auto-creates/widens the
+    * destination schema — sql/1.snowflake_setup.sql:47-49): event data
+    * columns the destination lacks are APPENDED to the output as nullable
+    * columns — rows the batch doesn't touch (and pure-delete keys) read
+    * NULL, exactly what `ALTER TABLE ADD COLUMN` gives pre-existing rows.
+    * Destination columns absent from the events keep their current values,
+    * so a narrower replayed feed can never drop data.
+    *
     * @param dest     current destination state (data cols + meta cols)
     * @param events   this batch's events for the table: op, lsn, commitTs,
     *                 key, after-image data columns (null for DELETE)
@@ -81,10 +89,15 @@ object CdcApplier {
     *                 SURVEY §7.4.3)
     */
   def applyBatch(dest: DataFrame, events: DataFrame, keyCol: String, applyTs: Column): DataFrame = {
-    val dataCols = dest.columns.filterNot(metaColumns.contains).filterNot(_ == keyCol)
+    val destData = dest.columns.filterNot(metaColumns.contains).filterNot(_ == keyCol)
     val latest = latestPerKey(events)
       // idempotent retry: ignore events at-or-below the row's high-water mark
       .withColumnRenamed("key", "_ev_key")
+    val evData = latest.columns
+      .filterNot(Seq("_ev_key", "op", "lsn", "commitTs", "_ev_count", "_has_image").contains)
+    val destSet = destData.toSet
+    val evSet = evData.toSet
+    val dataCols = destData ++ evData.filterNot(destSet) // new columns appended
 
     val joined = dest.join(latest, dest(keyCol) === latest("_ev_key"), "full_outer")
 
@@ -97,7 +110,9 @@ object CdcApplier {
     // data: any non-delete image in the batch wins (even under a trailing
     // DELETE — split-invariance); a pure-delete batch keeps the prior image
     val mergedData = dataCols.map { c =>
-      when(hasEvent && col("_has_image"), latest(c)).otherwise(dest(c)).as(c)
+      val destC = if (destSet(c)) dest(c) else lit(null).cast(latest.schema(c).dataType)
+      val evC = if (evSet(c)) latest(c) else destC
+      when(hasEvent && col("_has_image"), evC).otherwise(destC).as(c)
     }
     // updated_at stamps when a CDC change touches a PRE-EXISTING row, or when
     // a new key saw more than one event in the batch (its split-applied

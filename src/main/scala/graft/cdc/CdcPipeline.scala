@@ -23,6 +23,20 @@ final class CdcPipeline(
     keyCols: Map[String, String],
     clock: () => Column = () => current_timestamp()) {
 
+  /** Destination schemas as currently known. A mid-stream source
+    * `ALTER TABLE ADD COLUMN` shows up as after-images carrying a key the
+    * declared schema lacks; the pipeline auto-widens — the reference's
+    * connector owns the destination schema the same way
+    * (sql/1.snowflake_setup.sql:47-49). New columns arrive as nullable
+    * STRING (the after-image wire type); [[CdcApplier.applyBatch]] appends
+    * them to the destination, so pre-evolution rows read NULL. Dropped or
+    * renamed source columns never remove destination columns — absent keys
+    * just cast to NULL, which is the lossless choice for a warehouse.
+    */
+  @volatile private var curSchemas: Map[String, StructType] = schemas
+
+  def currentSchema(table: String): StructType = curSchemas(table)
+
   /** Initial snapshot (reference S2): auto-creates destination tables with
     * metadata columns, like the connector's snapshot phase.
     */
@@ -41,10 +55,22 @@ final class CdcPipeline(
     try {
       val tables = raw.select("table").distinct().collect().map(_.getString(0))
       tables.foreach { t =>
-        val schema = schemas(t)
         val keyCol = keyCols(t)
         val tEvents = raw.filter(col("table") === t)
         dest.appendJournal(t, tEvents.withColumn("after", to_json(col("after"))))
+        // schema evolution probe — bounded collect: distinct after-image
+        // keys ≤ the source table's column count, never row data
+        val declared = curSchemas(t)
+        val known = declared.fieldNames.toSet
+        val newCols = tEvents
+          .select(explode(map_keys(col("after"))).as("c")).distinct()
+          .collect().map(_.getString(0)).filterNot(known).sorted
+        val schema =
+          if (newCols.isEmpty) declared
+          else StructType(declared.fields ++ newCols.map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.StringType, nullable = true)))
+        curSchemas += t -> schema
         val typed = tEvents.select(
           Seq(col("op"), col("lsn"), col("commitTs"), col("key")) ++
             CdcApplier.afterImageColumns(schema, keyCol): _*)

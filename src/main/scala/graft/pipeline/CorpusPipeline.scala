@@ -15,17 +15,37 @@ import org.apache.spark.sql.functions._
   *  2. quality gate — pushed-down filter;
   *  3. exact dedup on content digest — keep lowest doc_id per digest;
   *  4. near-dup removal — inverted-index Jaccard pairs (doc_a < doc_b),
-  *     greedy survivor policy: drop every doc that appears as the higher id
-  *     of a qualifying pair. Deterministic, one pass, no iteration — the
-  *     standard large-scale policy (union-find only changes which member of
-  *     a duplicate cluster survives, not how many).
+  *     then a [[SurvivorPolicy]]: greedy drop-doc_b by default
+  *     (deterministic, one pass, no iteration), or connected-component
+  *     representative assignment when one survivor per TRANSITIVE cluster
+  *     is wanted (see the policy scaladoc for where they differ).
   */
 object CorpusPipeline {
+
+  /** Which docs of a near-dup pair graph get dropped.
+    *
+    *  - [[Greedy]] (default): drop every doc appearing as the higher id of
+    *    a qualifying pair — one pass, no iteration. On a transitive chain
+    *    A~B, B~C, A≁C it drops BOTH B and C even though C's only
+    *    qualifying partner (B) is itself dropped.
+    *  - [[ClusterRepresentative]]: connected components over the pair
+    *    graph; only each cluster's minimum doc_id survives. One
+    *    representative per TRANSITIVE duplicate cluster — the policy to
+    *    pick when similarity is treated as transitive evidence of shared
+    *    provenance (boilerplate families, mirror chains).
+    *
+    * The two differ on hub shapes: pairs (A,C),(B,C) with A≁B keep {A,B}
+    * under Greedy but only {A} under ClusterRepresentative.
+    */
+  sealed trait SurvivorPolicy
+  case object Greedy extends SurvivorPolicy
+  case object ClusterRepresentative extends SurvivorPolicy
 
   final case class Params(
       minTokens: Int = 10,
       maxMeanTokenLen: Double = 12.0,
-      nearDupJaccard: Double = 0.8)
+      nearDupJaccard: Double = 0.8,
+      survivorPolicy: SurvivorPolicy = Greedy)
 
   /** Cleaned corpus with per-stage survival flags (so one pass computes both
     * the output and the funnel stats).
@@ -62,8 +82,15 @@ object CorpusPipeline {
       .filter(col("quality_ok") && col("exact_survivor"))
       .select("doc_id", "text")
     val pairs = DedupQueries.nearDupPairs(eligible, p.nearDupJaccard)
-    val victims = pairs.select(col("doc_b").as("doc_id")).distinct()
-      .withColumn("is_near_dup_victim", lit(true))
+    val victims = (p.survivorPolicy match {
+      case Greedy =>
+        pairs.select(col("doc_b").as("doc_id")).distinct()
+      case ClusterRepresentative =>
+        graft.operators.ConnectedComponents
+          .minLabel(pairs.select("doc_a", "doc_b"))
+          .filter(col("id") =!= col("rep"))
+          .select(col("id").as("doc_id"))
+    }).withColumn("is_near_dup_victim", lit(true))
 
     withExact
       .join(victims, Seq("doc_id"), "left")

@@ -119,6 +119,28 @@ object DedupQueries {
     * Intersections come from joining the candidates back to the postings on
     * both sides — proportional to the candidates' postings, never n².
     */
+  /** 32-slot minhash signature per doc (+ shingle count `n`): 32
+    * min-aggregates in ONE hash aggregate = the whole signature build.
+    * Slot hashes re-hash the 64-bit shingle hash with a seed literal —
+    * affine h*a+b would be cheaper still, but wrapping multiplication
+    * throws under ANSI mode (Spark 4 default).
+    */
+  def minhashSignature(sh: DataFrame): DataFrame = {
+    val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val slotAggs = (0 until 32).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    hashed.groupBy("doc_id")
+      .agg(slotAggs.head, (slotAggs.tail :+ count(lit(1)).as("n")): _*)
+  }
+
+  /** The signature's 8×4 LSH banding: (doc_id, band_id, band_key). */
+  def minhashBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band_id"),
+          xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as("band_key"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+
   private def verifyByJaccard(cands: DataFrame, sh: DataFrame, sizes: DataFrame,
       minJ: Double): DataFrame = {
     val inter = cands
@@ -174,20 +196,8 @@ object DedupQueries {
          |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       val sh = shinglePostings(s, d)
-      val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
-      // 32 min-aggregates in ONE hash aggregate = the whole signature build.
-      // Slot hashes re-hash the 64-bit shingle hash with a seed literal —
-      // affine h*a+b would be cheaper still, but wrapping multiplication
-      // throws under ANSI mode (Spark 4 default)
-      val slotAggs = (0 until 32).map(i =>
-        min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-      val sig = hashed.groupBy("doc_id")
-        .agg(slotAggs.head, (slotAggs.tail :+ count(lit(1)).as("n")): _*)
-      val bands = sig.select(col("doc_id"),
-        explode(array((0 until 8).map(b =>
-          struct(lit(b).as("band_id"),
-            xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as("band_key"))): _*)).as("band"))
-        .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+      val sig = minhashSignature(sh)
+      val bands = minhashBands(sig)
       // skew guard: bounded per-bucket pair generation (hot band buckets —
       // boilerplate/empty docs — degrade to a linear star, never B²)
       val cands = graft.OracleStage.stage("cands_minhash",

@@ -152,6 +152,52 @@ class CdcScenarioSpec extends SparkSpec {
     assert(appts.filter($"appointment_id" === 3 && col(CdcApplier.MetaDeleted)).count() == 1)
   }
 
+  for ((storeKind, mkStore) <- Seq[(String, String => CdcDestination)](
+      "TableStore" -> (root => new TableStore(spark, root)),
+      "BucketedTableStore" -> (root => new BucketedTableStore(spark, root, nBuckets = 8))))
+  test(s"schema evolution: mid-stream ADD COLUMN widens the destination ($storeKind)") {
+    val root = Files.createTempDirectory("graft-cdc-evolve").toString
+    val store = mkStore(root)
+    val pipeline = new CdcPipeline(spark, store, HealthcareSchema.all,
+      HealthcareSchema.keyColumns,
+      clock = () => lit("2025-01-15 08:00:00").cast("timestamp_ntz"))
+    pipeline.loadSnapshot(Map("appointments" -> HealthcareFixtures.appointments(spark)))
+
+    // pre-evolution batch: declared schema, no new column anywhere
+    pipeline.applyEventBatch(spark.createDataset(Seq(
+      apptEvent(CdcOp.Insert, 101, 201, "scheduled"))))
+    assert(!store.read("appointments").columns.contains("priority"))
+
+    // source runs ALTER TABLE ADD COLUMN priority: after-images carry it now
+    val ev202 = apptEvent(CdcOp.Insert, 102, 202, "scheduled")
+    pipeline.applyEventBatch(spark.createDataset(Seq(
+      ev202.copy(after = ev202.after + ("priority" -> "high")),
+      apptEvent(CdcOp.Delete, 103, 1, null)))) // image-less delete, same batch
+    assert(pipeline.currentSchema("appointments").fieldNames.contains("priority"))
+
+    val appts = store.read("appointments")
+    assert(appts.columns.contains("priority"))
+    // the evolved upsert carries the source value
+    assert(appts.filter($"appointment_id" === 202)
+      .select("priority").collect()(0).getString(0) == "high")
+    // every pre-evolution row — snapshot rows, the batch-1 insert, and the
+    // soft-deleted key — reads NULL, like ALTER TABLE ADD COLUMN gives them
+    // (for the bucketed store this exercises the mixed-schema read: only
+    // touched buckets were rewritten with the wider schema)
+    assert(appts.filter($"priority".isNotNull).count() == 1)
+    assert(appts.filter($"appointment_id" === 1 && col(CdcApplier.MetaDeleted)).count() == 1)
+
+    // the widening is sticky: a later batch without the column keeps it,
+    // and untouched rows keep their values
+    pipeline.applyEventBatch(spark.createDataset(Seq(
+      apptEvent(CdcOp.Update, 104, 201, "confirmed"))))
+    val after = store.read("appointments")
+    assert(after.columns.contains("priority"))
+    assert(after.filter($"appointment_id" === 202)
+      .select("priority").collect()(0).getString(0) == "high")
+    assert(after.count() == 172)
+  }
+
   test("journal replay rebuilds the destination: snapshot v0 + one batch apply") {
     val root = Files.createTempDirectory("graft-cdc-rebuild").toString
     val store = new TableStore(spark, root)

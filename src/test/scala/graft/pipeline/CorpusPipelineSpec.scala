@@ -41,6 +41,53 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(survivors == Set(11L), s"got $survivors")
   }
 
+  test("ConnectedComponents.minLabel finds min-id representatives") {
+    val edges = Seq(
+      (2L, 1L), (2L, 3L),           // chain component {1,2,3} → rep 1
+      (10L, 11L),                   // pair component {10,11} → rep 10
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 20L) // cycle {20..23} → rep 20
+    ).toDF("a", "b")
+    val reps = graft.operators.ConnectedComponents.minLabel(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("survivor policies: transitive chain agrees, hub shape differs") {
+    // 30-token docs; 3-gram shingles. doc 3 is the HUB: 1~3 and 2~3 qualify
+    // at J≥0.8 (3 tokens changed → 25/31 = 0.806) but 1≁2 (6 tokens apart →
+    // 22/34 = 0.647).
+    val base = (1 to 30).map(i => s"c$i")
+    val hub = Seq(
+      (1L, "en", (base.dropRight(3) ++ Seq("x", "y", "z")).mkString(" ")),
+      (2L, "en", (Seq("p", "q", "r") ++ base.drop(3)).mkString(" ")),
+      (3L, "en", base.mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    // Greedy drops only doc_b of qualifying pairs (1,3),(2,3) → {1,2} live
+    val greedy = CorpusPipeline.clean(hub)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(greedy == Set(1L, 2L), s"greedy got $greedy")
+    // ClusterRepresentative keeps one doc per transitive cluster → {1}
+    val ccParams = CorpusPipeline.Params(
+      survivorPolicy = CorpusPipeline.ClusterRepresentative)
+    val cc = CorpusPipeline.clean(hub, ccParams)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(cc == Set(1L), s"cluster-representative got $cc")
+
+    // transitive chain 1~2, 2~3, 1≁3: both policies keep exactly {1}
+    val chain = Seq(
+      (1L, "en", base.mkString(" ")),
+      (2L, "en", (base.dropRight(3) ++ Seq("x", "y", "z")).mkString(" ")),
+      (3L, "en", (Seq("p", "q", "r") ++ base.drop(3).dropRight(3) ++ Seq("x", "y", "z")).mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val chainGreedy = CorpusPipeline.clean(chain)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val chainCc = CorpusPipeline.clean(chain, ccParams)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(chainGreedy == Set(1L), s"chain greedy got $chainGreedy")
+    assert(chainCc == Set(1L), s"chain cc got $chainCc")
+  }
+
   test("funnel is monotonically decreasing on the real corpus") {
     val docs = graft.analytics.Tables.documents(spark, sf())
     val f = CorpusPipeline.funnel(docs).collect()(0)

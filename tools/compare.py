@@ -45,7 +45,9 @@ def strict_repr(v):
     """Exact repr the way a hash gate would see it: str() of the raw value.
 
     str(float) is repr(float) in py3 (shortest round-trip), str(Decimal)
-    preserves scale ('228.40'), None is 'None'. No normalization on purpose.
+    preserves scale ('228.40'), None becomes the '\\x00NULL' sentinel (so a
+    genuine NULL never collides with the string 'None'). No normalization
+    on purpose.
     """
     if v is None:
         return "\x00NULL"
@@ -64,6 +66,12 @@ def main(argv):
     args = [a for a in argv if a != "--tolerant"]
     if len(args) != len(argv):
         strict = False
+    unknown = [a for a in args if a.startswith("--")]
+    if unknown or len(args) != 2:
+        prog = sys.argv[0] if sys.argv else "compare.py"
+        msg = f"unknown flags: {' '.join(unknown)}" if unknown \
+            else f"expected 2 positional args, got {len(args)}"
+        sys.exit(f"usage: {prog} [--tolerant] <sfDir> <verifyOutDir>\n{msg}")
     sf_dir, out_dir = args[0], args[1]
     out = Path(out_dir)
     oracle = json.loads((out / "oracle_sql.json").read_text())
