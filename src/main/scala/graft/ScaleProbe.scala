@@ -9,8 +9,13 @@ import org.apache.spark.sql.functions._
   * `SPARK_GRAFT_SCALE_SRC` (default sf0.1 ×10 ≈ sf1: 50k docs / 20k
   * vectors), DECORRELATED so replicas are not near-dups of each other —
   * replica-k documents tag every token with `r<k>` (disjoint shingle
-  * space) and replica-k embeddings rotate the vector by k positions
-  * (decorrelated direction). Postings, band-bucket populations, and
+  * space) and replica-k embeddings apply a replica-seeded random SIGN FLIP
+  * per dimension — signs square to 1, so every intra-replica cosine is
+  * preserved bit-for-bit while cross-replica directions decorrelate (a
+  * rotation does NOT work here: the synthetic vectors are smooth, so a
+  * shifted copy stays similar to every replica of its own cluster and
+  * cross-replica near-dup pairs explode). Postings, band-bucket
+  * populations, and
   * per-replica pair structure therefore grow LINEARLY in the replica
   * count, which is exactly the axis the skew-guard/banding cost model
   * claims to be linear in — a super-linear runtime here means the model
@@ -52,7 +57,7 @@ object ScaleProbe {
       if (k == 0) emb
       else emb.select(
         (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
-        expr(s"transform(embedding, (x, i) -> element_at(embedding, (i + $k) % size(embedding) + 1))")
+        expr(s"transform(embedding, (x, i) -> IF(pmod(hash(i, $k), 2) = 0, x, -x))")
           .as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)

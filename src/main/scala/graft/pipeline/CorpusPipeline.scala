@@ -113,12 +113,14 @@ object CorpusPipeline {
       sum(when(col("survives"), 1).otherwise(0)).as("n_clean"),
       sum(when(col("survives"), col("n_tokens")).otherwise(0)).as("clean_tokens"))
 
-  /** The whole pipeline as one DuckDB CTE chain — every stage is exact
-    * (integer token counts, md5 digests, integer-ratio Jaccard), so the
-    * corpus cleaner is oracle-checkable end to end.
+  /** The pipeline through the qualifying near-dup pairs as one DuckDB CTE
+    * chain — every stage is exact (integer token counts, md5 digests,
+    * integer-ratio Jaccard), so the corpus cleaner is oracle-checkable end
+    * to end. `WITH RECURSIVE` so the CC-policy oracle can extend the chain
+    * with a transitive closure (harmless for the non-recursive uses).
     */
-  private val funnelSql =
-    """WITH toks AS (
+  private val pairsSql =
+    """WITH RECURSIVE toks AS (
       |  SELECT doc_id, lang, text,
       |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS t
       |  FROM documents),
@@ -145,14 +147,33 @@ object CorpusPipeline {
       |        FROM eligible)),
       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-      |victims AS (
-      |  SELECT DISTINCT doc_b AS doc_id FROM (
+      |qpairs AS (
+      |  SELECT doc_a, doc_b FROM (
       |    SELECT b.doc_id AS doc_b, a.doc_id AS doc_a, COUNT(*) AS n_inter
       |    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
       |    GROUP BY 1, 2) p
       |  JOIN sizes sa ON p.doc_a = sa.doc_id
       |  JOIN sizes sb ON p.doc_b = sb.doc_id
       |  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8)
+      |""".stripMargin
+
+  /** Greedy policy: every doc_b of a qualifying pair is a victim. */
+  private val funnelSql = pairsSql +
+    """,victims AS (SELECT DISTINCT doc_b AS doc_id FROM qpairs)
+      |""".stripMargin
+
+  /** ClusterRepresentative policy: transitive closure over the pair graph;
+    * a doc is a victim iff some SMALLER id is reachable (= it is not its
+    * component's minimum). Mirrors [[graft.operators.ConnectedComponents]].
+    */
+  private val ccVictimsSql =
+    """,edges AS (SELECT doc_a AS a, doc_b AS b FROM qpairs
+      |           UNION ALL SELECT doc_b, doc_a FROM qpairs),
+      |closure(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a),
+      |victims AS (SELECT a AS doc_id FROM closure GROUP BY a HAVING MIN(b) < a)
       |""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
@@ -165,6 +186,17 @@ object CorpusPipeline {
           |ORDER BY e.doc_id""".stripMargin) { (s, d) =>
       clean(Tables.documents(s, d)).orderBy("doc_id")
     },
+    QueryDef(
+      "q_corpus_clean_cc",
+      pairsSql + ccVictimsSql +
+        """SELECT e.doc_id, e.lang, e.n_tokens
+          |FROM eligible e LEFT JOIN victims v ON e.doc_id = v.doc_id
+          |WHERE v.doc_id IS NULL
+          |ORDER BY e.doc_id""".stripMargin) { (s, d) =>
+      clean(Tables.documents(s, d), Params(survivorPolicy = ClusterRepresentative))
+        .orderBy("doc_id")
+    },
+
     QueryDef(
       "q_corpus_funnel",
       funnelSql +

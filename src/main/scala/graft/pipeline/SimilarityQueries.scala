@@ -38,8 +38,33 @@ object SimilarityQueries {
   private val hyperplanes: Array[Array[Float]] = {
     val r = new scala.util.Random(31337)
     // first 16 rows are identical to the original 16-plane draw (row-major
-    // fill), so extending the pool leaves rpSignature's buckets unchanged
-    Array.fill(32, 64)(r.nextGaussian().toFloat)
+    // fill), so extending the pool leaves rpSignature's buckets unchanged;
+    // 256 rows accommodate adaptive banding (bands×bits ≤ 256) at scale
+    Array.fill(256, 64)(r.nextGaussian().toFloat)
+  }
+
+  /** Population-bounded LSH banding parameters for an all-pairs corpus of
+    * `n` vectors: (bits per band, band count).
+    *
+    * Fixed 3-bit bands keep only 8 buckets per band at ANY corpus size, so
+    * bucket population grows like n/8 and pair generation like n²/128 per
+    * band — the ×10 scale probe measured exactly that (284 s, 72× the
+    * sf0.1 time, with the skew guard silent because uniformly-overfull
+    * buckets are not skewed). Growing bits with log2(n/128) pins the
+    * expected bucket population near 128, making candidate volume
+    * O(bands · n · 128) — linear in n with a log-n band factor — and bands
+    * grow with the bits so the (1-(1-p^bits)^bands) recall curve keeps a
+    * usable operating point (more bits per band = sharper, rarer
+    * collisions; more bands buy the recall back at linear cost).
+    *
+    * n ≤ 1024 reduces to the original (3, 10) — the oracle corpora and the
+    * recall spec see bit-identical candidates.
+    */
+  def adaptiveBanding(n: Long): (Int, Int) = {
+    val bits = math.max(3,
+      math.ceil(math.log(math.max(n, 1L) / 128.0) / math.log(2.0)).toInt)
+    val bands = math.min(10 + 4 * (bits - 3), hyperplanes.length / bits)
+    (bits, bands)
   }
 
   def rpSignature(v: Column): Column =
@@ -241,9 +266,10 @@ object SimilarityQueries {
     },
 
     // ----- Embedding near-dup via RP-LSH blocking (the scale path) -----
-    // Candidates = band collisions over 10 bands × 3 sign bits, then exact
-    // re-scoring — the corpus never self-joins n². 3-bit bands (coarser than
-    // the top-k query's) because the dedup threshold τ=0.42 sits low:
+    // Candidates = band collisions (bits/bands sized by adaptiveBanding —
+    // 10 bands × 3 sign bits at gate corpora, population-bounded beyond),
+    // then exact re-scoring — the corpus never self-joins n². 3-bit bands
+    // at the base because the dedup threshold τ=0.42 sits low:
     // p = 1-acos(τ)/π ≈ 0.64, so expected recall 1-(1-p³)^10 ≈ 0.95 vs
     // ≈ 0.77 for 8×4. The oracle re-verifies the exact cosine re-score +
     // threshold over the STAGED candidate pairs; SimilaritySpec asserts
@@ -259,12 +285,15 @@ object SimilarityQueries {
          |WHERE ROUND(${cosSql("a.embedding", "b.embedding")}, 9) >= 0.42
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
+      // parquet-metadata count sizes the banding to the corpus (see
+      // adaptiveBanding: ≤1024 vectors → the original 10×3, unchanged gate)
+      val (bits, bands) = adaptiveBanding(e.count())
       // candidates are generated and deduplicated as BARE ID PAIRS — the
       // 64-float vectors rejoin only for the exact re-score, so the band
       // self-join and the distinct never shuffle or hash embedding arrays
       val banded = e
         .select(col("vec_id"),
-          explode(rpBandKeys(col("embedding"), bands = 10, rowsPerBand = 3)).as("b"))
+          explode(rpBandKeys(col("embedding"), bands = bands, rowsPerBand = bits)).as("b"))
         .select(col("vec_id"), col("b.band_id"), col("b.band_key"))
       // skew guard: hot band buckets (near-identical / zero vectors) degrade
       // to a linear star instead of B² pairs; see LshBlocking

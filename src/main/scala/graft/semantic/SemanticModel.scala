@@ -25,6 +25,55 @@ final case class SemanticModel(
     relationships.find(_.name == name).getOrElse(
       throw new NoSuchElementException(s"relationship $name"))
 
+  /** Human/agent-readable rendering of the whole model: table and column
+    * descriptions, types, synonyms, sample values, named filters,
+    * relationships, and verified queries with their provenance stamps —
+    * the prompt surface the reference's natural-language agent consumes
+    * (descriptions and sample_values are what ground its column choice).
+    */
+  def documentation: String = {
+    val sb = new StringBuilder
+    sb ++= s"# $name\n$description\n"
+    for (t <- tables) {
+      sb ++= s"\n## table ${t.name}"
+      if (t.synonyms.nonEmpty) sb ++= t.synonyms.mkString(" (aka ", ", ", ")")
+      sb ++= "\n"
+      if (t.description.nonEmpty) sb ++= s"${t.description}\n"
+      def block(label: String, cs: Seq[SemColumn]): Unit = if (cs.nonEmpty) {
+        sb ++= s"### $label\n"
+        for (c <- cs) {
+          sb ++= s"- ${c.name} (${c.dataType})"
+          if (c.synonyms.nonEmpty) sb ++= c.synonyms.mkString(" aka ", ", ", "")
+          if (c.description.nonEmpty) sb ++= s": ${c.description}"
+          if (c.sampleValues.nonEmpty) sb ++= c.sampleValues.mkString(" e.g. [", ", ", "]")
+          sb ++= "\n"
+        }
+      }
+      block("dimensions", t.dimensions)
+      block("time dimensions", t.timeDimensions)
+      block("facts", t.facts)
+      if (t.filters.nonEmpty) {
+        sb ++= "### filters\n"
+        for (f <- t.filters) sb ++= s"- ${f.name}: ${f.expr}\n"
+      }
+    }
+    if (relationships.nonEmpty) {
+      sb ++= "\n## relationships\n"
+      for (r <- relationships)
+        sb ++= s"- ${r.name}: ${r.leftTable} -> ${r.rightTable} (${r.joinType}) on " +
+          r.columns.map { case (l, rc) => s"$l=$rc" }.mkString(", ") + "\n"
+    }
+    if (verifiedQueries.nonEmpty) {
+      sb ++= "\n## verified queries\n"
+      for (q <- verifiedQueries) {
+        sb ++= s"- ${q.name}: ${q.question}"
+        if (q.verifiedBy.nonEmpty) sb ++= s" [verified by ${q.verifiedBy}]"
+        sb ++= "\n"
+      }
+    }
+    sb.result()
+  }
+
   /** Fail fast on address collisions: a synonym that duplicates another
     * column's canonical name (or another synonym) in the same table would
     * otherwise resolve by declaration order — which column wins would depend
@@ -58,7 +107,8 @@ final case class SemTable(
     timeDimensions: Seq[SemColumn],
     facts: Seq[SemColumn],
     filters: Seq[SemNamedFilter] = Nil,
-    synonyms: Seq[String] = Nil) {
+    synonyms: Seq[String] = Nil,
+    description: String = "") {
 
   /** Resolve a named filter by its canonical name or any declared synonym;
     * refuses an ambiguous address rather than taking declaration order.
@@ -76,7 +126,8 @@ final case class SemTable(
 }
 
 final case class SemColumn(
-    name: String, expr: String, dataType: String, synonyms: Seq[String] = Nil)
+    name: String, expr: String, dataType: String, synonyms: Seq[String] = Nil,
+    description: String = "", sampleValues: Seq[String] = Nil)
 
 /** A model-declared reusable predicate (the Cortex semantic-model spec's
   * per-table `filters:` block): a name plus a SQL expression over the
@@ -92,7 +143,15 @@ final case class Relationship(
     joinType: String, // left_outer | inner
     columns: Seq[(String, String)]) // (left_column, right_column)
 
-final case class VerifiedQuery(name: String, question: String, sql: String)
+/** A golden query with its provenance stamp (the reference model records
+  * who verified each query and when — verified_by/verified_at,
+  * healthcare_cdc_semantic_model.yaml:596-597 — which is what makes a
+  * "verified" query trustworthy to an agent).
+  */
+final case class VerifiedQuery(
+    name: String, question: String, sql: String,
+    useAsOnboardingQuestion: Boolean = false,
+    verifiedBy: String = "", verifiedAt: Long = 0L)
 
 object SemanticModel {
 
@@ -115,7 +174,7 @@ object SemanticModel {
     def cols(m: scala.collection.Map[String, Object], k: String): Seq[SemColumn] =
       seqOfMaps(m.getOrElse(k, null)).map(c =>
         SemColumn(str(c, "name"), str(c, "expr", str(c, "name")), str(c, "data_type"),
-          strs(c, "synonyms")))
+          strs(c, "synonyms"), str(c, "description"), strs(c, "sample_values")))
 
     def filters(m: scala.collection.Map[String, Object]): Seq[SemNamedFilter] =
       seqOfMaps(m.getOrElse("filters", null)).map(f =>
@@ -134,7 +193,8 @@ object SemanticModel {
         timeDimensions = cols(t, "time_dimensions"),
         facts = cols(t, "facts"),
         filters = filters(t),
-        synonyms = strs(t, "synonyms"))
+        synonyms = strs(t, "synonyms"),
+        description = str(t, "description"))
     }
 
     val rels = seqOfMaps(root.getOrElse("relationships", null)).map { r =>
@@ -145,7 +205,10 @@ object SemanticModel {
     }
 
     val vqs = seqOfMaps(root.getOrElse("verified_queries", null)).map(q =>
-      VerifiedQuery(str(q, "name"), str(q, "question"), str(q, "sql")))
+      VerifiedQuery(str(q, "name"), str(q, "question"), str(q, "sql"),
+        useAsOnboardingQuestion = str(q, "use_as_onboarding_question", "false").toBoolean,
+        verifiedBy = str(q, "verified_by"),
+        verifiedAt = str(q, "verified_at", "0").toLong))
 
     SemanticModel(str(root, "name"), str(root, "description"), tables, rels, vqs).validated
   }

@@ -26,6 +26,32 @@ class SemanticModelSpec extends SparkSpec {
     assert(model.verifiedQueries.size == 3)
   }
 
+  test("descriptive metadata loads: descriptions, sample values, provenance") {
+    // column-level description + sample_values (the reference model's
+    // agent-grounding surface, healthcare_cdc_semantic_model.yaml:29-40)
+    val status = model.table("appointments").dimensions.find(_.name == "status").get
+    assert(status.description.nonEmpty)
+    assert(status.sampleValues.contains("no_show"))
+    assert(status.sampleValues.size == 7)
+    val charge = model.table("visits").facts.find(_.name == "total_charge").get
+    assert(charge.description.contains("dollars"))
+    assert(charge.sampleValues == Seq("150.00", "270.00"))
+    // table-level description
+    assert(model.table("patients").description.nonEmpty)
+    // verified-query provenance (verified_by/verified_at/onboarding flag)
+    val vq = model.verifiedQueries.find(_.name == "total_appointments_summary").get
+    assert(vq.verifiedBy == "graft-maintainers")
+    assert(vq.verifiedAt > 0L)
+    assert(vq.useAsOnboardingQuestion)
+    assert(model.verifiedQueries.count(_.useAsOnboardingQuestion) == 1)
+    // the agent-facing rendering carries the metadata through
+    val doc = model.documentation
+    assert(doc.contains("## table visits"))
+    assert(doc.contains("no_show"))
+    assert(doc.contains("verified by graft-maintainers"))
+    assert(doc.contains("high_value_visits"))
+  }
+
   test("verified: total_appointments_summary") {
     val out = qb.verified("total_appointments_summary").collect()(0)
     assert(out.getAs[Long]("total_appointments") == 170)
