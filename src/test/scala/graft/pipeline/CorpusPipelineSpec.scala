@@ -47,10 +47,16 @@ class CorpusPipelineSpec extends SparkSpec {
       (10L, 11L),                   // pair component {10,11} → rep 10
       (20L, 21L), (21L, 22L), (22L, 23L), (23L, 20L) // cycle {20..23} → rep 20
     ).toDF("a", "b")
-    val reps = graft.operators.ConnectedComponents.minLabel(edges)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L)
+    // local union-find fast path (default threshold)
+    val local = graft.operators.ConnectedComponents.minLabel(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    assert(local == expected)
+    // distributed min-label loop (forced by a zero local threshold)
+    val dist = graft.operators.ConnectedComponents.minLabel(edges, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
   }
 
   test("survivor policies: transitive chain agrees, hub shape differs") {
