@@ -23,18 +23,33 @@ object CdcRecovery {
 
   /** Rebuild one table from a base state + its full journal.
     *
+    * Schema evolution is recovered from the journal itself: after-image
+    * keys beyond the declared schema (a mid-stream source ADD COLUMN)
+    * re-widen the rebuilt table exactly the way the live pipeline did —
+    * disaster recovery needs no record of when the source schema changed,
+    * because the journal witnesses every image. (Bounded collect: distinct
+    * after keys ≤ the source table's column count.)
+    *
     * @param base    the recovery starting point — typically the retained
     *                initial snapshot version (TableStore `readVersion(t, 0)`)
     * @param journal raw journal rows: op, lsn, commitTs, key, after (JSON)
-    * @param schema  destination data schema (incl. key)
+    * @param schema  declared destination data schema (incl. key)
     */
   def rebuild(base: DataFrame, journal: DataFrame, schema: StructType,
       keyCol: String, clock: Column): DataFrame = {
-    val typed = journal
+    val parsed = journal
       .withColumn("after", from_json(col("after"), MapType(StringType, StringType)))
-      .select(
-        Seq(col("op"), col("lsn"), col("commitTs"), col("key")) ++
-          CdcApplier.afterImageColumns(schema, keyCol): _*)
+    val known = schema.fieldNames.toSet
+    val newCols = parsed
+      .select(explode(map_keys(col("after"))).as("c")).distinct()
+      .collect().map(_.getString(0)).filterNot(known).sorted
+    val widened =
+      if (newCols.isEmpty) schema
+      else StructType(schema.fields ++ newCols.map(n =>
+        org.apache.spark.sql.types.StructField(n, StringType, nullable = true)))
+    val typed = parsed.select(
+      Seq(col("op"), col("lsn"), col("commitTs"), col("key")) ++
+        CdcApplier.afterImageColumns(widened, keyCol): _*)
     CdcApplier.applyBatch(base, typed, keyCol, clock)
   }
 }

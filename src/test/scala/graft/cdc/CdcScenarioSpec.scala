@@ -196,6 +196,38 @@ class CdcScenarioSpec extends SparkSpec {
     assert(after.filter($"appointment_id" === 202)
       .select("priority").collect()(0).getString(0) == "high")
     assert(after.count() == 172)
+
+    // a RESTART loses the widened in-memory schema: a fresh pipeline whose
+    // next batch lacks the column must not drop the destination column
+    // (applyBatch keeps destination columns absent from the events)
+    val pipeline2 = new CdcPipeline(spark, store, HealthcareSchema.all,
+      HealthcareSchema.keyColumns,
+      clock = () => lit("2025-01-15 09:00:00").cast("timestamp_ntz"))
+    pipeline2.applyEventBatch(spark.createDataset(Seq(
+      apptEvent(CdcOp.Update, 105, 201, "completed"))))
+    val afterRestart = store.read("appointments")
+    assert(afterRestart.columns.contains("priority"))
+    assert(afterRestart.filter($"appointment_id" === 202)
+      .select("priority").collect()(0).getString(0) == "high")
+
+    // disaster recovery reproduces the evolution from the journal alone:
+    // the rebuilt table carries the added column with the same values
+    if (storeKind == "TableStore") {
+      val ts = store.asInstanceOf[TableStore]
+      val rebuilt = CdcRecovery.rebuild(
+        ts.readVersion("appointments", 0),
+        store.readJournal("appointments"),
+        HealthcareSchema.all("appointments"), "appointment_id",
+        lit("2025-01-15 08:00:00").cast("timestamp_ntz"))
+      assert(rebuilt.columns.contains("priority"))
+      val live = afterRestart
+      val contentCols = live.columns
+        .filterNot(c => c == CdcApplier.MetaInserted || c == CdcApplier.MetaUpdated)
+        .sorted.toSeq
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select(contentCols.map(col): _*).collect().map(_.toString).sorted
+      assert(canon(rebuilt).sameElements(canon(live)))
+    }
   }
 
   test("journal replay rebuilds the destination: snapshot v0 + one batch apply") {
