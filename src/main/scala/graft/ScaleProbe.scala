@@ -32,9 +32,15 @@ object ScaleProbe {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions default to the core count like Bench, but are
+    // overridable: intermediate volume grows with the corpus while a fixed
+    // partition count eventually spills — on a cluster AQE re-sizes this,
+    // locally the probe lets you measure the effect directly
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -42,33 +48,45 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = new java.io.File(s"target/scale_probe_x$replicas").getAbsolutePath
 
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    (0 until replicas).map { k =>
-      if (k == 0) docs
-      else docs.select(
-        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"r$k$$1").as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // SPARK_GRAFT_SCALE_REUSE=1 skips the corpus build when this replica
+    // count's parquet already exists (iterating on one knob at a time);
+    // SPARK_GRAFT_SCALE_QUERIES=a,b,c restricts the timed set
+    val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
+      new java.io.File(s"$dir/documents.parquet").exists() &&
+      new java.io.File(s"$dir/embeddings.parquet").exists()
 
-    val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    (0 until replicas).map { k =>
-      if (k == 0) emb
-      else emb.select(
-        (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
-        expr(s"transform(embedding, (x, i) -> IF(pmod(hash(i, $k), 2) = 0, x, -x))")
-          .as("embedding"),
-        col("label"))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    if (!reuse) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      (0 until replicas).map { k =>
+        if (k == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r$k$$1").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      (0 until replicas).map { k =>
+        if (k == 0) emb
+        else emb.select(
+          (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          expr(s"transform(embedding, (x, i) -> IF(pmod(hash(i, $k), 2) = 0, x, -x))")
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
 
     // warm up IO + JIT before timing
     spark.read.parquet(s"$dir/documents.parquet").count()
     spark.read.parquet(s"$dir/embeddings.parquet").count()
 
-    val targets = Seq("q_dedup_minhash_lsh", "q_dedup_simhash",
+    val allTargets = Seq("q_dedup_minhash_lsh", "q_dedup_simhash",
       "q_dedup_ngram_jaccard", "q_dedup_embedding_lsh", "q_corpus_clean")
+    val targets = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(allTargets)
     val timed = targets.map { name =>
       spark.catalog.clearCache(); System.gc()
       val t0 = System.nanoTime()
@@ -83,13 +101,24 @@ object ScaleProbe {
       pipeline.DedupQueries.minhashSignature(
         pipeline.DedupQueries.shinglePostings(
           spark.read.parquet(s"$dir/documents.parquet"))))
-    val hot = pipeline.LshBlocking
-      .bucketSkewStats(bands, Seq("band_id", "band_key"), "doc_id")
-      .agg(count(lit(1)).as("hot_buckets"),
-        coalesce(max(col("bucket_size")), lit(0L)).cast("long").as("max_bucket"),
-        coalesce(sum(col("pairs_unguarded")), lit(0L)).cast("long").as("pairs_unguarded"),
-        coalesce(sum(col("pairs_guarded")), lit(0L)).cast("long").as("pairs_guarded"))
-      .collect()(0)
+    def hotStats(banded: org.apache.spark.sql.DataFrame, idCol: String) =
+      pipeline.LshBlocking
+        .bucketSkewStats(banded, Seq("band_id", "band_key"), idCol)
+        .agg(count(lit(1)).as("hot_buckets"),
+          coalesce(max(col("bucket_size")), lit(0L)).cast("long").as("max_bucket"),
+          coalesce(sum(col("pairs_unguarded")), lit(0L)).cast("long").as("pairs_unguarded"),
+          coalesce(sum(col("pairs_guarded")), lit(0L)).cast("long").as("pairs_guarded"))
+        .collect()(0)
+    val hot = hotStats(bands, "doc_id")
+    // same profile for the adaptive RP-LSH embedding banding
+    val embAll = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (bits, nBands) = pipeline.SimilarityQueries.adaptiveBanding(embAll.count())
+    val embBands = embAll
+      .select(col("vec_id"),
+        explode(pipeline.SimilarityQueries.rpBandKeys(
+          col("embedding"), bands = nBands, rowsPerBand = bits)).as("b"))
+      .select(col("vec_id"), col("b.band_id"), col("b.band_key"))
+    val embHot = hotStats(embBands, "vec_id")
 
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = timed.map { case (k, secs, n) =>
@@ -99,9 +128,14 @@ object ScaleProbe {
       s""""minhash_hot_buckets":${hot.getAs[Long]("hot_buckets")},""" +
       s""""minhash_max_bucket":${hot.getAs[Long]("max_bucket")},""" +
       s""""minhash_pairs_unguarded":${hot.getAs[Long]("pairs_unguarded")},""" +
-      s""""minhash_pairs_guarded":${hot.getAs[Long]("pairs_guarded")}}"""
+      s""""minhash_pairs_guarded":${hot.getAs[Long]("pairs_guarded")},""" +
+      s""""emb_bits":$bits,"emb_bands":$nBands,""" +
+      s""""emb_hot_buckets":${embHot.getAs[Long]("hot_buckets")},""" +
+      s""""emb_max_bucket":${embHot.getAs[Long]("max_bucket")},""" +
+      s""""emb_pairs_unguarded":${embHot.getAs[Long]("pairs_unguarded")},""" +
+      s""""emb_pairs_guarded":${embHot.getAs[Long]("pairs_guarded")}}"""
     println(json)
-    val outPath = java.nio.file.Paths.get("bench/scale_probe.json")
+    val outPath = java.nio.file.Paths.get(s"bench/scale_probe_x$replicas.json")
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
     spark.stop()
