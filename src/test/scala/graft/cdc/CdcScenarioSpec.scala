@@ -210,6 +210,15 @@ class CdcScenarioSpec extends SparkSpec {
     assert(afterRestart.filter($"appointment_id" === 202)
       .select("priority").collect()(0).getString(0) == "high")
 
+    // time travel respects the historic schema: a pre-evolution manifest
+    // reads WITHOUT the added column (each manifest commits its own schema)
+    if (storeKind == "BucketedTableStore") {
+      val bs = store.asInstanceOf[BucketedTableStore]
+      val preEvo = bs.readManifestVersion("appointments", 1) // m1 = batch-1 merge
+      assert(!preEvo.columns.contains("priority"))
+      assert(preEvo.count() == 171)
+    }
+
     // disaster recovery reproduces the evolution from the journal alone:
     // the rebuilt table carries the added column with the same values
     if (storeKind == "TableStore") {
