@@ -27,7 +27,8 @@ object Bench {
     val settleMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_SECS", "180").toInt
     val settleTarget = cpus.toDouble / 4.0
     val settleStart = System.nanoTime()
-    var load = loadavg1()
+    val loadAtLaunch = loadavg1() // -1 = unmeasurable (no /proc/loadavg)
+    var load = loadAtLaunch
     while (load >= 0 && load > settleTarget &&
         (System.nanoTime() - settleStart) / 1e9 < settleMax) {
       System.gc(); Thread.sleep(5000); load = loadavg1()
@@ -94,7 +95,8 @@ object Bench {
       "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"loadavg_start":${fmt(math.max(load, 0.0))},"settle_secs":${fmt(settledSecs)},"reps_detail":$repsDetail}"""
+    // -1 preserved: "unmeasured" must never read as "idle"
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"loadavg_launch":${fmt(loadAtLaunch)},"loadavg_timed":${fmt(load)},"settle_secs":${fmt(settledSecs)},"reps_detail":$repsDetail}"""
     println(json)
     // the driver's log tail truncates; persist the full per-query list so a
     // round's numbers are always recoverable from the repo itself

@@ -73,13 +73,27 @@ final class BucketedTableStore(
     manifestAt(table, currentManifest(table).getOrElse(throw new IllegalStateException(
       s"table $table has no committed manifest under $root")))
 
-  /** bucket → bucket-version map of a specific manifest (time travel). */
-  def manifestAt(table: String, n: Long): Map[Int, Long] =
-    Files.readAllLines(tableDir(table).resolve(s"m$n")).asScala
+  /** ONE manifest-file parse → (bucket→version map, committed schema).
+    * Every read path needs both; parsing once per operation halves manifest
+    * I/O at the 60 s cadence and guarantees map and schema come from the
+    * same read of the file.
+    */
+  private def parseManifest(table: String, n: Long):
+      (Map[Int, Long], Option[org.apache.spark.sql.types.StructType]) = {
+    val lines = Files.readAllLines(tableDir(table).resolve(s"m$n")).asScala
+    val m = lines
       .filter(l => l.nonEmpty && !l.startsWith(SchemaLine))
       .map { line =>
         val Array(b, v) = line.split(' '); b.toInt -> v.toLong
       }.toMap
+    val schema = lines.find(_.startsWith(SchemaLine))
+      .map(l => org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix(SchemaLine))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    (m, schema)
+  }
+
+  /** bucket → bucket-version map of a specific manifest (time travel). */
+  def manifestAt(table: String, n: Long): Map[Int, Long] = parseManifest(table, n)._1
 
   /** The table schema as of manifest `n` (schema evolution: a merge that
     * widens the table commits the wider schema WITH the manifest, atomically
@@ -89,17 +103,14 @@ final class BucketedTableStore(
     * manifests written before schema tracking.
     */
   def schemaAt(table: String, n: Long): Option[org.apache.spark.sql.types.StructType] =
-    Files.readAllLines(tableDir(table).resolve(s"m$n")).asScala
-      .find(_.startsWith(SchemaLine))
-      .map(l => org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix(SchemaLine))
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    parseManifest(table, n)._2
 
   /** Time travel: the table as of manifest `n` — consistent as long as the
     * versions it references have not been vacuumed.
     */
   def readManifestVersion(table: String, n: Long): DataFrame = {
-    val m = manifestAt(table, n)
-    readWith(table, m, m, schemaAt(table, n))
+    val (m, schema) = parseManifest(table, n)
+    readWith(table, m, m, schema)
   }
 
   private def bucketPath(table: String, bucket: Int, version: Long): String =
@@ -108,20 +119,21 @@ final class BucketedTableStore(
   private def pathsFor(table: String, m: Map[Int, Long]): Seq[String] =
     m.toSeq.sorted.map { case (b, v) => bucketPath(table, b, v) }
 
+  private def currentParsed(table: String):
+      (Map[Int, Long], Option[org.apache.spark.sql.types.StructType]) =
+    parseManifest(table, currentManifest(table).getOrElse(throw new IllegalStateException(
+      s"table $table has no committed manifest under $root")))
+
   /** Current snapshot: union of every bucket's current version. */
   override def read(table: String): DataFrame = {
-    val n = currentManifest(table).getOrElse(throw new IllegalStateException(
-      s"table $table has no committed manifest under $root"))
-    val m = manifestAt(table, n)
-    readWith(table, m, m, schemaAt(table, n))
+    val (m, schema) = currentParsed(table)
+    readWith(table, m, m, schema)
   }
 
   /** Only the given buckets' current data (partition pruning by bucket). */
   def readBuckets(table: String, buckets: Set[Int]): DataFrame = {
-    val n = currentManifest(table).getOrElse(throw new IllegalStateException(
-      s"table $table has no committed manifest under $root"))
-    val m = manifestAt(table, n)
-    readWith(table, m.view.filterKeys(buckets).toMap, m, schemaAt(table, n))
+    val (m, schema) = currentParsed(table)
+    readWith(table, m.view.filterKeys(buckets).toMap, m, schema)
   }
 
   /** Read the buckets of `slice` under the manifest's committed `schema`
@@ -233,10 +245,8 @@ final class BucketedTableStore(
     // bounded collect: ≤ nBuckets ints, derived from keys — never row data
     val touched = events.select(bucketOf(col("key")).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val n = currentManifest(table).getOrElse(throw new IllegalStateException(
-      s"table $table has no committed manifest under $root"))
-    val prev = manifestAt(table, n)
-    val dest = readWith(table, prev.view.filterKeys(touched).toMap, prev, schemaAt(table, n))
+    val (prev, prevSchema) = currentParsed(table)
+    val dest = readWith(table, prev.view.filterKeys(touched).toMap, prev, prevSchema)
     val merged = CdcApplier.applyBatch(dest, events, keyCol, applyTs)
     val written = writeBuckets(table, merged, keyCol)
     // untouched buckets carry forward by reference — files untouched; if the

@@ -140,4 +140,35 @@ object CdcApplier {
     schema.fields.filterNot(f => f.name == keyCol || metaColumns.contains(f.name)).map { f =>
       element_at(col("after"), f.name).cast(f.dataType).as(f.name)
     }.toSeq
+
+  /** After-image keys absent from `schema` — the witness of a source
+    * `ALTER TABLE ADD COLUMN` — ordered by (first-appearance lsn, name).
+    * The SAME discovery drives the live pipeline and disaster rebuild
+    * (one definition, so apply and recovery can never diverge), and the
+    * lsn ordering makes the rebuilt column order equal the live one even
+    * when evolution spanned many batches. Bounded collect: distinct after
+    * keys ≤ the source table's column count, never row data.
+    *
+    * @param events rows with `after: map<string,string>` and `lsn`
+    */
+  def discoverNewColumns(events: DataFrame, schema: StructType): Seq[String] = {
+    val known = schema.fieldNames.toSet
+    events
+      .select(explode(map_keys(col("after"))).as("c"), col("lsn"))
+      .groupBy("c").agg(min("lsn").as("first_lsn"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .filterNot { case (c, _) => known(c) }
+      .sortBy { case (c, l) => (l, c) }
+      .map(_._1).toSeq
+  }
+
+  /** Append `newCols` to `schema` as nullable STRING (the after-image wire
+    * type) — what `ALTER TABLE ADD COLUMN` gives pre-existing rows.
+    */
+  def widen(schema: StructType, newCols: Seq[String]): StructType =
+    if (newCols.isEmpty) schema
+    else StructType(schema.fields ++ newCols.map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.StringType, nullable = true)))
 }

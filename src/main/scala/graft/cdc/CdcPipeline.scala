@@ -58,18 +58,11 @@ final class CdcPipeline(
         val keyCol = keyCols(t)
         val tEvents = raw.filter(col("table") === t)
         dest.appendJournal(t, tEvents.withColumn("after", to_json(col("after"))))
-        // schema evolution probe — bounded collect: distinct after-image
-        // keys ≤ the source table's column count, never row data
+        // schema evolution probe — shared with CdcRecovery.rebuild so live
+        // apply and disaster recovery can never diverge
         val declared = curSchemas(t)
-        val known = declared.fieldNames.toSet
-        val newCols = tEvents
-          .select(explode(map_keys(col("after"))).as("c")).distinct()
-          .collect().map(_.getString(0)).filterNot(known).sorted
-        val schema =
-          if (newCols.isEmpty) declared
-          else StructType(declared.fields ++ newCols.map(n =>
-            org.apache.spark.sql.types.StructField(n,
-              org.apache.spark.sql.types.StringType, nullable = true)))
+        val schema = CdcApplier.widen(declared,
+          CdcApplier.discoverNewColumns(tEvents, declared))
         curSchemas += t -> schema
         val typed = tEvents.select(
           Seq(col("op"), col("lsn"), col("commitTs"), col("key")) ++

@@ -25,10 +25,12 @@ object CdcRecovery {
     *
     * Schema evolution is recovered from the journal itself: after-image
     * keys beyond the declared schema (a mid-stream source ADD COLUMN)
-    * re-widen the rebuilt table exactly the way the live pipeline did —
-    * disaster recovery needs no record of when the source schema changed,
-    * because the journal witnesses every image. (Bounded collect: distinct
-    * after keys ≤ the source table's column count.)
+    * re-widen the rebuilt table via the SAME
+    * [[CdcApplier.discoverNewColumns]] the live pipeline uses — its
+    * first-appearance-lsn ordering makes the rebuilt column order equal
+    * the live destination's even when evolution spanned many batches.
+    * Disaster recovery needs no record of when the source schema changed,
+    * because the journal witnesses every image.
     *
     * @param base    the recovery starting point — typically the retained
     *                initial snapshot version (TableStore `readVersion(t, 0)`)
@@ -39,14 +41,8 @@ object CdcRecovery {
       keyCol: String, clock: Column): DataFrame = {
     val parsed = journal
       .withColumn("after", from_json(col("after"), MapType(StringType, StringType)))
-    val known = schema.fieldNames.toSet
-    val newCols = parsed
-      .select(explode(map_keys(col("after"))).as("c")).distinct()
-      .collect().map(_.getString(0)).filterNot(known).sorted
-    val widened =
-      if (newCols.isEmpty) schema
-      else StructType(schema.fields ++ newCols.map(n =>
-        org.apache.spark.sql.types.StructField(n, StringType, nullable = true)))
+    val widened = CdcApplier.widen(schema,
+      CdcApplier.discoverNewColumns(parsed, schema))
     val typed = parsed.select(
       Seq(col("op"), col("lsn"), col("commitTs"), col("key")) ++
         CdcApplier.afterImageColumns(widened, keyCol): _*)

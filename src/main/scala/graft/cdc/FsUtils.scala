@@ -92,21 +92,56 @@ private[cdc] object Journals {
     *     and both markers.
     *
     * A crash before step 2 redoes the copy into a fresh staging dir; a crash
-    * after it resumes the move/cleanup from the manifest. Unlike a
+    * after it resumes the move/cleanup from the manifest (the resume runs
+    * FIRST, so a flat file dropped while a crashed cycle was pending is
+    * picked up by a fresh cycle in the same call). The staged manifest —
+    * the protocol's commit point — is published with tmp-write + ATOMIC_MOVE
+    * so a torn write reads as "no commit" and the copy is redone. Unlike a
     * wipe-partitions-and-recopy recovery, a flat file that appears AFTER
     * partitioned history exists (old-version writer in a rolling upgrade, a
     * manual backfill drop) starts a new migration cycle that only ever ADDS
     * its own staged files — the existing partitioned history is untouchable
-    * by construction. (`migrationLock` serializes within a JVM; the marker
-    * files keep any cross-process interleaving recoverable, since every
-    * recovery path is a redo-from-originals or an idempotent replay.)
+    * by construction. Concurrency: `migrationLock` serializes within a JVM;
+    * across PROCESSES the protocol assumes the deployment's single-writer
+    * rule (one pipeline owns a journal root — same assumption every
+    * file-layout committer here makes). Two live processes migrating the
+    * same flat journal concurrently could both append into staging and
+    * duplicate events; crash-then-restart sequences, which is what the
+    * markers exist for, are safe in any order.
     */
+  /** Steps 3-4: replay the committed manifest idempotently (a staged file
+    * already gone was moved by a crashed run), retire the flat originals
+    * named in `pending`, then clear staging and both markers.
+    */
+  private def finishCycle(base: Path): Unit = {
+    val pending = base.resolve("_flat_migration_pending")
+    val staged = base.resolve("_flat_migration_staged")
+    val staging = base.resolve("_flat_migration_staging")
+    Files.readAllLines(staged).asScala.filter(_.nonEmpty).foreach { rel =>
+      val src = staging.resolve(rel)
+      if (Files.exists(src)) {
+        val dst = base.resolve(rel)
+        Files.createDirectories(dst.getParent)
+        Files.move(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    if (Files.exists(pending))
+      Files.readAllLines(pending).asScala.filter(_.nonEmpty)
+        .foreach(n => Files.deleteIfExists(base.resolve(n)))
+    FsUtils.deleteRecursively(staging)
+    Files.deleteIfExists(pending)
+    Files.deleteIfExists(staged)
+  }
+
   private def ensureLayout(spark: SparkSession, base: Path): Unit = migrationLock.synchronized {
     val pending = base.resolve("_flat_migration_pending")
     val staged = base.resolve("_flat_migration_staged")
     val staging = base.resolve("_flat_migration_staging")
+    // resume a committed-but-unfinished cycle FIRST: its flat originals are
+    // retired here, so the fresh-cycle check below sees only NEW flat files
+    if (Files.exists(staged)) finishCycle(base)
     val flat = flatFiles(base)
-    if (flat.nonEmpty && !Files.exists(staged)) {
+    if (flat.nonEmpty) {
       FsUtils.deleteRecursively(staging) // a half-built copy from a crash
       Files.write(pending,
         flat.map(_.getFileName.toString).mkString("\n").getBytes("UTF-8"))
@@ -122,23 +157,13 @@ private[cdc] object Journals {
         .flatMap(d => FsUtils.listDir(d)
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map(f => s"${d.getFileName}/${f.getFileName}"))
-      Files.write(staged, stagedFiles.mkString("\n").getBytes("UTF-8"))
-    }
-    if (Files.exists(staged)) {
-      Files.readAllLines(staged).asScala.filter(_.nonEmpty).foreach { rel =>
-        val src = staging.resolve(rel)
-        if (Files.exists(src)) { // absent = already moved by a crashed run
-          val dst = base.resolve(rel)
-          Files.createDirectories(dst.getParent)
-          Files.move(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-      }
-      if (Files.exists(pending))
-        Files.readAllLines(pending).asScala.filter(_.nonEmpty)
-          .foreach(n => Files.deleteIfExists(base.resolve(n)))
-      FsUtils.deleteRecursively(staging)
-      Files.deleteIfExists(pending)
-      Files.deleteIfExists(staged)
+      // commit point: a torn manifest must read as "no commit", so publish
+      // via tmp + ATOMIC_MOVE (same pattern as every pointer swap here)
+      val tmp = base.resolve("_flat_migration_staged.tmp")
+      Files.write(tmp, stagedFiles.mkString("\n").getBytes("UTF-8"))
+      Files.move(tmp, staged, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finishCycle(base)
     }
   }
 

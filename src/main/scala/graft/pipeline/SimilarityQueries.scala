@@ -52,17 +52,27 @@ object SimilarityQueries {
     * sf0.1 time, with the skew guard silent because uniformly-overfull
     * buckets are not skewed). Growing bits with log2(n/128) pins the
     * expected bucket population near 128, making candidate volume
-    * O(bands · n · 128) — linear in n with a log-n band factor — and bands
-    * grow with the bits so the (1-(1-p^bits)^bands) recall curve keeps a
-    * usable operating point (more bits per band = sharper, rarer
-    * collisions; more bands buy the recall back at linear cost).
+    * O(bands · n · 128) — linear in n with a slowly-growing band factor.
+    * Bits are clamped to 16: past ~8M vectors the population bound loosens
+    * again rather than crossing rpBandKeys' 32-bit key-packing limit.
+    *
+    * Recall honesty: per-band collision probability decays GEOMETRICALLY
+    * in bits (p^bits), so holding a fixed recall at a fixed threshold τ
+    * would need bands ∝ (1/p)^bits — exponential, which no linear band
+    * schedule supplies. The +4-bands-per-bit default keeps ≥90% recall for
+    * the high-similarity regimes real dedup targets (τ ≥ 0.8: p ≈ 0.795,
+    * p⁸ ≈ 0.16, 14 bands ≥ 90%) and accepts decaying recall for
+    * low-threshold sweeps (τ = 0.42 at n = 20k measures ≈59% vs the 3-bit
+    * superset — see BASELINE.md's probe table). Callers needing a specific
+    * (τ, recall) point must size bands from the 1-(1-p^bits)^bands curve
+    * and pass them to [[rpBandKeys]] explicitly.
     *
     * n ≤ 1024 reduces to the original (3, 10) — the oracle corpora and the
     * recall spec see bit-identical candidates.
     */
   def adaptiveBanding(n: Long): (Int, Int) = {
-    val bits = math.max(3,
-      math.ceil(math.log(math.max(n, 1L) / 128.0) / math.log(2.0)).toInt)
+    val bits = math.min(16, math.max(3,
+      math.ceil(math.log(math.max(n, 1L) / 128.0) / math.log(2.0)).toInt))
     val bands = math.min(10 + 4 * (bits - 3), hyperplanes.length / bits)
     (bits, bands)
   }
