@@ -120,6 +120,27 @@ object ScaleProbe {
       .select(col("vec_id"), col("b.band_id"), col("b.band_key"))
     val embHot = hotStats(embBands, "vec_id")
 
+    // optional recall stage: SPARK_GRAFT_SCALE_RECALL_TAU=0.8 measures the
+    // adaptive LSH's recall against the EXACT all-pairs baseline at that
+    // threshold on the scaled corpus (the baseline's O(n²) guard admits it
+    // up to 100k vectors) — the datapoint behind the "sized for high-τ
+    // dedup" claim in adaptiveBanding's scaladoc
+    val recallJson = sys.env.get("SPARK_GRAFT_SCALE_RECALL_TAU").map { tauS =>
+      val tau = tauS.toDouble
+      val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+      val exact = pipeline.SimilarityQueries
+        .exactNearDupPairs(embAll, minCos = tau)
+        .collect().map(key).toSet
+      val lsh = pipeline.SimilarityQueries
+        .embeddingNearDupPairsLsh(embAll, minCos = tau)
+        .collect().map(key).toSet
+      require(lsh.subsetOf(exact), "LSH pairs must be exact-verified")
+      val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+      s""","recall_tau":$tau,"recall_exact_pairs":${exact.size},""" +
+        s""""recall_lsh_pairs":${lsh.size},"recall":${BigDecimal(recall)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)}"""
+    }.getOrElse("")
+
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = timed.map { case (k, secs, n) =>
       "\"" + k + "\":{\"sec\":" + fmt(secs) + ",\"rows\":" + n + "}"
@@ -133,9 +154,10 @@ object ScaleProbe {
       s""""emb_hot_buckets":${embHot.getAs[Long]("hot_buckets")},""" +
       s""""emb_max_bucket":${embHot.getAs[Long]("max_bucket")},""" +
       s""""emb_pairs_unguarded":${embHot.getAs[Long]("pairs_unguarded")},""" +
-      s""""emb_pairs_guarded":${embHot.getAs[Long]("pairs_guarded")}}"""
+      s""""emb_pairs_guarded":${embHot.getAs[Long]("pairs_guarded")}$recallJson}"""
     println(json)
-    val outPath = java.nio.file.Paths.get(s"bench/scale_probe_x$replicas.json")
+    val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_SCALE_OUT", s"bench/scale_probe_x$replicas.json"))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
     spark.stop()

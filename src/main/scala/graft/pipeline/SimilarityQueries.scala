@@ -136,6 +136,41 @@ object SimilarityQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** RP-LSH banded near-dup pairs at threshold `minCos`: adaptive banding
+    * (parquet-metadata count sizes bits/bands to the corpus; ≤1024 vectors →
+    * the original 10×3, unchanged gate) → skew-guarded bucket pairs → exact
+    * cosine re-score. Candidates are generated and deduplicated as BARE ID
+    * PAIRS — the 64-float vectors rejoin only for the re-score, so the band
+    * self-join and the distinct never shuffle or hash embedding arrays. No
+    * broadcast hint on the re-score joins: the vector table is corpus-sized,
+    * so AQE must be free to pick a shuffle join at scale (it still
+    * broadcasts when small). `stage` materializes the candidate set for the
+    * DuckDB oracle (Verify mode only).
+    */
+  def embeddingNearDupPairsLsh(e: org.apache.spark.sql.DataFrame, minCos: Double,
+      stage: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val (bits, bands) = adaptiveBanding(e.count())
+    val banded = e
+      .select(col("vec_id"),
+        explode(rpBandKeys(col("embedding"), bands = bands, rowsPerBand = bits)).as("b"))
+      .select(col("vec_id"), col("b.band_id"), col("b.band_key"))
+    // skew guard: hot band buckets (near-identical / zero vectors) degrade
+    // to a linear star instead of B² pairs; see LshBlocking
+    val rawCands = LshBlocking.boundedBucketPairs(banded, Seq("band_id", "band_key"), "vec_id")
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+    val cands = stage.map(graft.OracleStage.stage(_, rawCands)).getOrElse(rawCands)
+    val vecs = e.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    cands
+      .join(vecs.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(round(col("cos"), 9) >= minCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 9).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- Brute-force cosine scoring against a fixed query vector -----
@@ -294,34 +329,8 @@ object SimilarityQueries {
          |JOIN embeddings b ON b.vec_id = c.vec_b
          |WHERE ROUND(${cosSql("a.embedding", "b.embedding")}, 9) >= 0.42
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-      // parquet-metadata count sizes the banding to the corpus (see
-      // adaptiveBanding: ≤1024 vectors → the original 10×3, unchanged gate)
-      val (bits, bands) = adaptiveBanding(e.count())
-      // candidates are generated and deduplicated as BARE ID PAIRS — the
-      // 64-float vectors rejoin only for the exact re-score, so the band
-      // self-join and the distinct never shuffle or hash embedding arrays
-      val banded = e
-        .select(col("vec_id"),
-          explode(rpBandKeys(col("embedding"), bands = bands, rowsPerBand = bits)).as("b"))
-        .select(col("vec_id"), col("b.band_id"), col("b.band_key"))
-      // skew guard: hot band buckets (near-identical / zero vectors) degrade
-      // to a linear star instead of B² pairs; see LshBlocking
-      val cands = graft.OracleStage.stage("cands_emb_lsh",
-        LshBlocking.boundedBucketPairs(banded, Seq("band_id", "band_key"), "vec_id")
-          .select(col("id_a").as("vec_a"), col("id_b").as("vec_b")))
-      // no broadcast hint: the vector table is corpus-sized, so AQE must be
-      // free to pick shuffle join at scale (it still broadcasts when small)
-      val vecs = e.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      cands
-        .join(vecs.select(col("vec_id").as("vec_a"),
-          col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
-        .join(vecs.select(col("vec_id").as("vec_b"),
-          col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
-        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-        .filter(round(col("cos"), 9) >= 0.42)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 9).as("cosine"))
-        .orderBy("vec_a", "vec_b")
+      embeddingNearDupPairsLsh(Tables.embeddings(s, d), minCos = 0.42,
+        stage = Some("cands_emb_lsh"))
     },
 
     // ----- IVF-style partitioned ANN: probe best partitions only -----
