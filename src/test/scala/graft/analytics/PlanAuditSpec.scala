@@ -69,6 +69,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, df.queryExecution.sparkPlan.toString)
   }
 
+  test("embedding LSH candidate generation shuffles bare ids, not vectors") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.ArrayType
+    // AQE off for a fully-materialized exchange tree (sparkPlan has no
+    // exchanges yet; the adaptive executedPlan hides them in query stages)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.SparkEntry.queries("q_dedup_embedding_lsh")(spark, sf())
+      val shuffles = df.queryExecution.executedPlan.collect { case e: ShuffleExchangeLike => e }
+      // every band-keyed exchange (candidate generation: the skew-guard
+      // window, bucket self-join sides) must move (id, band) rows only — a
+      // 64-float array riding a band shuffle multiplies candidate-stage
+      // shuffle volume ~30x at scale
+      val bandShuffles = shuffles.filter(_.outputPartitioning.toString.contains("band_key"))
+      assert(bandShuffles.nonEmpty, "expected band-keyed exchanges in the LSH plan")
+      bandShuffles.foreach { e =>
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"vector array in a band-keyed exchange:\n$e")
+      }
+      // vectors may enter at most the two re-score joins' exchanges
+      val arrayCarrying = shuffles.filter(_.output.exists(_.dataType.isInstanceOf[ArrayType]))
+      assert(arrayCarrying.size <= 2, s"${arrayCarrying.size} exchanges carry arrays")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   // ---- healthcare (reference-suite) plans over the materialized parquet ----
 
   test("healthcare dimension joins broadcast (patients/doctors are dims)") {
