@@ -25,7 +25,10 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val settleMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_SECS", "180").toInt
-    val settleTarget = cpus.toDouble / 4.0
+    // cpus/16 (= 2.0 at local[32]): the r7 driver run sailed through the old
+    // cpus/4 = 8 gate at loadavg 2.06 and still ran 27% over its idle number
+    val settleTarget = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_TARGET",
+      (cpus.toDouble / 16.0).toString).toDouble
     val settleStart = System.nanoTime()
     val loadAtLaunch = loadavg1() // -1 = unmeasurable (no /proc/loadavg)
     var load = loadAtLaunch
@@ -71,19 +74,23 @@ object Bench {
     val isolate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "1") == "1"
     val detailed = ordered.map { case (name, fn) =>
       if (isolate) { spark.catalog.clearCache(); System.gc() }
-      val times = (1 to reps).flatMap { _ =>
+      // loadavg sampled at the START of each rep: a mover in the artifact is
+      // then attributable to ambient load (or exonerated) without a rerun
+      val runs = (1 to reps).flatMap { _ =>
+        val l = loadavg1()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        try { fn(spark, sfDir).count(); Some(((System.nanoTime() - t0) / 1e9, l)) }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}")
             None
         }
       }
+      val times = runs.map(_._1)
       // -1 sentinel: a thrown query must not read as an impossibly fast run
-      (name, if (times.size == reps) median(times) else -1.0, times)
+      (name, if (times.size == reps) median(times) else -1.0, times, runs.map(_._2))
     }.sortBy(_._1) // report alphabetically regardless of run order
-    val results = detailed.map { case (n, m, _) => (n, m) }
+    val results = detailed.map { case (n, m, _, _) => (n, m) }
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
@@ -91,12 +98,16 @@ object Bench {
     // every rep, not just the median: a single pathological rep (GC pause,
     // IO stall) is then visible in the artifact instead of silently shaping
     // the median's neighbors
-    val repsDetail = detailed.map { case (k, _, ts) =>
+    val repsDetail = detailed.map { case (k, _, ts, _) =>
       "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // per-rep 1-min loadavg at rep start; -1 preserved (unmeasured ≠ idle)
+    val repsLoad = detailed.map { case (k, _, _, ls) =>
+      "\"" + k + "\":[" + ls.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // -1 preserved: "unmeasured" must never read as "idle"
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"loadavg_launch":${fmt(loadAtLaunch)},"loadavg_timed":${fmt(load)},"settle_secs":${fmt(settledSecs)},"reps_detail":$repsDetail}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"loadavg_launch":${fmt(loadAtLaunch)},"loadavg_timed":${fmt(load)},"settle_secs":${fmt(settledSecs)},"settle_target":${fmt(settleTarget)},"reps_detail":$repsDetail,"reps_load":$repsLoad}"""
     println(json)
     // the driver's log tail truncates; persist the full per-query list so a
     // round's numbers are always recoverable from the repo itself

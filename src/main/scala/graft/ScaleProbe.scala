@@ -141,6 +141,58 @@ object ScaleProbe {
           .setScale(4, BigDecimal.RoundingMode.HALF_UP)}"""
     }.getOrElse("")
 
+    // PLANTED-pair recall: the synthetic corpus has no pairs above cosine
+    // 0.6, so exact-baseline recall at τ ≥ 0.8 is vacuous there (and the
+    // exact baseline is O(n²)-guarded anyway). SPARK_GRAFT_SCALE_PLANT_TAU
+    // plants SPARK_GRAFT_SCALE_PLANT_N controlled perturbations — copy_i =
+    // cos(α)·v̂_i + sin(α)·û_i with û_i a seeded random unit vector ⊥ v_i,
+    // α spread so pair cosines cover [τ, 1) — and measures what fraction of
+    // the planted (known-similarity, exactly re-scored) pairs the adaptive
+    // LSH emits at τ. This is the NON-VACUOUS datapoint behind the "14
+    // bands clear ≥90% at τ=0.8" scaladoc claim.
+    val plantJson = sys.env.get("SPARK_GRAFT_SCALE_PLANT_TAU").map { tauS =>
+      val tau = tauS.toDouble
+      val nPlant = sys.env.getOrElse("SPARK_GRAFT_SCALE_PLANT_N", "500").toInt
+      val base = embAll.orderBy("vec_id").limit(nPlant)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val plantOffset = 1000000000L // beyond any replica id offset
+      val rng = new scala.util.Random(977)
+      def dotD(a: Array[Float], b: Array[Float]): Double =
+        a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+      val planted = base.zipWithIndex.map { case ((id, v), k) =>
+        val nv = math.sqrt(dotD(v, v))
+        // target cosines sweep [tau, 1) deterministically across the set
+        val target = tau + (1.0 - tau) * (k.toDouble / math.max(1, nPlant))
+        val alpha = math.acos(target)
+        val g = Array.fill(v.length)(rng.nextGaussian())
+        val gv = g.indices.foldLeft(0.0)((s, i) => s + g(i) * v(i) / nv)
+        val u = g.indices.map(i => g(i) - gv * v(i) / nv).toArray
+        val nu = math.sqrt(u.foldLeft(0.0)((s, x) => s + x * x))
+        val copy = v.indices.map(i =>
+          (math.cos(alpha) * v(i) / nv + math.sin(alpha) * u(i) / nu).toFloat).toArray
+        // EXACT pair cosine after float32 rounding, same arithmetic as the
+        // re-score (float→double products, sequential sum, round 9 dp)
+        val cos = BigDecimal(dotD(v, copy) /
+          (math.sqrt(dotD(v, v)) * math.sqrt(dotD(copy, copy))))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, id + plantOffset, copy, cos)
+      }
+      val truth = planted.filter(_._4 >= tau).map(p => (p._1, p._2)).toSet
+      val plantedDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(planted.toIndexedSeq.map(p =>
+          org.apache.spark.sql.Row(p._2, p._3.toSeq, "planted")), 4),
+        embAll.schema)
+      val augmented = embAll.unionByName(plantedDf)
+      val found = pipeline.SimilarityQueries
+        .embeddingNearDupPairsLsh(augmented, minCos = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hit = truth.count(found.contains)
+      val recall = if (truth.isEmpty) 1.0 else hit.toDouble / truth.size
+      s""","plant_tau":$tau,"plant_pairs":${truth.size},"plant_found":$hit,""" +
+        s""""plant_recall":${BigDecimal(recall).setScale(4, BigDecimal.RoundingMode.HALF_UP)}"""
+    }.getOrElse("")
+
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = timed.map { case (k, secs, n) =>
       "\"" + k + "\":{\"sec\":" + fmt(secs) + ",\"rows\":" + n + "}"
@@ -154,10 +206,19 @@ object ScaleProbe {
       s""""emb_hot_buckets":${embHot.getAs[Long]("hot_buckets")},""" +
       s""""emb_max_bucket":${embHot.getAs[Long]("max_bucket")},""" +
       s""""emb_pairs_unguarded":${embHot.getAs[Long]("pairs_unguarded")},""" +
-      s""""emb_pairs_guarded":${embHot.getAs[Long]("pairs_guarded")}$recallJson}"""
+      s""""emb_pairs_guarded":${embHot.getAs[Long]("pairs_guarded")}$recallJson$plantJson}"""
     println(json)
-    val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
-      "SPARK_GRAFT_SCALE_OUT", s"bench/scale_probe_x$replicas.json"))
+    // recall/plant runs default to their OWN artifact names: a recall-only
+    // invocation (restricted query set) must never overwrite the timing
+    // artifact bench/scale_probe_x<k>.json with an empty "queries" map
+    val defaultOut =
+      if (sys.env.contains("SPARK_GRAFT_SCALE_PLANT_TAU"))
+        s"bench/scale_probe_plant_x$replicas.json"
+      else if (sys.env.contains("SPARK_GRAFT_SCALE_RECALL_TAU"))
+        s"bench/scale_probe_recall_x$replicas.json"
+      else s"bench/scale_probe_x$replicas.json"
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", defaultOut))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
     spark.stop()

@@ -258,15 +258,69 @@ object HealthcareEntry {
          |GROUP BY d.department""".stripMargin)((s, _) =>
       HealthcareQueries.revenueByDepartment(snap(s))),
 
+    // min/max as DOUBLE: this query was the suite's ONLY emitter of raw
+    // DECIMAL output columns and its only driver-red row for five rounds
+    // (while the local strict gate passed) — the gate's pyarrow and DuckDB
+    // readers normalize decimals differently, so driver-visible outputs use
+    // BIGINT/DOUBLE/DATE/STRING only. The hc_dailyrev_probe_* entries below
+    // make the driver's own gate confirm the localization.
     QueryDef(
       "hc_daily_revenue",
       s"""SELECT visit_date, COUNT(*) AS visit_count,
          |       CAST(SUM(CAST(total_charge AS DECIMAL(18,2))) AS DOUBLE) AS daily_revenue,
          |       ${moneyAvgSql("total_charge")} AS avg_revenue_per_visit,
-         |       MIN(total_charge) AS min_charge, MAX(total_charge) AS max_charge
+         |       CAST(MIN(total_charge) AS DOUBLE) AS min_charge,
+         |       CAST(MAX(total_charge) AS DOUBLE) AS max_charge
          |FROM $V WHERE $NotDel AND visit_date >= DATE '$D30'
          |GROUP BY visit_date""".stripMargin)((s, _) =>
       HealthcareQueries.dailyRevenueTrend(snap(s), Now)),
+
+    // ---- hc_daily_revenue per-column diagnostic probes (r7 verdict #1) ----
+    // Same FROM/WHERE/GROUP BY; one column family each; money as BIGINT
+    // integer cents (exact row-level DECIMAL(18,2)*100) except the final
+    // probe, which deliberately re-emits the raw DECIMAL min/max so a red
+    // row THERE + green cents probes confirms the decimal-normalization
+    // diagnosis from the driver's own CORRECTNESS output.
+    QueryDef(
+      "hc_dailyrev_probe_count",
+      s"""SELECT visit_date, COUNT(*) AS visit_count
+         |FROM $V WHERE $NotDel AND visit_date >= DATE '$D30'
+         |GROUP BY visit_date""".stripMargin)((s, _) =>
+      HealthcareQueries.dailyRevenueProbeCount(snap(s), Now)),
+
+    QueryDef(
+      "hc_dailyrev_probe_sum_cents",
+      s"""SELECT visit_date,
+         |       CAST(SUM(CAST(CAST(total_charge AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS revenue_cents
+         |FROM $V WHERE $NotDel AND visit_date >= DATE '$D30'
+         |GROUP BY visit_date""".stripMargin)((s, _) =>
+      HealthcareQueries.dailyRevenueProbeSumCents(snap(s), Now)),
+
+    QueryDef(
+      "hc_dailyrev_probe_avg_cents",
+      s"""SELECT visit_date,
+         |       CAST((2*CAST(SUM(CAST(CAST(total_charge AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) + COUNT(*))
+         |            // (2*COUNT(*)) AS BIGINT) AS avg_cents
+         |FROM $V WHERE $NotDel AND visit_date >= DATE '$D30'
+         |GROUP BY visit_date""".stripMargin)((s, _) =>
+      HealthcareQueries.dailyRevenueProbeAvgCents(snap(s), Now)),
+
+    QueryDef(
+      "hc_dailyrev_probe_minmax_cents",
+      s"""SELECT visit_date,
+         |       MIN(CAST(CAST(total_charge AS DECIMAL(18,2))*100 AS BIGINT)) AS min_cents,
+         |       MAX(CAST(CAST(total_charge AS DECIMAL(18,2))*100 AS BIGINT)) AS max_cents
+         |FROM $V WHERE $NotDel AND visit_date >= DATE '$D30'
+         |GROUP BY visit_date""".stripMargin)((s, _) =>
+      HealthcareQueries.dailyRevenueProbeMinMaxCents(snap(s), Now)),
+
+    QueryDef(
+      "hc_dailyrev_probe_minmax_raw",
+      s"""SELECT visit_date,
+         |       MIN(total_charge) AS min_charge, MAX(total_charge) AS max_charge
+         |FROM $V WHERE $NotDel AND visit_date >= DATE '$D30'
+         |GROUP BY visit_date""".stripMargin)((s, _) =>
+      HealthcareQueries.dailyRevenueProbeMinMaxRaw(snap(s), Now)),
 
     QueryDef(
       "hc_monthly_revenue",

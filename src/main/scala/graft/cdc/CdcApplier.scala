@@ -52,6 +52,15 @@ object CdcApplier {
     *
     * `events` columns: op, lsn, commitTs, key + after-image data columns.
     */
+  /** Every non-data column [[latestPerKey]] emits ("key" included — the
+    * caller renames it "_ev_key"). applyBatch derives the event DATA columns
+    * by filtering on THIS set, so adding a helper column to latestPerKey
+    * cannot silently read as a new source column and get widened into every
+    * destination table.
+    */
+  val latestPerKeyHelperCols: Set[String] =
+    Set("key", "op", "lsn", "commitTs", "_ev_count", "_has_image")
+
   def latestPerKey(events: DataFrame): DataFrame = {
     val dataCols = events.columns.filterNot(Seq("op", "lsn", "commitTs", "key").contains)
     val w = Window.partitionBy("key").orderBy(col("lsn").desc)
@@ -94,7 +103,7 @@ object CdcApplier {
       // idempotent retry: ignore events at-or-below the row's high-water mark
       .withColumnRenamed("key", "_ev_key")
     val evData = latest.columns
-      .filterNot(Seq("_ev_key", "op", "lsn", "commitTs", "_ev_count", "_has_image").contains)
+      .filterNot(c => c == "_ev_key" || latestPerKeyHelperCols.contains(c))
     val destSet = destData.toSet
     val evSet = evData.toSet
     val dataCols = destData ++ evData.filterNot(destSet) // new columns appended

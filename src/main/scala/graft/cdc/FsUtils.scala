@@ -44,15 +44,55 @@ private[cdc] object Journals {
   private def dir(root: String, table: String) =
     Paths.get(root, s"${table}_journal")
 
-  def append(root: String, table: String, events: DataFrame): Unit = {
-    ensureLayout(events.sparkSession, dir(root, table))
-    events
-      .withColumn(PartCol, org.apache.spark.sql.functions.to_date(
-        org.apache.spark.sql.functions.col("commitTs")))
-      .write.mode(SaveMode.Append)
-      .partitionBy(PartCol)
-      .parquet(dir(root, table).toString)
+  /** OS-level single-writer enforcement: every journal MUTATION (append,
+    * migration) runs under an exclusive `FileChannel.tryLock` on
+    * `<journal>/_writer.lock`, so the deployment's single-writer rule is an
+    * enforced invariant, not a scaladoc assumption — a second process
+    * appending or migrating the same journal root fails fast with a clear
+    * error instead of interleaving staged copies. Reentrant within a thread
+    * (append → ensureLayout nests); same-JVM threads serialize on a
+    * per-directory monitor BEFORE touching the file lock, because JVM file
+    * locks are held per-process and a second channel lock attempt from the
+    * same JVM throws `OverlappingFileLockException` (which we also treat as
+    * contention — it genuinely means another writer holds the journal).
+    * The lock file's underscore name keeps it invisible to parquet readers.
+    */
+  private val writerMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val heldLocks = ThreadLocal.withInitial[java.util.HashSet[String]](
+    () => new java.util.HashSet[String]())
+
+  private def withWriterLock[T](base: Path)(body: => T): T = {
+    val key = base.toAbsolutePath.toString
+    if (heldLocks.get.contains(key)) body // reentrant nested call
+    else writerMonitors.computeIfAbsent(key, _ => new Object).synchronized {
+      Files.createDirectories(base)
+      val ch = java.nio.channels.FileChannel.open(base.resolve("_writer.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock =
+          try ch.tryLock()
+          catch { case _: java.nio.channels.OverlappingFileLockException => null }
+        if (lock == null) throw new IllegalStateException(
+          s"journal $base is locked by another writer process " +
+            "(single-writer rule: one pipeline owns a journal root)")
+        heldLocks.get.add(key)
+        try body finally { heldLocks.get.remove(key); lock.release() }
+      } finally ch.close()
+    }
   }
+
+  def append(root: String, table: String, events: DataFrame): Unit =
+    withWriterLock(dir(root, table)) {
+      ensureLayout(events.sparkSession, dir(root, table))
+      events
+        .withColumn(PartCol, org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("commitTs")))
+        .write.mode(SaveMode.Append)
+        .partitionBy(PartCol)
+        .parquet(dir(root, table).toString)
+    }
 
   def read(spark: SparkSession, root: String, table: String): DataFrame = {
     ensureLayout(spark, dir(root, table))
@@ -68,13 +108,6 @@ private[cdc] object Journals {
     if (!Files.exists(base)) Seq.empty
     else FsUtils.listDir(base).filter(p =>
       !Files.isDirectory(p) && p.getFileName.toString.endsWith(".parquet"))
-
-  /** Serializes ensureLayout: a concurrent append() + read() first touching
-    * a legacy flat journal must not both run the migration copy. Migration
-    * is one-time and the steady-state check is a cheap directory listing,
-    * so one JVM-wide monitor is enough.
-    */
-  private val migrationLock = new Object
 
   /** One-time, crash-safe migration of a pre-partitioning flat journal into
     * the `_journal_date=` layout, via an isolated STAGING copy — live
@@ -101,13 +134,14 @@ private[cdc] object Journals {
     * partitioned history exists (old-version writer in a rolling upgrade, a
     * manual backfill drop) starts a new migration cycle that only ever ADDS
     * its own staged files — the existing partitioned history is untouchable
-    * by construction. Concurrency: `migrationLock` serializes within a JVM;
-    * across PROCESSES the protocol assumes the deployment's single-writer
-    * rule (one pipeline owns a journal root — same assumption every
-    * file-layout committer here makes). Two live processes migrating the
-    * same flat journal concurrently could both append into staging and
-    * duplicate events; crash-then-restart sequences, which is what the
-    * markers exist for, are safe in any order.
+    * by construction. Concurrency: within a JVM, `withWriterLock`'s
+    * per-directory monitor serializes; across PROCESSES the single-writer
+    * rule is ENFORCED by the `_writer.lock` file lock — a second live
+    * process attempting to append or migrate the same journal fails fast
+    * instead of duplicating staged events. Crash-then-restart sequences,
+    * which is what the markers exist for, are safe in any order (an OS file
+    * lock dies with its process, so a crashed writer never wedges the
+    * journal).
     */
   /** Steps 3-4: replay the committed manifest idempotently (a staged file
     * already gone was moved by a crashed run), retire the flat originals
@@ -133,7 +167,19 @@ private[cdc] object Journals {
     Files.deleteIfExists(staged)
   }
 
-  private def ensureLayout(spark: SparkSession, base: Path): Unit = migrationLock.synchronized {
+  /** Lock-free probe: does this journal dir have migration work (a committed
+    * staged manifest to finish, or flat legacy files to migrate)? Steady-
+    * state readers see `false` and never touch the writer lock — only when
+    * work exists does ensureLayout take the lock (and re-check inside it:
+    * the work may have been done by the racing writer that held it).
+    */
+  private def migrationNeeded(base: Path): Boolean =
+    Files.exists(base.resolve("_flat_migration_staged")) || flatFiles(base).nonEmpty
+
+  private def ensureLayout(spark: SparkSession, base: Path): Unit =
+    if (migrationNeeded(base)) withWriterLock(base) { migrateLocked(spark, base) }
+
+  private def migrateLocked(spark: SparkSession, base: Path): Unit = {
     val pending = base.resolve("_flat_migration_pending")
     val staged = base.resolve("_flat_migration_staged")
     val staging = base.resolve("_flat_migration_staging")

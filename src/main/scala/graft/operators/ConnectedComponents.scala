@@ -32,21 +32,46 @@ object ConnectedComponents {
     * paying join + checkpoint + convergence-count job overhead. Larger
     * graphs take the distributed min-label loop.
     *
+    * The size probe IS the collect: one incremental `limit(threshold+1)`
+    * job (CollectLimit scans partition ranges until the limit or the end —
+    * each upstream partition computed at most once). The r7 shape —
+    * `persist()` + full `count()` + `collect()` — materialized the entire
+    * pair pipeline into the block manager and then re-read it, and under
+    * ambient memory pressure that persist spilled: the driver's r7 bench
+    * measured 16.6 s for `q_corpus_clean_cc` where the idle box gives
+    * 3.45 s. The common small-graph path now touches the block manager not
+    * at all; only the (rare) big-graph fallback persists, because the
+    * distributed loop re-reads the edges every round.
+    *
+    * `maxIter` bounds the min-label rounds; non-convergence within the
+    * bound throws rather than returning wrong labels (min-label needs
+    * O(component diameter) rounds). The effective cap grows with the
+    * vertex count — `max(maxIter, maxIter + 2·log2(V))` — so a bigger
+    * graph buys more rounds before failing, and callers with known long
+    * chains (boilerplate-drift paths) raise `maxIter` directly
+    * (surfaced as [[graft.pipeline.CorpusPipeline]]'s `ccMaxIter`).
+    *
     * @param edges two columns, any names: one undirected edge per row
     */
   def minLabel(edges: DataFrame, maxIter: Int = 25,
       localThreshold: Long = 1000000L): DataFrame = {
     require(edges.columns.length == 2,
       s"edge list must have exactly 2 columns, got ${edges.columns.mkString(",")}")
-    // the edge frame is consumed at least twice (size probe + solve; the
-    // distributed loop reuses it every round) and is typically the OUTPUT
-    // of an expensive pair generation — persist it for the method's scope
-    val e = edges.toDF("src", "dst").persist()
-    try {
-      val integral = e.schema.fields.forall(f =>
-        f.dataType == org.apache.spark.sql.types.LongType ||
-          f.dataType == org.apache.spark.sql.types.IntegerType)
-      if (integral && e.count() <= localThreshold) {
+    require(localThreshold >= 0 && localThreshold < Int.MaxValue,
+      s"localThreshold=$localThreshold must fit the limit() probe (< Int.MaxValue)")
+    val e = edges.toDF("src", "dst")
+    val integral = e.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    val probe: Option[Array[org.apache.spark.sql.Row]] =
+      if (!integral) None
+      else {
+        val rows = e.select(col("src").cast("long"), col("dst").cast("long"))
+          .limit((localThreshold + 1).toInt).collect()
+        if (rows.length <= localThreshold) Some(rows) else None
+      }
+    probe match {
+      case Some(rows) =>
         val spark = e.sparkSession
         import spark.implicits._
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -57,7 +82,7 @@ object ConnectedComponents {
           while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
           r
         }
-        e.select(col("src").cast("long"), col("dst").cast("long")).collect().foreach { row =>
+        rows.foreach { row =>
           val (a, b) = (row.getLong(0), row.getLong(1))
           parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
           val (ra, rb) = (find(a), find(b))
@@ -66,28 +91,35 @@ object ConnectedComponents {
           if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
         }
         parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "rep")
-      } else {
-        val sym = e.union(e.select(col("dst"), col("src"))).toDF("src", "dst")
-        var labels = sym.select(col("src").as("id")).distinct()
-          .select(col("id"), col("id").as("rep"))
-        var changed = 1L
-        var i = 0
-        while (changed > 0 && i < maxIter) {
-          val nbr = sym.join(labels, sym("src") === labels("id"))
-            .select(col("dst").as("id"), col("rep"))
-            .groupBy("id").agg(min("rep").as("nbr_rep"))
-          val updated = labels.as("l").join(nbr.as("n"), Seq("id"), "left")
-            .select(col("id"), col("l.rep").as("old_rep"),
-              least(col("l.rep"), coalesce(col("n.nbr_rep"), col("l.rep"))).as("rep"))
-            .localCheckpoint()
-          changed = updated.filter(col("rep") =!= col("old_rep")).count()
-          labels = updated.select("id", "rep")
-          i += 1
-        }
-        require(changed == 0,
-          s"connected components did not converge within $maxIter rounds")
-        labels
-      }
-    } finally e.unpersist()
+      case None =>
+        // distributed loop: edges re-read every round — persist HERE only
+        val ep = e.persist()
+        try {
+          val sym = ep.union(ep.select(col("dst"), col("src"))).toDF("src", "dst")
+          var labels = sym.select(col("src").as("id")).distinct()
+            .select(col("id"), col("id").as("rep"))
+          val v = labels.count()
+          val cap = math.max(maxIter,
+            maxIter + 2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(v, 1L))))
+          var changed = 1L
+          var i = 0
+          while (changed > 0 && i < cap) {
+            val nbr = sym.join(labels, sym("src") === labels("id"))
+              .select(col("dst").as("id"), col("rep"))
+              .groupBy("id").agg(min("rep").as("nbr_rep"))
+            val updated = labels.as("l").join(nbr.as("n"), Seq("id"), "left")
+              .select(col("id"), col("l.rep").as("old_rep"),
+                least(col("l.rep"), coalesce(col("n.nbr_rep"), col("l.rep"))).as("rep"))
+              .localCheckpoint()
+            changed = updated.filter(col("rep") =!= col("old_rep")).count()
+            labels = updated.select("id", "rep")
+            i += 1
+          }
+          require(changed == 0,
+            s"connected components did not converge within $cap rounds " +
+              s"($v vertices; raise maxIter for long-chain graphs)")
+          labels
+        } finally ep.unpersist()
+    }
   }
 }

@@ -41,11 +41,17 @@ object CorpusPipeline {
   case object Greedy extends SurvivorPolicy
   case object ClusterRepresentative extends SurvivorPolicy
 
+  /** @param ccMaxIter min-label round budget for [[ClusterRepresentative]]'s
+    *                   distributed fallback (auto-scaled with vertex count;
+    *                   raise for known long-chain graphs — see
+    *                   [[graft.operators.ConnectedComponents.minLabel]])
+    */
   final case class Params(
       minTokens: Int = 10,
       maxMeanTokenLen: Double = 12.0,
       nearDupJaccard: Double = 0.8,
-      survivorPolicy: SurvivorPolicy = Greedy)
+      survivorPolicy: SurvivorPolicy = Greedy,
+      ccMaxIter: Int = 25)
 
   /** Cleaned corpus with per-stage survival flags (so one pass computes both
     * the output and the funnel stats).
@@ -87,7 +93,7 @@ object CorpusPipeline {
         pairs.select(col("doc_b").as("doc_id")).distinct()
       case ClusterRepresentative =>
         graft.operators.ConnectedComponents
-          .minLabel(pairs.select("doc_a", "doc_b"))
+          .minLabel(pairs.select("doc_a", "doc_b"), maxIter = p.ccMaxIter)
           .filter(col("id") =!= col("rep"))
           .select(col("id").as("doc_id"))
     }).withColumn("is_near_dup_victim", lit(true))

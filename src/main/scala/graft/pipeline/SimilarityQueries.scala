@@ -37,8 +37,9 @@ object SimilarityQueries {
     */
   private val hyperplanes: Array[Array[Float]] = {
     val r = new scala.util.Random(31337)
-    // first 16 rows are identical to the original 16-plane draw (row-major
-    // fill), so extending the pool leaves rpSignature's buckets unchanged;
+    // first 32 rows are identical to the prior 32-plane pool (row-major
+    // fill), so extending the pool changed neither rpSignature's 16-plane
+    // buckets nor the 10×3-band gate corpora's 30 consumed planes;
     // 256 rows accommodate adaptive banding (bands×bits ≤ 256) at scale
     Array.fill(256, 64)(r.nextGaussian().toFloat)
   }

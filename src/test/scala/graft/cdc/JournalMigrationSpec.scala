@@ -100,4 +100,50 @@ class JournalMigrationSpec extends SparkSpec {
     assert(!Files.exists(base.resolve("_flat_migration_staged")))
     assert(!Files.exists(staging))
   }
+
+  /** Stand-in for a second PROCESS: an exclusive lock on `_writer.lock`
+    * through an independent FileChannel. From another process Journals'
+    * `tryLock` returns null; from this JVM it throws
+    * OverlappingFileLockException — Journals treats both as contention, so
+    * the refusal path under test is the same one a real second process hits.
+    */
+  private def holdingForeignWriterLock[T](base: Path)(body: => T): T = {
+    Files.createDirectories(base)
+    val ch = java.nio.channels.FileChannel.open(base.resolve("_writer.lock"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try { val l = ch.lock(); try body finally l.release() } finally ch.close()
+  }
+
+  test("a second writer process is refused: append fails fast under a foreign lock") {
+    val (root, base) = freshRoot()
+    Journals.append(root, "t", events(0 until 5, "2025-01-10"))
+    holdingForeignWriterLock(base) {
+      val e = intercept[IllegalStateException] {
+        Journals.append(root, "t", events(5 until 10, "2025-01-11"))
+      }
+      assert(e.getMessage.contains("locked by another writer"))
+    }
+    assert(readIds(root) == (0L until 5L), "refused append must write nothing")
+    // lock died with the "process": the journal is not wedged
+    Journals.append(root, "t", events(5 until 10, "2025-01-11"))
+    assert(readIds(root) == (0L until 10L))
+  }
+
+  test("foreign lock blocks migration but never steady-state reads") {
+    val (root, base) = freshRoot()
+    Journals.append(root, "t", events(0 until 5, "2025-01-10"))
+    holdingForeignWriterLock(base) {
+      // steady state: reading an already-partitioned journal takes no lock
+      assert(readIds(root) == (0L until 5L))
+    }
+    // legacy flat file appears → the next read has migration work to do,
+    // and must refuse to run it while another writer owns the journal
+    events(5 until 8, "2025-01-11").write.mode("append").parquet(base.toString)
+    holdingForeignWriterLock(base) {
+      intercept[IllegalStateException] { readIds(root) }
+    }
+    // writer gone → migration proceeds and nothing was lost or duplicated
+    assert(readIds(root) == (0L until 8L))
+    assert(flatParquet(base).isEmpty)
+  }
 }

@@ -52,6 +52,101 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.distinct.size == 3)
   }
 
+  test("ImageCodec: encode∘decode is the identity on gray8 pixels") {
+    val (w, h) = (23, 11)
+    val px = Array.tabulate(w * h)(i => ((i * 37 + 5) & 0xFF).toByte)
+    val png = Multimodal.ImageCodec.encodeGrayPng(w, h, px)
+    assert(Multimodal.ImageCodec.isPng(png))
+    assert(Multimodal.ImageCodec.headerDims(png).contains((w, h)))
+    val (dw, dh, dpx) = Multimodal.ImageCodec.decodeGrayPng(png)
+    assert((dw, dh) == (w, h))
+    assert(dpx.toSeq == px.toSeq)
+  }
+
+  test("ImageCodec: decoder reverses all five PNG scanline filters") {
+    // hand-build a PNG whose rows use filters 0..4, applying each filter
+    // FORWARD here; the decoder must undo them back to the plain pixels
+    val (w, h) = (7, 5)
+    val px = Array.tabulate(w * h)(i => ((i * 11 + 3) & 0xFF).toByte)
+    def p(x: Int, y: Int): Int =
+      if (x < 0 || y < 0) 0 else px(y * w + x) & 0xFF
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val ft = y % 5
+      raw.write(ft)
+      for (x <- 0 until w) {
+        val (cur, left, up, ul) = (p(x, y), p(x - 1, y), p(x, y - 1), p(x - 1, y - 1))
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 =>
+            val pr = left + up - ul
+            val (pa, pb, pc) = (math.abs(pr - left), math.abs(pr - up), math.abs(pr - ul))
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw.write((cur - pred) & 0xFF)
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Multimodal.ImageCodec.PngSig)
+    def beInt(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(t: String, d: Array[Byte]): Unit = {
+      bos.write(beInt(d.length)); val tb = t.getBytes("US-ASCII")
+      bos.write(tb); bos.write(d)
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(d)
+      bos.write(beInt(crc.getValue.toInt))
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array())
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val buf = new Array[Byte](4096); val idat = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) idat.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    // split IDAT across two chunks: decoders must concatenate payloads
+    val ib = idat.toByteArray
+    chunk("IDAT", ib.take(ib.length / 2)); chunk("IDAT", ib.drop(ib.length / 2))
+    chunk("IEND", Array.emptyByteArray)
+    val (dw, dh, dpx) = Multimodal.ImageCodec.decodeGrayPng(bos.toByteArray)
+    assert((dw, dh) == (w, h))
+    assert(dpx.toSeq == px.toSeq)
+  }
+
+  test("ImageCodec: BMP dimension probe reads the real DIB header") {
+    // minimal BITMAPINFOHEADER prefix: 'BM', 14-byte file header, then DIB
+    // with little-endian width 640 at 18 and height -480 at 22 (top-down)
+    val b = new Array[Byte](26)
+    b(0) = 'B'.toByte; b(1) = 'M'.toByte
+    def le(v: Int, o: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    le(40, 14); le(640, 18); le(-480, 22)
+    assert(Multimodal.ImageCodec.headerDims(b).contains((640, 480)))
+    assert(Multimodal.ImageCodec.headerDims("not an image".getBytes).isEmpty)
+  }
+
+  test("processMedia decodes REAL PNGs: dims and thumbnail from actual pixels") {
+    // 2×2 blocks image: nearest-neighbor 8×8 → 4×4 picks one byte per block
+    val (w, h) = (8, 8)
+    val px = Array.tabulate(w * h)(i => (((i % w) / 2 + 4 * ((i / w) / 2)) * 16).toByte)
+    val png = Multimodal.ImageCodec.encodeGrayPng(w, h, px)
+    val df = Seq((1L, png), (2L, "???not-an-image".getBytes("UTF-8")))
+      .toDF("id", "blob")
+    val rows = Multimodal.processMedia(df, "blob", thumbW = 4, thumbH = 4,
+      nFrames = 2, dim = 2).orderBy("id").collect()
+    assert(rows(0).getInt(2) == 8 && rows(0).getInt(3) == 8)
+    val thumb = rows(0).getAs[Array[Byte]]("thumbnail")
+    assert(thumb.length == 16)
+    // each 2×2 source block is constant at ((x/2)+4*(y/2))*16, so the 4×4
+    // nearest-neighbor picks block (x', y') → value (x' + 4*y')*16 = i*16
+    assert(thumb.toSeq == Array.tabulate(16)(i => (i * 16).toByte).toSeq)
+    // unknown format falls back to the deterministic stub (dims 64+b0, 64+b1)
+    assert(rows(1).getInt(2) == 64 + ('?' & 0x3F))
+  }
+
   test("feature extraction composes with the metadata stamp end-to-end") {
     val blobs = graft.analytics.Tables.documents(spark, sf())
       .limit(20)
