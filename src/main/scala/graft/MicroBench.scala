@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interleaved A/B micro-benchmark for single plan stages — exists because
+  * whole-suite timings on a shared box drift 1.3–1.6× between runs, which
+  * swamps any per-stage effect; alternating the two formulations inside ONE
+  * JVM run cancels the ambient drift out of the comparison.
+  *
+  * Subjects (SPARK_GRAFT_MICRO=name), over
+  * `SPARK_GRAFT_MICRO_DIR/embeddings.parquet`:
+  *  - `banding`: the RP-LSH banding map stage — native
+  *    [[org.apache.spark.sql.graft.RpBandKeys]] (one constant-size codegen
+  *    loop) vs the composed bands×bits FloatVectorDot formulation it
+  *    replaced (which trips janino's 64 KB method limit at adaptive-banding
+  *    plane counts and silently falls back to interpreted execution).
+  * Prints one JSON line with per-rep seconds for both sides.
+  */
+object MicroBench {
+
+  private def composedBandKeys(v: Column, bands: Int, bits: Int): Column = {
+    import org.apache.spark.sql.graft.VectorExpressions.{fastDot, litFloatArray}
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        (0 until bits).map { j =>
+          val proj = fastDot(v, litFloatArray(
+            pipeline.SimilarityQueries.hyperplanesForTest(b * bits + j)))
+          when(proj > 0, lit(1 << j)).otherwise(lit(0)): Column
+        }.reduce(_ bitwiseOR _).as("band_key"))
+    }: _*)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_MICRO_DIR", "target/scale_probe_x10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_MICRO_REPS", "4").toInt
+    val bands = sys.env.getOrElse("SPARK_GRAFT_MICRO_BANDS", "30").toInt
+    val bits = sys.env.getOrElse("SPARK_GRAFT_MICRO_BITS", "8").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    e.count() // warm IO
+
+    def time(body: => Long): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+    // identical downstream shape (groupBy over band columns) so only the
+    // banding expression differs between the two sides
+    def native(): Long = e.select(col("vec_id"),
+        posexplode(pipeline.SimilarityQueries.rpBandKeys(
+          col("embedding"), bands = bands, rowsPerBand = bits))
+          .as(Seq("band_id", "band_key")))
+      .groupBy("band_id", "band_key").count().count()
+    def composed(): Long = e.select(col("vec_id"),
+        explode(composedBandKeys(col("embedding"), bands, bits)).as("b"))
+      .select(col("vec_id"), col("b.band_id"), col("b.band_key"))
+      .groupBy("band_id", "band_key").count().count()
+
+    require(native() == composed(), "the two formulations must agree") // + JIT warmup
+    val runs = (1 to reps).map(_ => (time(native()), time(composed())))
+    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    println(s"""{"metric":"micro_banding","bands":$bands,"bits":$bits,"reps":$reps,""" +
+      s""""native":[${runs.map(r => fmt(r._1)).mkString(",")}],""" +
+      s""""composed":[${runs.map(r => fmt(r._2)).mkString(",")}]}""")
+    spark.stop()
+  }
+}

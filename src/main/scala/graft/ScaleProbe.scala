@@ -115,9 +115,9 @@ object ScaleProbe {
     val (bits, nBands) = pipeline.SimilarityQueries.adaptiveBanding(embAll.count())
     val embBands = embAll
       .select(col("vec_id"),
-        explode(pipeline.SimilarityQueries.rpBandKeys(
-          col("embedding"), bands = nBands, rowsPerBand = bits)).as("b"))
-      .select(col("vec_id"), col("b.band_id"), col("b.band_key"))
+        posexplode(pipeline.SimilarityQueries.rpBandKeys(
+          col("embedding"), bands = nBands, rowsPerBand = bits))
+          .as(Seq("band_id", "band_key")))
     val embHot = hotStats(embBands, "vec_id")
 
     // optional recall stage: SPARK_GRAFT_SCALE_RECALL_TAU=0.8 measures the
@@ -179,9 +179,19 @@ object ScaleProbe {
         (id, id + plantOffset, copy, cos)
       }
       val truth = planted.filter(_._4 >= tau).map(p => (p._1, p._2)).toSet
+      // schema-faithful planted rows: build a template from a REAL collected
+      // row and replace only vec_id and embedding, so the label column (and
+      // any future column) keeps its actual type
+      val template = embAll.limit(1).collect()(0)
+      val vecIdIdx = embAll.schema.fieldIndex("vec_id")
+      val embIdx = embAll.schema.fieldIndex("embedding")
       val plantedDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(planted.toIndexedSeq.map(p =>
-          org.apache.spark.sql.Row(p._2, p._3.toSeq, "planted")), 4),
+        spark.sparkContext.parallelize(planted.toIndexedSeq.map { p =>
+          val vals = template.toSeq.toArray
+          vals(vecIdIdx) = p._2
+          vals(embIdx) = p._3.toSeq
+          org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+        }, 4),
         embAll.schema)
       val augmented = embAll.unionByName(plantedDf)
       val found = pipeline.SimilarityQueries

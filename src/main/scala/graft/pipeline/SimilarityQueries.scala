@@ -44,6 +44,9 @@ object SimilarityQueries {
     Array.fill(256, 64)(r.nextGaussian().toFloat)
   }
 
+  /** Test access to the shared plane pool (bit-identity specs). */
+  private[graft] def hyperplanesForTest(i: Int): Array[Float] = hyperplanes(i)
+
   /** Population-bounded LSH banding parameters for an all-pairs corpus of
     * `n` vectors: (bits per band, band count).
     *
@@ -85,21 +88,26 @@ object SimilarityQueries {
     }.reduce(_ bitwiseOR _)
 
   /** LSH band keys straight from sign projections: band b packs
-    * `rowsPerBand` sign bits of consecutive hyperplanes. Finer bands (fewer
+    * `rowsPerBand` sign bits of consecutive hyperplanes, returned as
+    * `array<int>` INDEXED BY BAND ID — consume with
+    * `posexplode(...).as(Seq("band_id", "band_key"))`. Finer bands (fewer
     * bits) raise recall at lower similarity thresholds; the classic
     * (bands, rows) recall curve is 1-(1-p^r)^b with p = 1 - θ/π.
+    *
+    * One native [[org.apache.spark.sql.graft.RpBandKeys]] expression, not
+    * bands×bits composed dot columns: adaptive banding made the plane count
+    * grow with the corpus, and at ×10 scale the composed form's generated
+    * code crossed janino's 64 KB method limit — silently demoting the
+    * banding map stage to interpreted execution exactly where it is hot.
+    * The native expression's generated loop is constant-size at any
+    * (bands, bits) and bit-identical in arithmetic (sequential
+    * float→double dot, strict `> 0` sign).
     */
   def rpBandKeys(v: Column, bands: Int, rowsPerBand: Int): Column = {
     require(bands * rowsPerBand <= hyperplanes.length && rowsPerBand < 32,
       s"rpBandKeys($bands,$rowsPerBand): need bands*rowsPerBand <= ${hyperplanes.length} and rowsPerBand < 32 (1<<j packing)")
-    array((0 until bands).map { b =>
-      val key = (0 until rowsPerBand).map { j =>
-        val proj = dot(v, org.apache.spark.sql.graft.VectorExpressions.litFloatArray(
-          hyperplanes(b * rowsPerBand + j)))
-        when(proj > 0, lit(1 << j)).otherwise(lit(0)): Column
-      }.reduce(_ bitwiseOR _)
-      struct(lit(b).as("band_id"), key.as("band_key"))
-    }: _*)
+    org.apache.spark.sql.graft.VectorExpressions.rpBandKeys(
+      v, hyperplanes, bands, rowsPerBand)
   }
 
   /** Exact all-pairs embedding near-dup BASELINE — deliberately guarded.
@@ -153,8 +161,8 @@ object SimilarityQueries {
     val (bits, bands) = adaptiveBanding(e.count())
     val banded = e
       .select(col("vec_id"),
-        explode(rpBandKeys(col("embedding"), bands = bands, rowsPerBand = bits)).as("b"))
-      .select(col("vec_id"), col("b.band_id"), col("b.band_key"))
+        posexplode(rpBandKeys(col("embedding"), bands = bands, rowsPerBand = bits))
+          .as(Seq("band_id", "band_key")))
     // skew guard: hot band buckets (near-identical / zero vectors) degrade
     // to a linear star instead of B² pairs; see LshBlocking
     val rawCands = LshBlocking.boundedBucketPairs(banded, Seq("band_id", "band_key"), "vec_id")

@@ -107,6 +107,29 @@ class SimilaritySpec extends SparkSpec {
     assert(nullElem.isNullAt(0))
   }
 
+  test("native RpBandKeys is bit-identical to the composed per-plane dot formulation") {
+    // the composed form RpBandKeys replaced (bands×bits FloatVectorDot
+    // columns + when(>0) bit packing) — kept here as the semantic reference
+    def composed(v: org.apache.spark.sql.Column, bands: Int, bits: Int) =
+      array((0 until bands).map { b =>
+        (0 until bits).map { j =>
+          val proj = dot(v, org.apache.spark.sql.graft.VectorExpressions.litFloatArray(
+            SimilarityQueries.hyperplanesForTest(b * bits + j)))
+          when(proj > 0, lit(1 << j)).otherwise(lit(0)): org.apache.spark.sql.Column
+        }.reduce(_ bitwiseOR _)
+      }: _*)
+    val e = graft.analytics.Tables.embeddings(spark, sf())
+    val diff = e.select(
+        SimilarityQueries.rpBandKeys($"embedding", bands = 14, rowsPerBand = 4).as("fast"),
+        composed($"embedding", 14, 4).as("ref"))
+      .filter(not($"fast" <=> $"ref"))
+    assert(diff.count() == 0)
+    // null element / wrong dimension → NULL array (refuse, never truncate)
+    val edge = Seq(Tuple1(Seq(1.0f, 2.0f))).toDF("v")
+      .select(SimilarityQueries.rpBandKeys($"v", 2, 3).as("k")).collect()(0)
+    assert(edge.isNullAt(0), "64-plane keys over a 2-dim vector must be NULL")
+  }
+
   test("random-hyperplane LSH: near-perfect recall on clustered data, sane on corpus") {
     // clustered synthetic corpus: neighbors share the query's orthant, so
     // signed projections must bucket them together
