@@ -314,6 +314,19 @@ object HealthcareEntry {
          |GROUP BY visit_date""".stripMargin)((s, _) =>
       HealthcareQueries.dailyRevenueProbeMinMaxCents(snap(s), Now)),
 
+    // Incremental rollup maintenance vs full recompute: the Spark side folds
+    // per-batch CDC deltas into the daily-revenue rollup (never rescanning
+    // the table); the oracle recomputes the same rollup from scratch over
+    // the final materialized visits_live state. Hash-equality = incremental
+    // maintenance is exactly the rescan result (additive LONG measures).
+    QueryDef(
+      "hc_rollup_incremental",
+      s"""SELECT visit_date, COUNT(*) AS visit_count,
+         |       CAST(SUM(CAST(CAST(total_charge AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS revenue_cents
+         |FROM $VL WHERE $NotDel
+         |GROUP BY visit_date""".stripMargin)((s, _) =>
+      HealthcareData.incrementalVisitRollup(s)),
+
     QueryDef(
       "hc_dailyrev_probe_minmax_raw",
       s"""SELECT visit_date,

@@ -115,6 +115,49 @@ object DedupQueries {
       .select("doc_a", "doc_b", "n_a", "n_b", "n_inter", "jaccard")
   }
 
+  /** INCREMENTAL near-dup pairs: new documents against an existing
+    * (already-deduplicated) index — the nightly-ingest shape. A corpus that
+    * grows by ΔN docs a day must not re-pair the full index against itself;
+    * only (index × incoming) and (incoming × incoming) pairs are eligible,
+    * and the posting join is additionally pruned to shingles occurring in
+    * at least one INCOMING doc — so the index's postings participate in
+    * proportion to the increment's shingle vocabulary, not the index size.
+    * Survivor priority: index docs always win (they were there first), and
+    * among incoming docs the lower doc_id wins — `doc_b` is always the
+    * incoming victim candidate. Same df/size-ratio prunes and exact-Jaccard
+    * re-score as [[nearDupPairs]]; doc_id spaces must be disjoint.
+    */
+  def nearDupPairsIncremental(index: DataFrame, incoming: DataFrame,
+      minJ: Double): DataFrame = {
+    val all = index.select(col("doc_id"), col("text"), lit(0).as("src"))
+      .unionByName(incoming.select(col("doc_id"), col("text"), lit(1).as("src")))
+    val sh = shinglePostings(all.select("doc_id", "text"))
+      .join(all.select("doc_id", "src"), "doc_id")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // pairable shingles: in ≥2 docs overall AND ≥1 incoming doc — the
+    // incremental analogue of the df-prune (an index-only shingle cannot
+    // produce an eligible pair, however common it is in the index)
+    val pairable = sh.groupBy("sh")
+      .agg(count(lit(1)).as("df"), max(col("src")).as("has_inc"))
+      .filter(col("df") > 1 && col("has_inc") === 1)
+      .select("sh")
+    val shared = sh.join(sizes, "doc_id").join(pairable, "sh")
+    val precedes = (col("a.src") < col("b.src")) ||
+      (col("a.src") === col("b.src") && col("a.doc_id") < col("b.doc_id"))
+    val pairs = shared.as("a").join(shared.as("b"),
+        col("a.sh") === col("b.sh") && col("b.src") === 1 && precedes &&
+          least(col("a.n"), col("b.n")) >= lit(minJ) * greatest(col("a.n"), col("b.n")))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJ)
+      .select("doc_a", "doc_b", "n_a", "n_b", "n_inter", "jaccard")
+  }
+
   /** (candidate pairs, postings) → exact-Jaccard-verified pairs ≥ minJ.
     * Intersections come from joining the candidates back to the postings on
     * both sides — proportional to the candidates' postings, never n².
@@ -174,6 +217,33 @@ object DedupQueries {
          |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       nearDupPairs(Tables.documents(s, d), minJ = 0.8).orderBy("doc_a", "doc_b")
+    },
+
+    // ----- Incremental dedup: nightly increment vs existing index -----
+    // Split by doc_id parity: even = the standing index, odd = the new
+    // batch. Only (index × new) and (new × new) pairs are eligible; the
+    // index never re-pairs against itself, and doc_b is always the incoming
+    // victim. The oracle mirrors the precedence rule (index-first, then
+    // lower doc_id) in plain SQL.
+    QueryDef(
+      "q_dedup_incremental",
+      s"""WITH $shingleCtes,
+         |src AS (SELECT doc_id, doc_id % 2 AS src FROM documents),
+         |exs AS (SELECT e.doc_id, e.s, c.src FROM ex e JOIN src c ON e.doc_id = c.doc_id),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |          FROM exs a JOIN exs b ON a.s = b.s AND b.src = 1
+         |           AND (a.src < b.src OR (a.src = b.src AND a.doc_id < b.doc_id))
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+         |       CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+         |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      nearDupPairsIncremental(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), minJ = 0.8)
+        .orderBy("doc_a", "doc_b")
     },
 
     // ----- MinHash + LSH banding, exact-verified (the at-scale dedup path) -----

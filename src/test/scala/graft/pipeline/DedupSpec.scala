@@ -30,6 +30,28 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall too low (${lsh.size}/${exact.size})")
   }
 
+  test("incremental dedup: index never re-pairs with itself; precedence is index-first") {
+    // near-identical family across the index/incoming split (40 shared
+    // tokens, one differing) + an index-only duplicate pair + an
+    // incoming-only duplicate pair + unrelated docs
+    def doc(tag: String) = ((1 to 40).map(j => s"w$j") :+ tag).mkString(" ")
+    val index = Seq(
+      (10L, doc("x")), (12L, doc("y")), // index-internal near-dups
+      (14L, (1 to 41).map(j => s"i$j").mkString(" "))).toDF("doc_id", "text")
+    val incoming = Seq(
+      (3L, doc("z")), (5L, doc("q")), // pair with index docs AND each other
+      (7L, (1 to 41).map(j => s"n$j").mkString(" "))).toDF("doc_id", "text")
+    val got = DedupQueries.nearDupPairsIncremental(index, incoming, minJ = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted pair has an INCOMING victim on the b side...
+    assert(got.forall { case (_, b) => b == 3L || b == 5L }, s"non-incoming victim in $got")
+    // ...the index-internal near-dup (10, 12) is NOT re-paired...
+    assert(!got.contains((10L, 12L)) && !got.contains((12L, 10L)))
+    // ...index docs precede incoming even with LARGER ids (a-side = index),
+    // and among incoming docs the lower id precedes
+    assert(got == Set((10L, 3L), (10L, 5L), (12L, 3L), (12L, 5L), (3L, 5L)), s"got $got")
+  }
+
   test("bucket-skew guard: adversarial hot bucket stays linear, cluster stays connected") {
     // 30% of the corpus is identical boilerplate — every band of every
     // boilerplate doc collides into ONE bucket. Unguarded, that is
