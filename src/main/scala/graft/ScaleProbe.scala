@@ -156,7 +156,9 @@ object ScaleProbe {
       val base = embAll.orderBy("vec_id").limit(nPlant)
         .select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      val plantOffset = 1000000000L // beyond any replica id offset
+      // beyond any replica id offset (replica k shifts ids by k·10⁷, so at
+      // ≥100 replicas a fixed 10⁹ would collide — scale with the count)
+      val plantOffset = math.max(1000000000L, (replicas + 1) * 10000000L)
       val rng = new scala.util.Random(977)
       def dotD(a: Array[Float], b: Array[Float]): Double =
         a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
