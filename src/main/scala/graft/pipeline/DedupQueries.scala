@@ -129,10 +129,12 @@ object DedupQueries {
     */
   def nearDupPairsIncremental(index: DataFrame, incoming: DataFrame,
       minJ: Double): DataFrame = {
-    val all = index.select(col("doc_id"), col("text"), lit(0).as("src"))
-      .unionByName(incoming.select(col("doc_id"), col("text"), lit(1).as("src")))
-    val sh = shinglePostings(all.select("doc_id", "text"))
-      .join(all.select("doc_id", "src"), "doc_id")
+    // postings built PER SIDE with the src flag attached as a literal — at
+    // index scale a join of postings back to a doc→src map would be a
+    // second doc_id-keyed shuffle of every posting; the union is free
+    val sh = shinglePostings(index.select("doc_id", "text")).withColumn("src", lit(0))
+      .unionByName(
+        shinglePostings(incoming.select("doc_id", "text")).withColumn("src", lit(1)))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // pairable shingles: in ≥2 docs overall AND ≥1 incoming doc — the
     // incremental analogue of the df-prune (an index-only shingle cannot

@@ -69,6 +69,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, df.queryExecution.sparkPlan.toString)
   }
 
+  test("incremental rollup deltas key-prune the state scans (left-semi, no cartesian)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val spec = graft.operators.IncrementalRollup.Spec(Seq("g"), Seq("m" -> col("m")))
+    val st = Seq((1L, "a", 2L, false)).toDF("id", "g", "m", "_del")
+    val delta = graft.operators.IncrementalRollup.batchDelta(
+      st, st, Seq(1L).toDF("id"), "id", col("_del") === false, spec)
+    val p = delta.queryExecution.sparkPlan.toString
+    // the before/after contributions must reach the state via LeftSemi on
+    // the touched keys — the O(batch) claim hinges on this join shape
+    assert("LeftSemi".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("incremental dedup pair join is shingle-keyed, never cartesian") {
+    val p = planOf("q_dedup_incremental")
+    assert(!p.contains("CartesianProduct"), p)
+    // df/has-incoming prune exists: an aggregate over sh feeds the join
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("embedding LSH candidate generation shuffles bare ids, not vectors") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.types.ArrayType

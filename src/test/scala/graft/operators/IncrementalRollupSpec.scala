@@ -66,4 +66,43 @@ class IncrementalRollupSpec extends SparkSpec {
       (CdcOp.Update, 8, 5, Some(("a", 2L)))))
     assert(sortedRows(rollup) == Seq(("a", 2L, 8L), ("c", 1L, 10L)))
   }
+
+  test("rollup maintenance runs inside a streaming foreachBatch micro-batch loop") {
+    import graft.cdc.{CdcEvent, CdcOp, CdcPipeline}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType),
+      StructField("amount", LongType)))
+    val tstamp = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val feedDir = java.nio.file.Files.createTempDirectory("rollup-feed").toString
+    spark.createDataset(Seq(
+      CdcEvent("t", CdcOp.Insert, 1, tstamp, 4, Map("grp" -> "b", "amount" -> "3")),
+      CdcEvent("t", CdcOp.Update, 2, tstamp, 2, Map("grp" -> "a", "amount" -> "6")),
+      CdcEvent("t", CdcOp.Delete, 3, tstamp, 3, Map.empty)))
+      .write.mode("overwrite").json(feedDir)
+
+    var state = CdcApplier.snapshot(
+      Seq((1L, "a", 10L), (2L, "a", 5L), (3L, "b", 7L)).toDF("id", "grp", "amount"), ts)
+    var rollup = IncrementalRollup.full(state.filter(live), spec)
+    val q = CdcPipeline.fileEventStream(spark, feedDir).writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("rollup-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[CdcEvent], _: Long) =>
+        val typed = batch.toDF().select(
+          Seq(col("op"), col("lsn"), col("commitTs"), col("key")) ++
+            CdcApplier.afterImageColumns(schema, "id"): _*)
+        val touched = typed.select(col("key").as("id")).distinct()
+        val after = CdcApplier.applyBatch(state, typed, "id", ts).localCheckpoint()
+        rollup = IncrementalRollup.merge(rollup,
+          IncrementalRollup.batchDelta(state, after, touched, "id", live, spec),
+          spec).localCheckpoint()
+        state = after
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(sortedRows(rollup) ==
+      sortedRows(IncrementalRollup.full(state.filter(live), spec)))
+    assert(sortedRows(rollup) == Seq(("a", 2L, 16L), ("b", 1L, 3L)))
+  }
 }
