@@ -20,6 +20,7 @@ object SparkEntry {
       pipeline.SimilarityQueries.defs ++
       pipeline.Multimodal.defs ++
       pipeline.CorpusPipeline.defs ++
+      pipeline.ChunkingQueries.defs ++
       operators.RangeJoin.defs ++
       streaming.StreamShapeQueries.defs ++
       analytics.HealthcareEntry.defs
