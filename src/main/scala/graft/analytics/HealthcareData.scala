@@ -88,8 +88,7 @@ object HealthcareData {
     import graft.operators.IncrementalRollup
     val batches = demoBatches(spark)
     val spec = IncrementalRollup.Spec(Seq("visit_date"), Seq(
-      "revenue_cents" ->
-        (col("total_charge").cast("decimal(18,2)") * lit(100)).cast("long")))
+      "revenue_cents" -> HealthcareQueries.cents(col("total_charge"))))
     val live = col(CdcApplier.MetaDeleted) === false
     val schema = graft.model.HealthcareSchema.all("visits")
     var state = spark.read.parquet(s"$Root/visits")

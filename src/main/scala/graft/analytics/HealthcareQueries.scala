@@ -329,8 +329,10 @@ object HealthcareQueries {
 
   /** Exact per-row integer cents — the representation no engine pair can
     * disagree on (row-level DECIMAL(18,2)×100 is integral by construction).
+    * Shared with [[HealthcareData.incrementalVisitRollup]] so the rollup
+    * measure and the probe queries cannot drift.
     */
-  private def cents(c: Column): Column =
+  private[analytics] def cents(c: Column): Column =
     (c.cast("decimal(18,2)") * lit(100)).cast("long")
 
   /** Probe: visit_date + count only. */

@@ -15,6 +15,15 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
+  /** The DuckDB mirror of [[tokens]] over a `text` column — the ONE
+    * definition every oracle references (TextPipelineQueries, DedupQueries,
+    * ChunkingQueries): a tokenizer tweak applied here and in [[tokens]]
+    * keeps every oracle aligned, where per-file copies would silently
+    * diverge.
+    */
+  val toksSql: String =
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
+
   /** Distinct n-word shingles over the token array (default 3-word), the
     * standard unit for near-duplicate detection. Guarded so short documents
     * yield an empty set (Spark's `sequence(1,0)` would count DOWN otherwise).

@@ -41,7 +41,13 @@ object ConnectedComponents {
     * measured 16.6 s for `q_corpus_clean_cc` where the idle box gives
     * 3.45 s. The common small-graph path now touches the block manager not
     * at all; only the (rare) big-graph fallback persists, because the
-    * distributed loop re-reads the edges every round.
+    * distributed loop re-reads the edges every round. Trade-off accepted in
+    * the fallback: a graph OVER the threshold pays the probe's partial scan
+    * twice (CollectLimit stops as soon as threshold+1 rows arrive — cheap
+    * for clearly-big graphs, up to ~2× pair generation only in the narrow
+    * marginally-over band); persisting before the probe would instead
+    * re-impose the full materialization on every SMALL graph, which the
+    * driver's r7 bench showed is the regime that actually hurts.
     *
     * `maxIter` bounds the min-label rounds; non-convergence within the
     * bound throws rather than returning wrong labels (min-label needs

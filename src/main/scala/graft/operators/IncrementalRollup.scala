@@ -47,6 +47,15 @@ object IncrementalRollup {
     rollup.select(spec.groupCols.map(col) ++
       (("n" +: spec.measures.map(_._1)).map(m => (-col(m)).as(m))): _*)
 
+  /** Re-aggregate rollup-grain rows (sum `n` + every measure) — the ONE
+    * definition of the maintained columns, shared by delta and merge so the
+    * two paths cannot drift.
+    */
+  private def reAgg(rows: DataFrame, spec: Spec): DataFrame = {
+    val sums = ("n" +: spec.measures.map(_._1)).map(m => sum(col(m)).as(m))
+    rows.groupBy(spec.groupCols.map(col): _*).agg(sums.head, sums.tail: _*)
+  }
+
   /** One batch's rollup delta: the touched keys' aggregate contribution
     * after the merge minus their contribution before it. Insert-only keys
     * have no before-rows, deleted keys no after-rows, updates both — all
@@ -59,13 +68,8 @@ object IncrementalRollup {
       spec: Spec): DataFrame = {
     def contribution(state: DataFrame) =
       full(state.join(touchedKeys, Seq(keyCol), "left_semi").filter(liveFilter), spec)
-    contribution(stateAfter)
-      .unionByName(negate(contribution(stateBefore), spec))
-      .groupBy(spec.groupCols.map(col): _*)
-      .agg(("n" +: spec.measures.map(_._1))
-        .map(m => sum(col(m)).as(m)).head,
-        ("n" +: spec.measures.map(_._1))
-          .map(m => sum(col(m)).as(m)).tail: _*)
+    reAgg(contribution(stateAfter)
+      .unionByName(negate(contribution(stateBefore), spec)), spec)
   }
 
   /** Fold a delta into the maintained rollup. Groups whose live count
@@ -75,11 +79,5 @@ object IncrementalRollup {
     * this is O(rollup), not O(table).
     */
   def merge(rollup: DataFrame, delta: DataFrame, spec: Spec): DataFrame =
-    rollup.unionByName(delta)
-      .groupBy(spec.groupCols.map(col): _*)
-      .agg(("n" +: spec.measures.map(_._1))
-        .map(m => sum(col(m)).as(m)).head,
-        ("n" +: spec.measures.map(_._1))
-          .map(m => sum(col(m)).as(m)).tail: _*)
-      .filter(col("n") > 0)
+    reAgg(rollup.unionByName(delta), spec).filter(col("n") > 0)
 }

@@ -69,8 +69,7 @@ object ChunkingQueries {
       .toDF("doc_id", "grp", "bin_id", "n_tokens")
   }
 
-  private val toksSql =
-    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
+  private val toksSql = graft.functions.TextFunctions.toksSql
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -27,8 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  private val toksSql =
-    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
+  private val toksSql = graft.functions.TextFunctions.toksSql
 
   /** Shared DuckDB CTEs: distinct 3-shingle postings (`ex`) + per-doc
     * distinct-shingle counts (`sizes`) — the oracle-side mirror of

@@ -153,18 +153,30 @@ object Multimodal {
       * (width, height, row-major pixels). Throws on anything else — callers
       * wanting poison-blob tolerance wrap in Try (processMedia does).
       */
+    /** Pixel cap for decode allocations: header-declared dims are UNTRUSTED
+      * bytes, and `Try` cannot catch the OutOfMemoryError an adversarial
+      * 40000×40000 header would otherwise trigger — refuse loudly instead.
+      */
+    val MaxDecodePixels: Long = 1L << 26 // 64M gray8 pixels = 64 MB
+
     def decodeGrayPng(b: Array[Byte]): (Int, Int, Array[Byte]) = {
       require(isPng(b), "not a PNG")
       val w = beInt(b, 16); val h = beInt(b, 20)
+      require(w > 0 && h > 0 && w.toLong * h <= MaxDecodePixels,
+        s"refusing PNG dims ${w}x$h (non-positive or > $MaxDecodePixels pixels)")
       require(b(24) == 8 && b(25) == 0 && b(28) == 0,
         s"unsupported PNG variant (bitDepth=${b(24)} colorType=${b(25)} interlace=${b(28)}): " +
           "this pure-JVM codec decodes 8-bit grayscale non-interlaced only")
-      // concatenate IDAT payloads (a writer may split them arbitrarily)
+      // concatenate IDAT payloads (a writer may split them arbitrarily);
+      // chunk lengths are untrusted — a negative or overlong length must
+      // error, not spin the walk loop or read out of bounds
       val idat = new java.io.ByteArrayOutputStream()
       var o = 8
       var done = false
       while (!done && o + 8 <= b.length) {
         val len = beInt(b, o)
+        require(len >= 0 && o + 12L + len <= b.length,
+          s"corrupt PNG chunk at offset $o: length $len")
         val typ = new String(b, o + 4, 4, "US-ASCII")
         if (typ == "IDAT") idat.write(b, o + 8, len)
         if (typ == "IEND") done = true
@@ -176,7 +188,12 @@ object Multimodal {
       var filled = 0
       while (filled < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, filled, raw.length - filled)
-        if (n == 0 && inflater.needsInput()) sys.error("truncated IDAT stream")
+        // n == 0 without progress covers BOTH truncation (needsInput) and
+        // zlib streams demanding a preset dictionary (needsDictionary) —
+        // either would spin this loop forever if only needsInput errored
+        if (n == 0) sys.error(
+          if (inflater.needsDictionary()) "zlib preset dictionary unsupported"
+          else "truncated IDAT stream")
         filled += n
       }
       inflater.end()
@@ -339,8 +356,13 @@ object Multimodal {
       // decode from the STAGED bytes, so the Spark answer provably derives
       // from the exact rows the DuckDB oracle re-parses
       val blobs = staged.select(col("doc_id"), unhex(col("png_hex")).as("png"))
+      // width/height cast LONG: the oracle's CAST(... AS BIGINT) must see
+      // the same width on both sides of the driver's typed readers — the
+      // r8 no-raw-narrow-types output rule (see hc_daily_revenue history)
       processMedia(blobs, "png", thumbW = 4, thumbH = 4, nFrames = 1, dim = 2)
-        .select(col("doc_id"), col("width"), col("height"),
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
           octet_length(col("png")).cast("long").as("byte_len"),
           sha2(hex(col("png")), 256).as("hex_sha256"))
         .orderBy("doc_id")

@@ -38,9 +38,7 @@ object TextPipelineQueries {
 
   private val stopwordsSql = stopwords.map(s => s"'$s'").mkString(", ")
 
-  // DuckDB equivalent of TextFunctions.tokens
-  private val toksSql =
-    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
+  private val toksSql = graft.functions.TextFunctions.toksSql
 
   val defs: Seq[QueryDef] = Seq(
 

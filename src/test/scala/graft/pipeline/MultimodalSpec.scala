@@ -147,6 +147,36 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).getInt(2) == 64 + ('?' & 0x3F))
   }
 
+  test("poison PNGs error loudly in the codec and fall back in processMedia") {
+    def beInt(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(t: String, d: Array[Byte], lenOverride: Option[Int] = None): Array[Byte] = {
+      val tb = t.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(d)
+      beInt(lenOverride.getOrElse(d.length)) ++ tb ++ d ++ beInt(crc.getValue.toInt)
+    }
+    def ihdr(w: Int, h: Int) = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Multimodal.ImageCodec.PngSig
+    // zero width: decode refuses (and resize can never see an empty array)
+    val zeroW = sig ++ chunk("IHDR", ihdr(0, 5))
+    intercept[IllegalArgumentException](Multimodal.ImageCodec.decodeGrayPng(zeroW))
+    // absurd dims: refused BEFORE allocating (Try can't catch an OOM)
+    val huge = sig ++ chunk("IHDR", ihdr(40000, 40000))
+    intercept[IllegalArgumentException](Multimodal.ImageCodec.decodeGrayPng(huge))
+    // negative chunk length: the chunk walk must error, not spin forever
+    val negLen = sig ++ chunk("IHDR", ihdr(1, 1)) ++
+      chunk("IDAT", Array[Byte](1, 2, 3), lenOverride = Some(-12))
+    intercept[IllegalArgumentException](Multimodal.ImageCodec.decodeGrayPng(negLen))
+    // zlib stream demanding a preset dictionary: inflate loop must error,
+    // not spin (FDICT flag set; 0x78 0x20 passes the zlib header check)
+    val fdict = sig ++ chunk("IHDR", ihdr(1, 1)) ++
+      chunk("IDAT", Array[Byte](0x78, 0x20, 0, 0, 0, 0)) ++ chunk("IEND", Array.emptyByteArray)
+    intercept[RuntimeException](Multimodal.ImageCodec.decodeGrayPng(fdict))
+    // the pipeline survives ALL of them via the deterministic stub fallback
+    val df = Seq((1L, zeroW), (2L, huge), (3L, negLen), (4L, fdict)).toDF("id", "blob")
+    assert(Multimodal.processMedia(df, "blob", 4, 4, 1, 2).count() == 4)
+  }
+
   test("feature extraction composes with the metadata stamp end-to-end") {
     val blobs = graft.analytics.Tables.documents(spark, sf())
       .limit(20)
