@@ -39,6 +39,38 @@ class ChunkingSpec extends SparkSpec {
     assert(byBin.forall(ds => ds.length == 1 || ds.map(_._3).sum <= 64))
   }
 
+  test("packing invariants hold for random token-length sequences") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genNts = Gen.chooseNum(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 100)))
+    val prop = Prop.forAllNoShrink(genNts) { nts =>
+      val docs = nts.zipWithIndex.map { case (nt, i) =>
+        (i.toLong, (1 to nt).map(j => s"w$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = ChunkingQueries.packSequences(docs, budget = 64, nGroups = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val byGrp = out.groupBy(_._2).values
+      out.length == nts.length && // every doc exactly once
+        byGrp.forall { ds =>
+          val ordered = ds.sortBy(_._1)
+          val bins = ordered.map(_._3)
+          // bins start at 0, advance by at most 1, never retreat
+          bins.head == 0 && bins.zip(bins.tail).forall { case (a, b) => b == a || b == a + 1 } &&
+            // every multi-doc bin fits the budget...
+            ordered.groupBy(_._3).values.forall(b => b.length == 1 || b.map(_._4).sum <= 64) &&
+            // ...and every bin break is FORCED (greedy: the opener would
+            // have overflowed the previous bin)
+            ordered.zip(ordered.tail).forall { case (prev, cur) =>
+              cur._3 == prev._3 ||
+                ordered.filter(_._3 == prev._3).map(_._4).sum + cur._4 > 64
+            }
+        }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("packing streams groups independently and deterministically") {
     val docs = (0L until 100L).map(i => (i, (1 to (10 + (i % 7)).toInt).map(j => s"w$j").mkString(" ")))
       .toDF("doc_id", "text")
