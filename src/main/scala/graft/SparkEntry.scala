@@ -20,6 +20,7 @@ object SparkEntry {
       pipeline.SimilarityQueries.defs ++
       pipeline.Multimodal.defs ++
       pipeline.CorpusPipeline.defs ++
+      pipeline.CorpusStatsQueries.defs ++
       pipeline.ChunkingQueries.defs ++
       operators.RangeJoin.defs ++
       streaming.StreamShapeQueries.defs ++

@@ -1,0 +1,293 @@
+package graft.pipeline
+
+import graft.QueryDef
+import graft.analytics.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics operators for the training-data pipeline, beyond the
+  * per-document stats in [[TextPipelineQueries]]: repetition-based quality
+  * rules, TF-IDF keyword extraction, vocabulary coverage / OOV rate,
+  * deterministic sharded training order, and temperature-flattened source
+  * mixing. (The reference declares the pipeline stages only — see
+  * sql/2.postgres_source_setup.sql for its data model; these are the
+  * corpus-level operations a 100 TB text pipeline runs on top.)
+  *
+  * Scale notes (the 100× question, per operator):
+  *   - Every shuffle below is keyed by `doc_id`, `tok`, `lang` or `shard` —
+  *     all high-cardinality or bounded keys, no global single-partition
+  *     stage anywhere (the global training order is deliberately expressed
+  *     as shard-local ranks, NOT one global `row_number`).
+  *   - Bounded side tables (vocabulary, per-language rates, the 1-row
+  *     corpus count) are explicitly `broadcast` — the big fact stream is
+  *     never reshuffled to meet them.
+  *   - All doubles in driver-visible output are produced by single-op
+  *     IEEE chains (divide / multiply / sqrt / floor) that Spark and DuckDB
+  *     evaluate bit-identically; no `ln`/`exp` whose last-ulp behavior
+  *     differs between libm implementations (that is why TF-IDF below uses
+  *     the log-free BM25-style rational idf).
+  */
+object CorpusStatsQueries {
+
+  private val toksSql = graft.functions.TextFunctions.toksSql
+
+  /** All counting units for the repetition metrics in ONE exploded stream:
+    * (doc_id, kind, unit) where kind ∈ {tok, g2, g3}. Grams come from array
+    * slices (map-only — no window sort, no per-branch recompute of the
+    * token stream); [[wordShingles]]-style sequence/slice keeps everything
+    * codegen'd.
+    */
+  private def repetitionUnits(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    def grams(n: Int) =
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    def tagged(kind: String, arr: org.apache.spark.sql.Column) =
+      transform(arr, u => struct(lit(kind).as("kind"), u.as("unit")))
+    docs.select(col("doc_id"),
+      explode(concat(
+        tagged("tok", toks), tagged("g2", grams(2)), tagged("g3", grams(3))))
+        .as("ku"))
+      .select(col("doc_id"), col("ku.kind").as("kind"), col("ku.unit").as("unit"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- Gopher-style repetition quality rules -----
+    // The classic web-corpus filters: a document dominated by one token,
+    // one bigram, or repeated trigrams is boilerplate/spam, not prose.
+    // Per-doc fractions + a keep flag at thresholds that split this corpus
+    // non-trivially (348/500 keep at sf0.01; dup_3gram_frac is rarely
+    // binding here — the synthetic corpus has few repeated trigrams — but
+    // the metric is exercised end to end).
+    QueryDef(
+      "q_repetition_gopher",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |tokc AS (SELECT doc_id, MAX(c) AS max_tok, CAST(SUM(c) AS BIGINT) AS n_tokens
+         |         FROM (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2) GROUP BY 1),
+         |g2 AS (SELECT doc_id, a || ' ' || b AS g
+         |       FROM (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS a,
+         |                    unnest(toks[2:len(toks)]) AS b FROM t)),
+         |g2c AS (SELECT doc_id, MAX(c) AS max_g2, CAST(SUM(c) AS BIGINT) AS n_g2
+         |        FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+         |g3 AS (SELECT doc_id, a || ' ' || b || ' ' || c3 AS g
+         |       FROM (SELECT doc_id, unnest(toks[1:len(toks)-2]) AS a,
+         |                    unnest(toks[2:len(toks)-1]) AS b,
+         |                    unnest(toks[3:len(toks)]) AS c3 FROM t)),
+         |g3c AS (SELECT doc_id, COUNT(DISTINCT g) AS d3, COUNT(*) AS n3 FROM g3 GROUP BY 1)
+         |SELECT tokc.doc_id, n_tokens,
+         |       CAST(max_tok AS DOUBLE)/n_tokens AS max_tok_frac,
+         |       CAST(max_g2 AS DOUBLE)/n_g2 AS top_2gram_frac,
+         |       CAST(n3 - d3 AS DOUBLE)/n3 AS dup_3gram_frac,
+         |       (CAST(max_tok AS DOUBLE)/n_tokens <= 0.11
+         |        AND COALESCE(CAST(max_g2 AS DOUBLE)/n_g2 <= 0.06, TRUE)
+         |        AND COALESCE(CAST(n3 - d3 AS DOUBLE)/n3 <= 0.2, TRUE)) AS keep
+         |FROM tokc
+         |LEFT JOIN g2c ON tokc.doc_id = g2c.doc_id
+         |LEFT JOIN g3c ON tokc.doc_id = g3c.doc_id
+         |ORDER BY tokc.doc_id""".stripMargin) { (s, d) =>
+      // one scan, no joins: per-(doc,kind,unit) counts roll up to
+      // per-(doc,kind) maxima/totals/distincts, then pivot per doc. Every
+      // aggregate has map-side combine; a doc absent from a kind (e.g. a
+      // 2-token doc has no trigrams) pivots to NULL, matching the oracle's
+      // LEFT JOINs.
+      val perKind = repetitionUnits(Tables.documents(s, d))
+        .groupBy("doc_id", "kind", "unit").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "kind")
+        .agg(max("c").as("max_c"), sum("c").as("n"), count(lit(1)).as("d"))
+      def kindAgg(kind: String, c: org.apache.spark.sql.Column) =
+        max(when(col("kind") === kind, c))
+      val wide = perKind.groupBy("doc_id").agg(
+        kindAgg("tok", col("max_c")).as("max_tok"),
+        kindAgg("tok", col("n")).as("n_tokens"),
+        kindAgg("g2", col("max_c")).as("max_g2"),
+        kindAgg("g2", col("n")).as("n_g2"),
+        kindAgg("g3", col("d")).as("d3"),
+        kindAgg("g3", col("n")).as("n3"))
+      val maxTokFrac = col("max_tok").cast("double") / col("n_tokens")
+      val top2Frac = col("max_g2").cast("double") / col("n_g2")
+      val dup3Frac = (col("n3") - col("d3")).cast("double") / col("n3")
+      wide
+        .select(
+          col("doc_id"), col("n_tokens"),
+          maxTokFrac.as("max_tok_frac"),
+          top2Frac.as("top_2gram_frac"),
+          dup3Frac.as("dup_3gram_frac"),
+          (maxTokFrac <= 0.11 &&
+            coalesce(top2Frac <= 0.06, lit(true)) &&
+            coalesce(dup3Frac <= 0.2, lit(true))).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // ----- TF-IDF keyword extraction (top-3 terms per document) -----
+    // Document frequency is computed ONCE over the corpus and joined back
+    // (vocabulary-sized side — AQE broadcasts it at any realistic vocab);
+    // the corpus doc count is a 1-row broadcast. idf is the log-free
+    // BM25-style rational (nd - df + 0.5)/(df + 0.5): ln() differs in the
+    // last ulp between Java's and DuckDB's libm, which would break the
+    // driver's exact hash gate — the rational form is bit-identical.
+    QueryDef(
+      "q_tfidf_topk",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |ntok AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+         |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT COUNT(*) AS nd FROM ntok),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.tok,
+         |         (CAST(c AS DOUBLE)/n) * ((CAST(nd - df AS DOUBLE) + 0.5)/(CAST(df AS DOUBLE) + 0.5)) AS score
+         |  FROM tf JOIN ntok USING (doc_id) JOIN df USING (tok) CROSS JOIN nd),
+         |r AS (SELECT doc_id, tok, score,
+         |             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
+         |      FROM scored)
+         |SELECT doc_id, rk, tok AS term, score FROM r WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val ntok = tf.groupBy("doc_id").agg(sum("c").as("n"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nd = ntok.agg(count(lit(1)).as("nd"))
+      val score = (col("c").cast("double") / col("n")) *
+        (((col("nd") - col("df")).cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+      tf.join(ntok, "doc_id").join(dfreq, "tok").crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("tok"), score.as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("tok").as("term"), col("score"))
+        .orderBy("doc_id", "rk")
+    },
+
+    // ----- Vocabulary coverage / OOV rate -----
+    // Build the top-N vocabulary by corpus frequency (TakeOrdered — never a
+    // global sort), broadcast it, and measure per-language token coverage.
+    // N = 16 here so the rate is non-vacuous on the 31-type synthetic
+    // corpus; production N (50k–256k) changes only the literal — the
+    // vocabulary stays broadcast-sized either way.
+    QueryDef(
+      "q_vocab_coverage",
+      s"""WITH t AS (SELECT lang, unnest($toksSql) AS tok FROM documents),
+         |lt AS (SELECT lang, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+         |tot AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS tc FROM lt GROUP BY 1),
+         |vocab AS (SELECT tok FROM tot ORDER BY tc DESC, tok LIMIT 16),
+         |agg AS (SELECT lang,
+         |               CAST(SUM(c) AS BIGINT) AS n_occurrences,
+         |               CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS covered_occurrences,
+         |               COUNT(*) AS n_types,
+         |               CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS covered_types
+         |        FROM lt LEFT JOIN vocab v USING (tok) GROUP BY lang)
+         |SELECT lang, n_occurrences, covered_occurrences, n_types, covered_types,
+         |       CAST(n_occurrences - covered_occurrences AS DOUBLE)/n_occurrences AS oov_rate
+         |FROM agg ORDER BY lang""".stripMargin) { (s, d) =>
+      val lt = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val vocab = lt.groupBy("tok").agg(sum("c").as("tc"))
+        .orderBy(col("tc").desc, col("tok")).limit(16)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      lt.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("lang")
+        .agg(
+          sum("c").as("n_occurrences"),
+          sum(when(col("in_vocab").isNotNull, col("c")).otherwise(lit(0L)))
+            .as("covered_occurrences"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("in_vocab").isNotNull, lit(1L)).otherwise(lit(0L)))
+            .as("covered_types"))
+        .withColumn("oov_rate",
+          (col("n_occurrences") - col("covered_occurrences")).cast("double") /
+            col("n_occurrences"))
+        .orderBy("lang")
+    },
+
+    // ----- Deterministic sharded training order -----
+    // Global training order for data loaders: shard = first hash byte
+    // (≈256-way split), order within shard = (hash, doc_id). This IS the
+    // scalable formulation — shard-local row_number after a hash partition,
+    // never one global row_number (single-partition at 100 TB). The
+    // order-sensitive checksum Σ rank·doc_id pins the exact permutation in
+    // a distributive aggregate, so the gate verifies ORDER without any
+    // per-shard collect_list.
+    QueryDef(
+      "q_train_order",
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':order:42') AS hx FROM documents),
+        |s AS (SELECT doc_id, hx, substr(hx, 1, 2) AS shard FROM h),
+        |r AS (SELECT doc_id, hx, shard,
+        |             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS rk
+        |      FROM s)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |       CAST(SUM(rk * doc_id) AS BIGINT) AS order_checksum,
+        |       MAX(CASE WHEN rk = 1 THEN doc_id END) AS first_doc_id,
+        |       MAX(hx) AS max_hx
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit(":order:42"))
+            .cast("binary")).as("hx"))
+        .withColumn("shard", substring(col("hx"), 1, 2))
+        .withColumn("rk", row_number().over(w))
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("rk") * col("doc_id")).as("order_checksum"),
+          max(when(col("rk") === 1, col("doc_id"))).as("first_doc_id"),
+          max("hx").as("max_hx"))
+        .orderBy("shard")
+    },
+
+    // ----- Temperature-flattened language mixing -----
+    // Down-sample over-represented languages toward n^0.5 (temperature
+    // α = 0.5 reweighting): target_l = min(n_l, ⌊10·√n_l⌋), realized by a
+    // deterministic hash cutoff (first 4 md5 hex digits < the rate mapped
+    // to a 16-bit hex bound) — reproducible across runs and engines, no
+    // rand(). Per-language rates are a 5-row broadcast; selection is pure
+    // map-side. Every double (sqrt / divide / multiply / floor) is a
+    // single-op IEEE chain, and none of them reach the output columns.
+    QueryDef(
+      "q_mix_temperature",
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |r AS (SELECT lang, n_docs,
+        |             LEAST(n_docs, CAST(FLOOR(10.0 * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)) AS target_docs
+        |      FROM c),
+        |r2 AS (SELECT *, printf('%04x', CAST(FLOOR((CAST(target_docs AS DOUBLE)/n_docs) * 65536.0) AS INT)) AS cutoff_hex
+        |       FROM r),
+        |s AS (SELECT d.lang FROM documents d JOIN r2 USING (lang)
+        |      WHERE target_docs >= n_docs
+        |         OR substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) < cutoff_hex),
+        |sc AS (SELECT lang, COUNT(*) AS n_sampled FROM s GROUP BY 1)
+        |SELECT r2.lang, n_docs, target_docs, COALESCE(n_sampled, 0) AS n_sampled
+        |FROM r2 LEFT JOIN sc USING (lang) ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val rates = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("target_docs",
+          least(col("n_docs"),
+            floor(lit(10.0) * sqrt(col("n_docs").cast("double")))))
+        .withColumn("cutoff_hex",
+          lpad(lower(conv(
+            floor((col("target_docs").cast("double") / col("n_docs")) * 65536.0)
+              .cast("int").cast("string"), 10, 16)), 4, "0"))
+      val sampled = docs
+        .select(col("lang"),
+          md5(concat(lit("mix:"), col("doc_id").cast("string")).cast("binary"))
+            .as("hx"))
+        .join(broadcast(rates), Seq("lang"))
+        .filter(col("target_docs") >= col("n_docs") ||
+          substring(col("hx"), 1, 4) < col("cutoff_hex"))
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+      rates
+        .join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("target_docs"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("lang")
+    }
+  )
+}

@@ -201,6 +201,54 @@ class PlanAuditSpec extends SparkSpec {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("repetition metrics: one scan, no joins, no window sort") {
+    val df = graft.SparkEntry.queries("q_repetition_gopher")(spark, sf())
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Join"), p)         // pivot, not per-kind self-joins
+    assert(!p.contains("Window"), p)       // grams from array slices, not lead()
+    assert("Scan parquet".r.findAllIn(p).size == 1, "must read documents once: " + p)
+    // rollup chain: ≤3 hash exchanges, each fed by a partial aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("tfidf: the corpus-count side is a broadcast 1-row aggregate, df join is keyed") {
+    val df = graft.SparkEntry.queries("q_tfidf_topk")(spark, sf())
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    df.queryExecution.optimizedPlan.collect { case j: Join => j }.foreach { j =>
+      val oneRowSide = j.left.maxRows.exists(_ <= 1) || j.right.maxRows.exists(_ <= 1)
+      assert(j.condition.isDefined || oneRowSide, s"unkeyed join without a 1-row side:\n$j")
+    }
+  }
+
+  test("vocabulary: top-N plans as TakeOrdered and joins back broadcast") {
+    val p = graft.SparkEntry.queries("q_vocab_coverage")(spark, sf())
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p) // never a global sort for top-N
+    assert(p.contains("BroadcastHashJoin"), p)     // vocab side broadcast
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("training order: shard-local ranks, never a single-partition window") {
+    // exchanges materialize in the executed plan (sparkPlan predates
+    // EnsureRequirements); a global row_number would plan as
+    // Exchange SinglePartition — the whole point of the shard formulation
+    // is that it never appears
+    val p = executedPlanOf("q_train_order")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(shard"), p)
+  }
+
+  test("mixture sampling: per-language rates broadcast to a map-side filter") {
+    val p = graft.SparkEntry.queries("q_mix_temperature")(spark, sf())
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("LSH skew guard: pair-generating consumers share ONE banded exchange") {
     // tagHot is a window over the bucket key precisely so the PAIR-GENERATING
     // consumers — both self-join sides and the hot-star branch — hang off a
