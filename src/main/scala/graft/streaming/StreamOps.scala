@@ -100,6 +100,31 @@ object StreamOps {
     out.drop("_digest")
   }
 
+  /** Stream-stream interval join: pair each left event with right-side
+    * events of the same key from the preceding `lookback` (inclusive of the
+    * left timestamp) — the attribution shape (purchase ← recent clicks).
+    *
+    * In streaming mode both sides carry watermarks and the range predicate
+    * is what lets Spark bound the join state: right-side rows older than
+    * watermark + lookback can never match a future left row and are
+    * evicted, so state tracks the lookback horizon, not the stream's
+    * lifetime. In batch mode the identical condition plans as a keyed
+    * equi-join with a range filter — state partitioned by key either way,
+    * scaling horizontally with executors.
+    *
+    * Output columns keep their side prefixes (`l.*` / `r.*`); callers
+    * project/rename.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      lookback: String, lateness: String = "10 minutes"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark("ts", lateness) else left).alias("l")
+    val r = (if (right.isStreaming) right.withWatermark("ts", lateness) else right).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL '$lookback'") &&
+        col("r.ts") <= col("l.ts"))
+  }
+
   // ----- custom state: running per-user aggregates with anomaly flags -----
 
   case class UserEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)

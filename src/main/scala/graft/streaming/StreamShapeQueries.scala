@@ -86,6 +86,34 @@ object StreamShapeQueries {
         gap = "30 minutes")
         .withColumn("session_value", col("session_value").cast("double"))
         .orderBy("user_id", "session_start")
+    },
+
+    // stream-stream interval join (attribution: purchase ← same user's
+    // clicks in the trailing 24 h). The join condition is identical in both
+    // modes, so the batch run IS the oracle-checkable face of the
+    // streaming join; StreamOpsSpec drives the same function through two
+    // MemoryStreams with watermarks for the cross-micro-batch semantics.
+    QueryDef(
+      "q_stream_interval_join",
+      """WITH p AS (SELECT user_id, event_id, ts FROM events
+        |           WHERE event_type = 'purchase' AND user_id <= 100),
+        |c AS (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click' AND user_id <= 100)
+        |SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |       p.ts AS purchase_ts, c.ts AS click_ts
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |            AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts <= p.ts
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("user_id") <= 100)
+      StreamOps.intervalJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "24 hours")
+        .select(
+          col("l.user_id").as("user_id"),
+          col("l.event_id").as("purchase_id"), col("r.event_id").as("click_id"),
+          col("l.ts").as("purchase_ts"), col("r.ts").as("click_ts"))
+        .orderBy("user_id", "purchase_id", "click_id")
     }
   )
 }

@@ -106,6 +106,49 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("interval join pairs across micro-batches within the lookback") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[UserEvent]
+    val purchases = MemoryStream[UserEvent]
+    val joined = StreamOps.intervalJoin(
+      purchases.toDF(), clicks.toDF(), "user_id", "1 hour", lateness = "30 minutes")
+      .select(
+        col("l.user_id").as("user_id"),
+        col("l.ts").as("purchase_ts"), col("r.ts").as("click_ts"))
+    val query = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: clicks only — their state must persist for later purchases
+      clicks.addData(
+        ev("2024-01-01 10:00:00", 1, "click"),
+        ev("2024-01-01 10:40:00", 1, "click"),
+        ev("2024-01-01 08:00:00", 2, "click"))
+      query.processAllAvailable()
+      // batch 2: purchase at 10:50 joins both user-1 clicks (within 1 h),
+      // not user 2's; user-2 purchase at 10:00 is 2 h after its click → no pair
+      purchases.addData(
+        ev("2024-01-01 10:50:00", 1, "purchase"),
+        ev("2024-01-01 10:00:00", 2, "purchase"))
+      query.processAllAvailable()
+      val rows = spark.table("ij_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2).toString)).sorted
+      assert(rows.toSeq == Seq(
+        (1L, "2024-01-01 10:00:00.0"), (1L, "2024-01-01 10:40:00.0")), rows.mkString(","))
+    } finally query.stop()
+
+    // batch mode: identical condition, inclusive bounds
+    val p = Seq(ev("2024-01-01 12:00:00", 1, "purchase")).toDF()
+    val c = Seq(
+      ev("2024-01-01 11:00:00", 1, "click"),  // exactly lookback ago: included
+      ev("2024-01-01 12:00:00", 1, "click"),  // same instant: included
+      ev("2024-01-01 10:59:59", 1, "click"),  // just beyond: excluded
+      ev("2024-01-01 12:00:01", 1, "click")   // future: excluded
+    ).toDF()
+    val out = StreamOps.intervalJoin(p, c, "user_id", "1 hour")
+      .select(col("r.ts")).collect().map(_.getTimestamp(0).toString).sorted
+    assert(out.toSeq == Seq("2024-01-01 11:00:00.0", "2024-01-01 12:00:00.0"))
+  }
+
   test("sliding windows cover each event width/slide times") {
     val events = Seq(ev("2024-01-01 10:30:00", 1)).toDF()
     val out = StreamOps.slidingCounts(events, "6 hours", "1 hour").collect()
