@@ -34,25 +34,29 @@ object CorpusStatsQueries {
   private val toksSql = graft.functions.TextFunctions.toksSql
 
   /** All counting units for the repetition metrics in ONE exploded stream:
-    * (doc_id, kind, unit) where kind ∈ {tok, g2, g3}. Grams come from array
-    * slices (map-only — no window sort, no per-branch recompute of the
-    * token stream); [[wordShingles]]-style sequence/slice keeps everything
-    * codegen'd.
+    * (doc_id, kind, unit) where kind ∈ {tok, g2, g3}. Tokenize ONCE,
+    * explode, build grams with window `lead` + codegen'd `concat_ws`, fan
+    * out 3 units per token with `stack`. Deliberately NOT array-HOF
+    * `transform`/`slice` grams: higher-order lambdas evaluate interpreted,
+    * and a lambda body referencing the token array re-evaluates the whole
+    * tokenizer per element — O(tokens²) regex splits per document (measured
+    * 9.1 s for this query at sf0.1; this shape runs ~1 s). The window's
+    * doc_id hash partitioning is inherited by every downstream per-doc
+    * aggregate, so the whole rollup rides ONE exchange.
     */
   private def repetitionUnits(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    def grams(n: Int) =
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
-    def tagged(kind: String, arr: org.apache.spark.sql.Column) =
-      transform(arr, u => struct(lit(kind).as("kind"), u.as("unit")))
-    docs.select(col("doc_id"),
-      explode(concat(
-        tagged("tok", toks), tagged("g2", grams(2)), tagged("g3", grams(3))))
-        .as("ku"))
-      .select(col("doc_id"), col("ku.kind").as("kind"), col("ku.unit").as("unit"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("tok1", lead("tok", 1).over(w))
+      .withColumn("tok2", lead("tok", 2).over(w))
+      .select(col("doc_id"), expr(
+        """stack(3,
+          |  'tok', tok,
+          |  'g2', CASE WHEN tok1 IS NOT NULL THEN concat_ws(' ', tok, tok1) END,
+          |  'g3', CASE WHEN tok2 IS NOT NULL THEN concat_ws(' ', tok, tok1, tok2) END
+          |) AS (kind, unit)""".stripMargin))
+      .filter(col("unit").isNotNull)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -242,6 +246,51 @@ object CorpusStatsQueries {
           max(when(col("rk") === 1, col("doc_id"))).as("first_doc_id"),
           max("hx").as("max_hx"))
         .orderBy("shard")
+    },
+
+    // ----- Sketch statistics: HLL distinct + approximate percentile -----
+    // At 100 TB, exact COUNT(DISTINCT) and exact percentiles are the
+    // operators you replace first: HyperLogLog merges with constant state
+    // per partition (one shuffle of sketch bytes, not values), and
+    // approximate quantiles stream in one pass. Both engines' sketches are
+    // deterministic functions of the input multiset but NOT each other's
+    // equals — so the gateable contract is the published error bound: the
+    // oracle emits the exact value plus a "sketch within tolerance" flag,
+    // and both engines must agree the flag is TRUE. (At these group sizes
+    // both HLLs are in sparse/exact mode, so the flags are robustly green —
+    // what's being gated is the sketch machinery and the error contract,
+    // not sketch-vs-sketch equality, which is unverifiable cross-engine.)
+    QueryDef(
+      "q_sketch_stats",
+      s"""WITH t AS (SELECT lang, len($toksSql) AS n_tokens, md5(text) AS h FROM documents),
+         |agg AS (SELECT lang, COUNT(*) AS n_docs,
+         |               COUNT(DISTINCT h) AS n_distinct_texts,
+         |               approx_count_distinct(h) AS hll,
+         |               quantile_cont(n_tokens, 0.5) AS p50,
+         |               approx_quantile(n_tokens, 0.5) AS p50a
+         |        FROM t GROUP BY lang)
+         |SELECT lang, n_docs, n_distinct_texts,
+         |       (CAST(abs(hll - n_distinct_texts) AS DOUBLE)/n_distinct_texts <= 0.05) AS hll_within_5pct,
+         |       p50,
+         |       (abs(p50a - p50)/p50 <= 0.1) AS p50_approx_within_10pct
+         |FROM agg ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), size(tokens(col("text"))).as("n_tokens"),
+          md5(col("text")).as("h"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct("h").as("n_distinct_texts"),
+          approx_count_distinct(col("h"), 0.02).as("hll"),
+          expr("percentile(n_tokens, 0.5)").as("p50"),
+          expr("percentile_approx(n_tokens, 0.5, 10000)").as("p50a"))
+        .select(col("lang"), col("n_docs"), col("n_distinct_texts"),
+          (abs(col("hll") - col("n_distinct_texts")).cast("double") /
+            col("n_distinct_texts") <= 0.05).as("hll_within_5pct"),
+          col("p50"),
+          (abs(col("p50a") - col("p50")) / col("p50") <= 0.1)
+            .as("p50_approx_within_10pct"))
+        .orderBy("lang")
     },
 
     // ----- Temperature-flattened language mixing -----

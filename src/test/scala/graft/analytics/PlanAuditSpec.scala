@@ -201,14 +201,23 @@ class PlanAuditSpec extends SparkSpec {
       .findFirstIn(p).isDefined, p)
   }
 
-  test("repetition metrics: one scan, no joins, no window sort") {
+  test("repetition metrics: one scan, no joins, one doc_id exchange, no HOF lambdas") {
     val df = graft.SparkEntry.queries("q_repetition_gopher")(spark, sf())
     val p = df.queryExecution.sparkPlan.toString
-    assert(!p.contains("Join"), p)         // pivot, not per-kind self-joins
-    assert(!p.contains("Window"), p)       // grams from array slices, not lead()
+    assert(!p.contains("Join"), p)          // pivot, not per-kind self-joins
     assert("Scan parquet".r.findAllIn(p).size == 1, "must read documents once: " + p)
-    // rollup chain: ≤3 hash exchanges, each fed by a partial aggregate
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+    // grams must come from window lead + stack, not interpreted transform()
+    // lambdas whose body re-evaluates the tokenizer per element (O(tokens²)
+    // per doc — the 9.1 s regression this shape fixed). The single
+    // permitted lambda is tokens()'s empty-filter, applied once per doc.
+    assert(!p.contains("transform("), p)
+    assert(p.contains("stack"), p)
+    // the window's doc_id partitioning must feed the whole rollup chain:
+    // exactly one hash exchange in the FINAL plan (strip AQE's trailing
+    // "Initial Plan" echo before counting)
+    val finalPlan = executedPlanOf("q_repetition_gopher").split("== Initial Plan ==")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges")
   }
 
   test("tfidf: the corpus-count side is a broadcast 1-row aggregate, df join is keyed") {

@@ -103,6 +103,17 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("sketch stats: error-bound flags hold and exact columns are exact") {
+    val rows = q("q_sketch_stats").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"HLL out of 5% band: $r")
+      assert(r.getBoolean(5), s"approx p50 out of 10% band: $r")
+      assert(r.getLong(2) <= r.getLong(1)) // distinct <= docs
+      assert(r.getDouble(4) > 0)
+    }
+  }
+
   test("mix temperature: over-represented strata are flattened, small kept whole") {
     val docs = (0L until 300L).map { i =>
       val lang = if (i < 260) "en" else "fr"
