@@ -24,9 +24,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // local-iteration filter: comma-separated names → dump only those
-    // (the driver never sets this; full runs stay the default)
+    // (the driver never sets this; full runs stay the default). An empty
+    // var is treated as unset, and names matching no registered query fail
+    // fast — a typo must not silently dump nothing after OracleStage.clean()
+    // has already wiped the previous run's staged candidates.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names no registered query: ${unknown.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

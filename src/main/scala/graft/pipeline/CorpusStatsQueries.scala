@@ -166,7 +166,10 @@ object CorpusStatsQueries {
         .select(col("doc_id"), col("tok"), score.as("score"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
-        .select(col("doc_id"), col("rk"), col("tok").as("term"), col("score"))
+        // row_number is int32; driver-visible outputs are BIGINT-only
+        // (DuckDB's ROW_NUMBER is BIGINT — the no-narrow-types rule)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"),
+          col("tok").as("term"), col("score"))
         .orderBy("doc_id", "rk")
     },
 
@@ -320,10 +323,14 @@ object CorpusStatsQueries {
         .withColumn("target_docs",
           least(col("n_docs"),
             floor(lit(10.0) * sqrt(col("n_docs").cast("double")))))
+        // format_string mirrors the oracle's printf exactly — including the
+        // 5-char "10000" at ratio 1.0 (keep-whole languages, where the
+        // target>=n disjunct decides; lpad would have truncated it to a
+        // DIFFERENT value than DuckDB's, a latent cross-engine divergence)
         .withColumn("cutoff_hex",
-          lpad(lower(conv(
+          format_string("%04x",
             floor((col("target_docs").cast("double") / col("n_docs")) * 65536.0)
-              .cast("int").cast("string"), 10, 16)), 4, "0"))
+              .cast("int")))
       val sampled = docs
         .select(col("lang"),
           md5(concat(lit("mix:"), col("doc_id").cast("string")).cast("binary"))

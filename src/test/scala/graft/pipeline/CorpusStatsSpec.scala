@@ -60,7 +60,7 @@ class CorpusStatsSpec extends SparkSpec {
       (3L, "common zeta eta theta", "en", "s", 20L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = build("q_tfidf_topk", docs)(spark).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
     val doc1 = out.filter(_._1 == 1L)
     assert(doc1.length == 3)
     val rareScore = doc1.find(_._3 == "rare").get._4
