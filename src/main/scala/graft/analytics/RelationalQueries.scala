@@ -380,6 +380,37 @@ object RelationalQueries {
         .orderBy("event_type", "event_date")
     },
 
+    // ----- W4: ranking/navigation window functions -----
+    // RANK/DENSE_RANK over a tied key (order priority — the tie behavior is
+    // what distinguishes them from row_number), LAG navigation along a
+    // total order, NTILE bucketing. Every ORDER BY inside a window is made
+    // total with o_orderkey so both engines agree bit-for-bit; rank-family
+    // outputs are int32 in Spark → cast BIGINT at the boundary
+    // (no-narrow-types rule). Windows partition by customer — the state is
+    // per-key and the plan is one hash exchange + sort, never a global
+    // single-partition window.
+    QueryDef(
+      "q_window_funcs",
+      """SELECT o_custkey, o_orderkey,
+        |       RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_rank,
+        |       DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_dense_rank,
+        |       LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+        |       NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS price_quartile
+        |FROM orders WHERE o_custkey <= 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val byPrio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+      val byDate = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val byPrice = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+      Tables.orders(s, d)
+        .filter(col("o_custkey") <= 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(byPrio).cast("long").as("prio_rank"),
+          dense_rank().over(byPrio).cast("long").as("prio_dense_rank"),
+          lag("o_orderkey", 1).over(byDate).as("prev_orderkey"),
+          ntile(4).over(byPrice).cast("long").as("price_quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // ----- L1: LISTAGG(DISTINCT … ) WITHIN GROUP (ORDER BY …) -----
     // Shape of sql/4.analytics_queries.sql:37 (distinct ordered time slots).
     QueryDef(
