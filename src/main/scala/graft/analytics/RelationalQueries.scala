@@ -250,6 +250,46 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     },
 
+    // ----- J6 (beyond ref): FULL OUTER join — two-sided reconciliation -----
+    // The audit shape CDC pipelines run constantly (which keys exist on
+    // only one side?): clickers FULL OUTER purchasers over the same window,
+    // 34 exclusive users on EACH side at sf0.01 so both null-extension
+    // directions are exercised. Both inputs are aggregates keyed on the
+    // join key, so the join co-partitions with its inputs — one exchange
+    // per side, reused from the aggregation.
+    QueryDef(
+      "q_join_full_outer",
+      """WITH c AS (SELECT user_id, COUNT(*) AS n_clicks FROM events
+        |           WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+        |           GROUP BY user_id),
+        |p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events
+        |      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+        |      GROUP BY user_id)
+        |SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+        |       COALESCE(n_clicks, 0) AS n_clicks,
+        |       COALESCE(n_purchases, 0) AS n_purchases,
+        |       (c.user_id IS NULL) AS purchase_only,
+        |       (p.user_id IS NULL) AS click_only
+        |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+      def side(typ: String, as: String) = ev
+        .filter(col("event_type") === typ)
+        .groupBy(col("user_id").as(s"${as}_user"))
+        .agg(count(lit(1)).as(s"n_$as"))
+      side("click", "clicks")
+        .join(side("purchase", "purchases"),
+          col("clicks_user") === col("purchases_user"), "full_outer")
+        .select(
+          coalesce(col("clicks_user"), col("purchases_user")).as("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          col("clicks_user").isNull.as("purchase_only"),
+          col("purchases_user").isNull.as("click_only"))
+        .orderBy("user_id")
+    },
+
     // ----- A2: multi COUNT(DISTINCT) in one aggregate -----
     // Shape of sql/4.analytics_queries.sql:439-450 (CDC executive summary).
     QueryDef(

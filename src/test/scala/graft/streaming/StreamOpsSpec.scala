@@ -149,6 +149,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("2024-01-01 11:00:00.0", "2024-01-01 12:00:00.0"))
   }
 
+  test("interval join equals the brute-force pairing on random event sets") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val base = ts("2024-01-01 00:00:00").getTime
+    val genSide = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 3L)
+        mins <- Gen.chooseNum(0L, 300L)
+      } yield (u, mins)))
+    val prop = Prop.forAllNoShrink(genSide, genSide) { (ls, rs) =>
+      def df(evs: List[(Long, Long)]) = evs.map { case (u, m) =>
+        UserEvent(u, new Timestamp(base + m * 60000L), "e", 1.0)
+      }.toDF()
+      val got = StreamOps.intervalJoin(df(ls), df(rs), "user_id", "1 hour")
+        .select(col("l.user_id"), col("l.ts"), col("r.ts"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+        .toList.sorted
+      val want = (for {
+        (lu, lm) <- ls
+        (ru, rm) <- rs
+        if lu == ru && rm >= lm - 60 && rm <= lm
+      } yield (lu, base + lm * 60000L, base + rm * 60000L)).sorted
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sliding windows cover each event width/slide times") {
     val events = Seq(ev("2024-01-01 10:30:00", 1)).toDF()
     val out = StreamOps.slidingCounts(events, "6 hours", "1 hour").collect()
