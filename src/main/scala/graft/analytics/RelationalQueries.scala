@@ -421,13 +421,14 @@ object RelationalQueries {
     },
 
     // ----- W4: ranking/navigation window functions -----
-    // RANK/DENSE_RANK over a tied key (order priority — the tie behavior is
-    // what distinguishes them from row_number), LAG navigation along a
-    // total order, NTILE bucketing. Every ORDER BY inside a window is made
-    // total with o_orderkey so both engines agree bit-for-bit; rank-family
+    // RANK/DENSE_RANK over a DELIBERATELY tied key (order priority alone,
+    // NO tiebreak — the tie behavior is what distinguishes them from
+    // row_number, and rank values depend only on the key multiset, so they
+    // are deterministic without one). The ORDER-dependent windows (LAG,
+    // NTILE) DO carry o_orderkey tiebreaks to be total. Rank-family
     // outputs are int32 in Spark → cast BIGINT at the boundary
-    // (no-narrow-types rule). Windows partition by customer — the state is
-    // per-key and the plan is one hash exchange + sort, never a global
+    // (no-narrow-types rule). All windows partition by customer — one hash
+    // exchange shared by the three orderings (a sort each), never a global
     // single-partition window.
     QueryDef(
       "q_window_funcs",
