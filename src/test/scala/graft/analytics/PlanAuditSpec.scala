@@ -250,6 +250,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(shard"), p)
   }
 
+  test("window functions: three orderings share ONE customer exchange, never single-partition") {
+    val finalPlan = executedPlanOf("q_window_funcs").split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Exchange SinglePartition"), finalPlan)
+    // all three windows partition by o_custkey: the first exchange
+    // satisfies the other two (a sort each), so exactly one hash exchange
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n$finalPlan")
+  }
+
+  test("full outer join co-partitions with its aggregate inputs (no third exchange)") {
+    val finalPlan = executedPlanOf("q_join_full_outer").split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan)
+    // each side exchanges once for its groupBy on the join key; the full
+    // outer join must reuse that partitioning, not add a third exchange
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(hashEx <= 2, s"expected <=2 hash exchanges, got $hashEx\n$finalPlan")
+  }
+
   test("mixture sampling: per-language rates broadcast to a map-side filter") {
     val p = graft.SparkEntry.queries("q_mix_temperature")(spark, sf())
       .queryExecution.sparkPlan.toString
