@@ -290,6 +290,33 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // ----- Scale tool: two-phase salted aggregation (SkewUtils) -----
+    // events has 5 event_type keys over every row — the classic hot-key
+    // aggregate where one reducer absorbs 20% of the table. The salted plan
+    // splits each key across 16 deterministic salts for the partial phase
+    // and merges 5×16 partials in a second (tiny) aggregate. The oracle is
+    // the PLAIN group-by: salting must be a pure execution-strategy change,
+    // bit-identical results (the money sum rides DECIMAL so partial/merge
+    // order cannot perturb it — the no-raw-double-sums rule).
+    QueryDef(
+      "q_skew_salted_agg",
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      graft.functions.SkewUtils.saltedAggregate(
+        Tables.events(s, d).select("event_type", "value", "event_id"),
+        keys = Seq("event_type"), salts = 16, saltCols = Seq("event_id"))(
+        partial = Seq(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("s")),
+        merge = Seq(
+          sum(col("n")).as("n_events"),
+          sum(col("s")).cast("double").as("total_value")))
+        .orderBy("event_type")
+    },
+
     // ----- A2: multi COUNT(DISTINCT) in one aggregate -----
     // Shape of sql/4.analytics_queries.sql:439-450 (CDC executive summary).
     QueryDef(

@@ -268,6 +268,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx <= 2, s"expected <=2 hash exchanges, got $hashEx\n$finalPlan")
   }
 
+  test("salted aggregation: two exchanges — salted partial phase, then key merge") {
+    val finalPlan = executedPlanOf("q_skew_salted_agg").split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("_salt"), finalPlan)
+    // phase 1 exchanges on (event_type, _salt), phase 2 on event_type —
+    // exactly two hash exchanges, the whole point of the two-phase shape
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx\n$finalPlan")
+  }
+
   test("mixture sampling: per-language rates broadcast to a map-side filter") {
     val p = graft.SparkEntry.queries("q_mix_temperature")(spark, sf())
       .queryExecution.sparkPlan.toString
