@@ -118,6 +118,56 @@ object CdcShapeQueries {
         .orderBy("was_updated")
     },
 
+    // ----- SCD Type 2 dimension history from the change feed -----
+    // The canonical downstream consumer of a CDC feed: every change event
+    // becomes a version row with [valid_from, valid_to) validity and an
+    // is_current flag; a terminal 'error' event acts as a tombstone (key
+    // closed, no current version) — consistent with the soft-delete
+    // semantics above. Ref: the reference's journal/_SNOWFLAKE_DELETED
+    // model (sql/3.live_appointments.sql, sql/4.analytics_queries.sql:400)
+    // is exactly SCD2 with history collapsed; here history is kept.
+    //
+    // All ordering and validity arithmetic is on floor-epoch-second BIGINTs:
+    // the parquet timestamps are ns-precision, Spark truncates to µs while
+    // DuckDB keeps ns, so sub-second components must never reach an output
+    // or an ORDER BY. (ts_sec, event_id) is a total order both engines agree
+    // on exactly.
+    //
+    // Scale: one hash exchange on the key; ROW_NUMBER and LEAD share the
+    // same window spec so Catalyst evaluates both in a single Window
+    // operator over a single sort. No driver state, no joins.
+    QueryDef(
+      "q_cdc_scd2",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec
+        |  FROM events WHERE user_id <= 40
+        |)
+        |SELECT user_id,
+        |       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_seq,
+        |       event_type AS state,
+        |       ts_sec AS valid_from_sec,
+        |       LEAD(ts_sec) OVER w AS valid_to_sec,
+        |       (LEAD(ts_sec) OVER w IS NULL AND event_type <> 'error') AS is_current
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        |ORDER BY user_id, version_seq""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("user_id") <= 40)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("ts_sec"))
+      val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      ev.select(
+          col("user_id"),
+          row_number().over(w).cast("long").as("version_seq"),
+          col("event_type").as("state"),
+          col("ts_sec").as("valid_from_sec"),
+          lead(col("ts_sec"), 1).over(w).as("valid_to_sec"),
+          (lead(col("ts_sec"), 1).over(w).isNull && col("event_type") =!= "error")
+            .as("is_current"))
+        .orderBy("user_id", "version_seq")
+    },
+
     // ----- JSON props extraction (event envelope parsing) -----
     // The CDC event feed carries JSON payloads; extraction must stay a
     // codegen'd expression, not a UDF.

@@ -68,6 +68,59 @@ object SequenceQueries {
         .crossJoin(p.agg(count(lit(1)).as("n_purchased_after_click")))
     },
 
+    // ----- gap-based sessionization (30-minute inactivity timeout) -----
+    // The standard web-analytics session definition: a session breaks when
+    // the gap to the previous event of the same user exceeds 30 minutes.
+    // Two windows — LAG for the break flag, then a running SUM for the
+    // session index — share the (user_id) partitioning and (ts_sec,
+    // event_id) ordering, so Spark plans ONE exchange + ONE sort for both;
+    // the final groupBy(user_id, session_idx) is subset-clustered on
+    // user_id and reuses the same exchange (asserted in PlanAuditSpec).
+    //
+    // Gap arithmetic and outputs are floor-epoch-second BIGINTs for the
+    // same ns-vs-µs reason as q_cdc_scd2.
+    QueryDef(
+      "q_sessionize",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec
+        |  FROM events WHERE user_id <= 60
+        |), flagged AS (
+        |  SELECT user_id, event_id, ts_sec,
+        |         CASE WHEN LAG(ts_sec) OVER w IS NULL
+        |                OR ts_sec - LAG(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts_sec,
+        |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       COUNT(*) AS n_events,
+        |       MIN(ts_sec) AS session_start_sec,
+        |       MAX(ts_sec) AS session_end_sec,
+        |       CAST(MAX(ts_sec) - MIN(ts_sec) AS BIGINT) AS duration_sec
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      val ev = Tables.events(s, d)
+        .filter(col("user_id") <= 60)
+        .select(col("user_id"), col("event_id"), col("ts").cast("long").as("ts_sec"))
+      val flagged = ev.withColumn("is_new",
+        when(lag(col("ts_sec"), 1).over(w).isNull ||
+          col("ts_sec") - lag(col("ts_sec"), 1).over(w) > 1800, 1).otherwise(0))
+      val sess = flagged.withColumn("session_idx",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_sec")).as("session_start_sec"),
+          max(col("ts_sec")).as("session_end_sec"),
+          (max(col("ts_sec")) - min(col("ts_sec"))).as("duration_sec"))
+        .orderBy("user_id", "session_idx")
+    },
+
     // ----- retention cohorts: first-seen week × weekly activity offsets -----
     QueryDef(
       "q_retention_cohorts",

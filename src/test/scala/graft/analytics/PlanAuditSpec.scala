@@ -277,6 +277,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx\n$finalPlan")
   }
 
+  test("SCD2: ROW_NUMBER and LEAD share one window — one hash exchange, one Window op") {
+    val finalPlan = executedPlanOf("q_cdc_scd2").split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Exchange SinglePartition"), finalPlan)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n$finalPlan")
+    // both window functions share the window spec, so Catalyst evaluates
+    // them in a single Window operator over a single sort
+    val windows = "Window \\[".r.findAllIn(finalPlan).size
+    assert(windows == 1, s"expected 1 Window operator, got $windows\n$finalPlan")
+  }
+
+  test("sessionize: lag window, running sum, and session aggregate share ONE user exchange") {
+    // both windows partition by user_id with the same ordering, and the
+    // final groupBy(user_id, session_idx) is subset-clustered on user_id —
+    // the whole chain rides one exchange
+    val finalPlan = executedPlanOf("q_sessionize").split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Exchange SinglePartition"), finalPlan)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n$finalPlan")
+  }
+
   test("mixture sampling: per-language rates broadcast to a map-side filter") {
     val p = graft.SparkEntry.queries("q_mix_temperature")(spark, sf())
       .queryExecution.sparkPlan.toString
