@@ -15,6 +15,32 @@ import org.apache.spark.sql.functions._
   */
 object CdcShapeQueries {
 
+  /** SCD2 version frame shared by q_cdc_scd2 and q_cdc_scd2_asof: one row
+    * per change event with [valid_from_sec, valid_to_sec) validity.
+    * ROW_NUMBER and LEAD share the window spec → ONE Window operator over
+    * ONE (user_id) exchange. Floor-epoch-second BIGINTs everywhere — the
+    * parquet timestamps are ns-precision, Spark truncates to µs while
+    * DuckDB keeps ns, so sub-second components must never reach an output
+    * or an ORDER BY; (ts_sec, event_id) is a total order both engines
+    * agree on exactly.
+    */
+  private def scd2Versions(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    Tables.events(s, d)
+      .filter(col("user_id") <= 40)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("ts_sec"))
+      .select(
+        col("user_id"),
+        row_number().over(w).cast("long").as("version_seq"),
+        col("event_type").as("state"),
+        col("ts_sec").as("valid_from_sec"),
+        lead(col("ts_sec"), 1).over(w).as("valid_to_sec"),
+        (lead(col("ts_sec"), 1).over(w).isNull && col("event_type") =!= "error")
+          .as("is_current"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- T2/T3: latest-wins per key, ordered by (ts, event_id) -----
@@ -152,20 +178,40 @@ object CdcShapeQueries {
         |FROM ev
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
         |ORDER BY user_id, version_seq""".stripMargin) { (s, d) =>
-      val ev = Tables.events(s, d)
-        .filter(col("user_id") <= 40)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("ts").cast("long").as("ts_sec"))
-      val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
-      ev.select(
-          col("user_id"),
-          row_number().over(w).cast("long").as("version_seq"),
-          col("event_type").as("state"),
-          col("ts_sec").as("valid_from_sec"),
-          lead(col("ts_sec"), 1).over(w).as("valid_to_sec"),
-          (lead(col("ts_sec"), 1).over(w).isNull && col("event_type") =!= "error")
-            .as("is_current"))
-        .orderBy("user_id", "version_seq")
+      scd2Versions(s, d).orderBy("user_id", "version_seq")
+    },
+
+    // ----- Point-in-time snapshot from the SCD2 history -----
+    // The payoff of keeping validity intervals: reconstruct the table state
+    // as of any instant T with a pure interval-containment filter — no
+    // replay, no journal scan. A key whose version at T is the 'error'
+    // tombstone was deleted at T and drops out. Same single-exchange plan
+    // as q_cdc_scd2 plus a codegen'd filter.
+    QueryDef(
+      "q_cdc_scd2_asof",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec
+        |  FROM events WHERE user_id <= 40
+        |), v AS (
+        |  SELECT user_id, event_type AS state, ts_sec AS valid_from_sec,
+        |         LEAD(ts_sec) OVER w AS valid_to_sec
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        |)
+        |SELECT user_id, state, valid_from_sec AS since_sec
+        |FROM v
+        |WHERE valid_from_sec <= 1705276800
+        |  AND (valid_to_sec IS NULL OR valid_to_sec > 1705276800)
+        |  AND state <> 'error'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val asOf = 1705276800L // 2024-01-15 00:00:00 UTC
+      scd2Versions(s, d)
+        .filter(col("valid_from_sec") <= asOf &&
+          (col("valid_to_sec").isNull || col("valid_to_sec") > asOf) &&
+          col("state") =!= "error")
+        .select(col("user_id"), col("state"), col("valid_from_sec").as("since_sec"))
+        .orderBy("user_id")
     },
 
     // ----- JSON props extraction (event envelope parsing) -----

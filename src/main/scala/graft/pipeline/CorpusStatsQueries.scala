@@ -128,6 +128,42 @@ object CorpusStatsQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Skip-gram co-occurrence counts (context window ≤ 2) -----
+    // The counting pass behind co-occurrence matrices / word-vector
+    // training: ordered token pairs (a precedes b) within distance 1 or 2,
+    // aggregated corpus-wide. Pair generation is the same tokenize-once →
+    // posexplode → window-lead shape as the repetition metrics (never an
+    // array-HOF lambda — see repetitionUnits); the (a, b) aggregate is
+    // vocabulary²-bounded, far smaller than the pair stream, and top-k is
+    // TakeOrderedAndProject, never a global sort.
+    QueryDef(
+      "q_cooccurrence",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (
+         |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS a,
+         |         unnest(toks[2:len(toks)]) AS b FROM t
+         |  UNION ALL
+         |  SELECT doc_id, unnest(toks[1:len(toks)-2]) AS a,
+         |         unnest(toks[3:len(toks)]) AS b FROM t
+         |)
+         |SELECT a, b, COUNT(*) AS n_cooc, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM p GROUP BY a, b
+         |ORDER BY n_cooc DESC, a, b
+         |LIMIT 50""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("tok1", lead("tok", 1).over(w))
+        .withColumn("tok2", lead("tok", 2).over(w))
+        .select(col("doc_id"),
+          expr("stack(2, tok, tok1, tok, tok2) AS (a, b)"))
+        .filter(col("b").isNotNull)
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("n_cooc"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_cooc").desc, col("a"), col("b"))
+        .limit(50)
+    },
+
     // ----- TF-IDF keyword extraction (top-3 terms per document) -----
     // Document frequency is computed ONCE over the corpus and joined back
     // (vocabulary-sized side — AQE broadcasts it at any realistic vocab);

@@ -288,6 +288,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows == 1, s"expected 1 Window operator, got $windows\n$finalPlan")
   }
 
+  test("SCD2 as-of snapshot: interval filter rides the same single exchange") {
+    val finalPlan = executedPlanOf("q_cdc_scd2_asof").split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Exchange SinglePartition"), finalPlan)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n$finalPlan")
+  }
+
+  test("co-occurrence: lead+stack pair stream, top-k as TakeOrdered, no HOF lambdas") {
+    val p = planOf("q_cooccurrence")
+    assert(p.contains("TakeOrderedAndProject"), p) // never a global sort for top-50
+    assert(!p.contains("transform("), p)           // pairs via window lead, not interpreted lambdas
+    assert(p.contains("stack"), p)
+    assert(!p.contains("Join"), p)                 // one scan, no self-join over positions
+  }
+
   test("sessionize: lag window, running sum, and session aggregate share ONE user exchange") {
     // both windows partition by user_id with the same ordering, and the
     // final groupBy(user_id, session_idx) is subset-clustered on user_id —
