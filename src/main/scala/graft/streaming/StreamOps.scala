@@ -125,6 +125,55 @@ object StreamOps {
         col("r.ts") <= col("l.ts"))
   }
 
+  // ----- incremental SCD Type 2 maintenance -----
+
+  case class Scd2Event(user_id: Long, event_id: Long, event_type: String, ts_sec: Long)
+  case class Scd2Open(state: String, validFrom: Long, versionSeq: Long)
+  case class Scd2Closed(user_id: Long, version_seq: Long, state: String,
+      valid_from_sec: Long, valid_to_sec: Long)
+
+  /** Incrementally maintain an SCD Type 2 history from a change feed: each
+    * arriving event closes the key's open version (emitted downstream,
+    * append-only — each closed version exactly once) and becomes the new
+    * open version, held in per-key state. The open version lives in O(1)
+    * state per key — the serving table holds it; the history sink only ever
+    * receives immutable closed rows. This is the streaming counterpart of
+    * the batch window in [[graft.analytics.CdcShapeQueries]] q_cdc_scd2:
+    * in batch mode each group sees all its events at once and the output
+    * is exactly the closed-version set of the batch query.
+    *
+    * Feed contract (same as the CDC applier's): per-key arrival order
+    * respects (ts_sec, event_id) across micro-batches — a CDC feed is
+    * LSN-ordered per key. Within a batch events are sorted explicitly; an
+    * out-of-contract late event (older than the open version) is dropped
+    * rather than rewriting already-emitted history.
+    */
+  def scd2Closed(events: Dataset[Scd2Event]): Dataset[Scd2Closed] = {
+    implicit val stateEnc: Encoder[Scd2Open] = Encoders.product[Scd2Open]
+    implicit val outEnc: Encoder[Scd2Closed] = Encoders.product[Scd2Closed]
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (userId: Long, batch: Iterator[Scd2Event], st: GroupState[Scd2Open]) => {
+          val sorted = batch.toArray.sortBy(e => (e.ts_sec, e.event_id))
+          var open = st.getOption
+          val out = Seq.newBuilder[Scd2Closed]
+          sorted.foreach { e =>
+            open match {
+              case Some(o) if e.ts_sec >= o.validFrom =>
+                out += Scd2Closed(userId, o.versionSeq, o.state, o.validFrom, e.ts_sec)
+                open = Some(Scd2Open(e.event_type, e.ts_sec, o.versionSeq + 1))
+              case None =>
+                open = Some(Scd2Open(e.event_type, e.ts_sec, 1L))
+              case Some(_) => () // late beyond the open version: dropped
+            }
+          }
+          open.foreach(st.update)
+          out.result().iterator
+        })
+  }
+
   // ----- custom state: running per-user aggregates with anomaly flags -----
 
   case class UserEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)

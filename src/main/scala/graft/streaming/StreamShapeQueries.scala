@@ -88,6 +88,37 @@ object StreamShapeQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // incremental SCD2 maintenance: the flatMapGroupsWithState kernel run
+    // in batch mode (each group sees all events at once, empty initial
+    // state) emits exactly the closed-version set of the q_cdc_scd2 batch
+    // window — one oracle validates both faces. StreamOpsSpec drives the
+    // same function through MemoryStream micro-batches for the incremental
+    // exactly-once emission.
+    QueryDef(
+      "q_cdc_scd2_stream",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec
+        |  FROM events WHERE user_id <= 40
+        |), v AS (
+        |  SELECT user_id,
+        |         CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_seq,
+        |         event_type AS state, ts_sec AS valid_from_sec,
+        |         LEAD(ts_sec) OVER w AS valid_to_sec
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        |)
+        |SELECT user_id, version_seq, state, valid_from_sec, valid_to_sec
+        |FROM v WHERE valid_to_sec IS NOT NULL
+        |ORDER BY user_id, version_seq""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ds = Tables.events(s, d).filter(col("user_id") <= 40)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("ts_sec"))
+        .as[StreamOps.Scd2Event]
+      StreamOps.scd2Closed(ds).toDF().orderBy("user_id", "version_seq")
+    },
+
     // stream-stream interval join (attribution: purchase ← same user's
     // clicks in the trailing 24 h). The join condition is identical in both
     // modes, so the batch run IS the oracle-checkable face of the

@@ -106,6 +106,45 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming SCD2 emits each closed version exactly once across micro-batches") {
+    import graft.streaming.StreamOps.Scd2Event
+    implicit val sqlCtx = spark.sqlContext
+    // two keys, versions deliberately spanning batch boundaries; key 2's
+    // final state is a tombstone (stays open — never emitted to history)
+    val all = Seq(
+      Scd2Event(1L, 10L, "view", 1000L), Scd2Event(2L, 11L, "view", 1100L),
+      Scd2Event(1L, 12L, "click", 2000L), Scd2Event(1L, 13L, "view", 2000L),
+      Scd2Event(2L, 14L, "purchase", 3100L),
+      Scd2Event(1L, 15L, "purchase", 5000L), Scd2Event(2L, 16L, "error", 6000L))
+    val input = MemoryStream[Scd2Event]
+    val query = StreamOps.scd2Closed(input.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(all.take(2): _*)
+      query.processAllAvailable()
+      val afterB1 = spark.table("scd2_out").count()
+      assert(afterB1 == 0, "nothing closed after one event per key")
+      input.addData(all.slice(2, 5): _*)
+      query.processAllAvailable()
+      input.addData(all.drop(5): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("scd2_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sorted
+      // batch mode = the whole feed in one group call with empty state
+      val batch = StreamOps.scd2Closed(all.toDS()).collect()
+        .map(c => (c.user_id, c.version_seq, c.state, c.valid_from_sec, c.valid_to_sec))
+        .toSeq.sorted
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+      assert(streamed.size == streamed.distinct.size, "a closed version was emitted twice")
+      // key 1: view→click(zero-length at the 2000 tie, event_id order)→view→purchase
+      assert(streamed.filter(_._1 == 1L).map(_._3) == Seq("view", "click", "view"))
+      // the open versions (key 1 'purchase', key 2 'error') are state, not history
+      assert(!streamed.exists(v => v._1 == 2L && v._3 == "error"))
+    } finally query.stop()
+  }
+
   test("interval join pairs across micro-batches within the lookback") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[UserEvent]
