@@ -479,6 +479,50 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // ----- RANGE-frame window: 7-day trailing totals over a daily rollup -----
+    // The moving-aggregate class the ROWS-frame queries don't cover: the
+    // frame is value-based (RANGE BETWEEN 6 PRECEDING on an integer day
+    // number), so calendar gaps are handled by the frame itself, not by
+    // densifying rows. Two-stage shape that survives 100×: the daily
+    // rollup reduces the fact table to a bounded (priority × day) series
+    // FIRST (map-side combine), and the window runs over that small series
+    // partitioned by priority — never over raw orders, never a single
+    // global partition. Revenue flows as DECIMAL-exact integer cents, so
+    // the trailing sum is BIGINT addition — order-independent in both
+    // engines; the DOUBLE face is a single cast+divide at the boundary.
+    QueryDef(
+      "q_window_moving",
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio,
+        |         DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+        |         COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents
+        |  FROM orders
+        |  GROUP BY 1, 2
+        |)
+        |SELECT prio, day_num, n_orders,
+        |       CAST(SUM(n_orders) OVER w AS BIGINT) AS trail7_orders,
+        |       CAST(CAST(SUM(rev_cents) OVER w AS BIGINT) AS DOUBLE) / 100 AS trail7_revenue
+        |FROM daily
+        |WINDOW w AS (PARTITION BY prio ORDER BY day_num
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY prio, day_num""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(
+          col("o_orderpriority").as("prio"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day_num"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long").as("rev_cents"))
+      val w = Window.partitionBy("prio").orderBy("day_num").rangeBetween(-6, 0)
+      daily
+        .select(col("prio"), col("day_num"), col("n_orders"),
+          sum(col("n_orders")).over(w).as("trail7_orders"),
+          (sum(col("rev_cents")).over(w).cast("double") / 100).as("trail7_revenue"))
+        .orderBy("prio", "day_num")
+    },
+
     // ----- L1: LISTAGG(DISTINCT … ) WITHIN GROUP (ORDER BY …) -----
     // Shape of sql/4.analytics_queries.sql:37 (distinct ordered time slots).
     QueryDef(

@@ -288,6 +288,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows == 1, s"expected 1 Window operator, got $windows\n$finalPlan")
   }
 
+  test("moving window: daily rollup reduces BEFORE the RANGE frame; never single-partition") {
+    val finalPlan = executedPlanOf("q_window_moving").split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Exchange SinglePartition"), finalPlan)
+    // exchange 1: the (prio, day) rollup; exchange 2: re-key the bounded
+    // daily series by prio for the frame — the window must consume the
+    // aggregate, not raw orders
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx\n$finalPlan")
+    assert(finalPlan.contains("specifiedwindowframe(RangeFrame"), finalPlan)
+  }
+
   test("SCD2 as-of snapshot: interval filter rides the same single exchange") {
     val finalPlan = executedPlanOf("q_cdc_scd2_asof").split("== Initial Plan ==")(0)
     assert(!finalPlan.contains("Exchange SinglePartition"), finalPlan)
