@@ -214,6 +214,54 @@ object CdcShapeQueries {
         .orderBy("user_id")
     },
 
+    // ----- Changelog compaction: net change per key per day -----
+    // The journal-compaction primitive: collapse each key's events within a
+    // retention window (here: calendar day) to first state, last state, and
+    // change count — what a compacting CDC sink keeps when full history is
+    // too expensive. Both ROW_NUMBERs partition by (user_id, day_num) and
+    // the final aggregate groups by the same keys, so the whole query rides
+    // ONE exchange (two sorts share it). Day boundaries via BIGINT floor
+    // division of epoch seconds — identical in both engines.
+    QueryDef(
+      "q_cdc_compaction",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec,
+        |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day_num
+        |  FROM events WHERE user_id <= 40
+        |), r AS (
+        |  SELECT user_id, day_num, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, day_num
+        |                            ORDER BY ts_sec, event_id) AS rn_first,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, day_num
+        |                            ORDER BY ts_sec DESC, event_id DESC) AS rn_last
+        |  FROM ev
+        |)
+        |SELECT user_id, day_num,
+        |       MAX(CASE WHEN rn_first = 1 THEN event_type END) AS first_state,
+        |       MAX(CASE WHEN rn_last = 1 THEN event_type END) AS last_state,
+        |       COUNT(*) AS n_changes
+        |FROM r GROUP BY user_id, day_num
+        |ORDER BY user_id, day_num""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("user_id") <= 40)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("ts_sec"))
+        .withColumn("day_num", expr("CAST(ts_sec DIV 86400 AS BIGINT)"))
+      val wf = Window.partitionBy("user_id", "day_num").orderBy(col("ts_sec"), col("event_id"))
+      val wl = Window.partitionBy("user_id", "day_num")
+        .orderBy(col("ts_sec").desc, col("event_id").desc)
+      ev
+        .withColumn("rn_first", row_number().over(wf))
+        .withColumn("rn_last", row_number().over(wl))
+        .groupBy("user_id", "day_num")
+        .agg(
+          max(when(col("rn_first") === 1, col("event_type"))).as("first_state"),
+          max(when(col("rn_last") === 1, col("event_type"))).as("last_state"),
+          count(lit(1)).as("n_changes"))
+        .orderBy("user_id", "day_num")
+    },
+
     // ----- JSON props extraction (event envelope parsing) -----
     // The CDC event feed carries JSON payloads; extraction must stay a
     // codegen'd expression, not a UDF.

@@ -299,6 +299,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(finalPlan.contains("specifiedwindowframe(RangeFrame"), finalPlan)
   }
 
+  test("changelog compaction: both orderings and the aggregate share ONE exchange") {
+    val finalPlan = executedPlanOf("q_cdc_compaction").split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Exchange SinglePartition"), finalPlan)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n$finalPlan")
+  }
+
   test("SCD2 as-of snapshot: interval filter rides the same single exchange") {
     val finalPlan = executedPlanOf("q_cdc_scd2_asof").split("== Initial Plan ==")(0)
     assert(!finalPlan.contains("Exchange SinglePartition"), finalPlan)
