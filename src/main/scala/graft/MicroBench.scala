@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Interleaved A/B micro-benchmark for single plan stages — exists because
@@ -54,17 +54,30 @@ object MicroBench {
     }
     // identical downstream shape (groupBy over band columns) so only the
     // banding expression differs between the two sides
-    def native(): Long = e.select(col("vec_id"),
+    def nativeBuckets: DataFrame = e.select(col("vec_id"),
         posexplode(pipeline.SimilarityQueries.rpBandKeys(
           col("embedding"), bands = bands, rowsPerBand = bits))
           .as(Seq("band_id", "band_key")))
-      .groupBy("band_id", "band_key").count().count()
-    def composed(): Long = e.select(col("vec_id"),
+      .groupBy("band_id", "band_key").count()
+    def composedBuckets: DataFrame = e.select(col("vec_id"),
         explode(composedBandKeys(col("embedding"), bands, bits)).as("b"))
       .select(col("vec_id"), col("b.band_id"), col("b.band_key"))
-      .groupBy("band_id", "band_key").count().count()
+      .groupBy("band_id", "band_key").count()
+    def native(): Long = nativeBuckets.count()
+    def composed(): Long = composedBuckets.count()
 
-    require(native() == composed(), "the two formulations must agree") // + JIT warmup
+    // Equivalence guard: order-independent CONTENT checksum over every
+    // (band_id, band_key, count) bucket — not just the bucket count, which
+    // two divergent band-key implementations could tie on. Doubles as JIT
+    // warmup for both plan shapes.
+    def checksum(buckets: DataFrame): (Long, Long) = {
+      val r = buckets.agg(count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("band_id"), col("band_key"), col("count"))), lit(0L)).as("h"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(checksum(nativeBuckets) == checksum(composedBuckets),
+      "the two formulations must produce identical (band_id, band_key, count) buckets")
     val runs = (1 to reps).map(_ => (time(native()), time(composed())))
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     println(s"""{"metric":"micro_banding","bands":$bands,"bits":$bits,"reps":$reps,""" +

@@ -327,13 +327,12 @@ object HealthcareEntry {
          |GROUP BY visit_date""".stripMargin)((s, _) =>
       HealthcareData.incrementalVisitRollup(s)),
 
-    QueryDef(
-      "hc_dailyrev_probe_minmax_raw",
-      s"""SELECT visit_date,
-         |       MIN(total_charge) AS min_charge, MAX(total_charge) AS max_charge
-         |FROM $V WHERE $NotDel AND visit_date >= DATE '$D30'
-         |GROUP BY visit_date""".stripMargin)((s, _) =>
-      HealthcareQueries.dailyRevenueProbeMinMaxRaw(snap(s), Now)),
+    // NOTE: the deliberately-red raw-DECIMAL canary (hc_dailyrev_probe_minmax_raw)
+    // was retired after round 8 confirmed the diagnosis: the driver's pyarrow and
+    // DuckDB readers normalize DECIMAL differently, so driver-visible outputs must
+    // be BIGINT/DOUBLE/DATE/STRING/BOOLEAN only. The probe lives on as a ScalaTest
+    // spec (DecimalBoundarySpec) asserting the raw values ARE value-identical to
+    // the green cents probes — the red was reader normalization, not data.
 
     QueryDef(
       "hc_monthly_revenue",

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * rules, TF-IDF keyword extraction, vocabulary coverage / OOV rate,
   * deterministic sharded training order, and temperature-flattened source
   * mixing. (The reference declares the pipeline stages only — see
-  * sql/2.postgres_source_setup.sql for its data model; these are the
+  * sql/0.init_healthcare.sql for its data model; these are the
   * corpus-level operations a 100 TB text pipeline runs on top.)
   *
   * Scale notes (the 100× question, per operator):

@@ -124,18 +124,27 @@ object StreamShapeQueries {
     // modes, so the batch run IS the oracle-checkable face of the
     // streaming join; StreamOpsSpec drives the same function through two
     // MemoryStreams with watermarks for the cross-micro-batch semantics.
+    // Timestamps are floored to whole seconds BEFORE the join and emitted
+    // as epoch-second BIGINTs — the repo's boundary discipline for every
+    // timestamp-sensitive query (sub-second components near a 24 h join
+    // boundary must not decide membership differently in Spark vs DuckDB).
     QueryDef(
       "q_stream_interval_join",
-      """WITH p AS (SELECT user_id, event_id, ts FROM events
+      """WITH p AS (SELECT user_id, event_id,
+        |                  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec FROM events
         |           WHERE event_type = 'purchase' AND user_id <= 100),
-        |c AS (SELECT user_id, event_id, ts FROM events
+        |c AS (SELECT user_id, event_id,
+        |             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec FROM events
         |      WHERE event_type = 'click' AND user_id <= 100)
         |SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
-        |       p.ts AS purchase_ts, c.ts AS click_ts
+        |       p.ts_sec AS purchase_ts_sec, c.ts_sec AS click_ts_sec
         |FROM p JOIN c ON p.user_id = c.user_id
-        |            AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts <= p.ts
+        |            AND c.ts_sec >= p.ts_sec - 86400 AND c.ts_sec <= p.ts_sec
         |ORDER BY p.user_id, purchase_id, click_id""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d).filter(col("user_id") <= 100)
+        // whole-second timestamps: keeps TimestampType (watermark-compatible
+        // in the streaming face) while making the range predicate exact
+        .withColumn("ts", date_trunc("second", col("ts")))
       StreamOps.intervalJoin(
         ev.filter(col("event_type") === "purchase"),
         ev.filter(col("event_type") === "click"),
@@ -143,7 +152,8 @@ object StreamShapeQueries {
         .select(
           col("l.user_id").as("user_id"),
           col("l.event_id").as("purchase_id"), col("r.event_id").as("click_id"),
-          col("l.ts").as("purchase_ts"), col("r.ts").as("click_ts"))
+          col("l.ts").cast("long").as("purchase_ts_sec"),
+          col("r.ts").cast("long").as("click_ts_sec"))
         .orderBy("user_id", "purchase_id", "click_id")
     }
   )

@@ -210,6 +210,30 @@ case class RpBandKeys(child: Expression, planes: Array[Array[Float]],
 
   override protected def withNewChildInternal(newChild: Expression): RpBandKeys =
     copy(child = newChild)
+
+  // The case-class-generated equals/hashCode would compare the
+  // `Array[Array[Float]]` plane pool by REFERENCE, so two semantically
+  // identical expressions built from separately-allocated (but equal) pools
+  // would never canonicalize together (no subexpression dedup). In practice
+  // the pool is a per-(dim,seed) shared singleton, but that is an
+  // optimization, not an invariant — compare by CONTENT, with a cached
+  // content hash so the deep scan runs once per instance.
+  private lazy val planesHash: Int = {
+    var h = 17
+    var i = 0
+    while (i < planes.length) { h = h * 31 + java.util.Arrays.hashCode(planes(i)); i += 1 }
+    h
+  }
+  override def hashCode(): Int =
+    ((child.hashCode * 31 + bands) * 31 + bits) * 31 + planesHash
+  override def equals(other: Any): Boolean = other match {
+    case r: RpBandKeys => (r eq this) ||
+      (child == r.child && bands == r.bands && bits == r.bits &&
+        (planes.eq(r.planes) ||
+          java.util.Arrays.deepEquals(
+            planes.asInstanceOf[Array[AnyRef]], r.planes.asInstanceOf[Array[AnyRef]])))
+    case _ => false
+  }
 }
 
 object VectorExpressions {
