@@ -72,14 +72,25 @@ object Bench {
     // (alpha: minhash 16 s; reverse: embedding_lsh 52 s; isolated: every
     // dedup query 2.9–3.6 s). Set ISOLATE=0 to measure session drift itself.
     val isolate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "1") == "1"
+    // per-rep PROCESS-CPU seconds next to wall seconds: wall ≫ cpu with low
+    // spill = the box was busy (load regression); cpu tracking wall = the
+    // plan itself got more expensive. Separable from the JSON alone — the
+    // r8 verdict's ask after two rounds of load-vs-plan ambiguity.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val detailed = ordered.map { case (name, fn) =>
       if (isolate) { spark.catalog.clearCache(); System.gc() }
       // loadavg sampled at the START of each rep: a mover in the artifact is
       // then attributable to ambient load (or exonerated) without a rerun
       val runs = (1 to reps).flatMap { _ =>
         val l = loadavg1()
+        val cpu0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some(((System.nanoTime() - t0) / 1e9, l)) }
+        try {
+          fn(spark, sfDir).count()
+          Some(((System.nanoTime() - t0) / 1e9, l,
+            (osBean.getProcessCpuTime - cpu0) / 1e9))
+        }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}")
@@ -88,9 +99,10 @@ object Bench {
       }
       val times = runs.map(_._1)
       // -1 sentinel: a thrown query must not read as an impossibly fast run
-      (name, if (times.size == reps) median(times) else -1.0, times, runs.map(_._2))
+      (name, if (times.size == reps) median(times) else -1.0, times,
+        runs.map(_._2), runs.map(_._3))
     }.sortBy(_._1) // report alphabetically regardless of run order
-    val results = detailed.map { case (n, m, _, _) => (n, m) }
+    val results = detailed.map { case (n, m, _, _, _) => (n, m) }
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
@@ -98,16 +110,20 @@ object Bench {
     // every rep, not just the median: a single pathological rep (GC pause,
     // IO stall) is then visible in the artifact instead of silently shaping
     // the median's neighbors
-    val repsDetail = detailed.map { case (k, _, ts, _) =>
+    val repsDetail = detailed.map { case (k, _, ts, _, _) =>
       "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // per-rep 1-min loadavg at rep start; -1 preserved (unmeasured ≠ idle)
-    val repsLoad = detailed.map { case (k, _, _, ls) =>
+    val repsLoad = detailed.map { case (k, _, _, ls, _) =>
       "\"" + k + "\":[" + ls.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // per-rep process-CPU seconds, parallel to reps_detail
+    val repsCpu = detailed.map { case (k, _, _, _, cs) =>
+      "\"" + k + "\":[" + cs.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // -1 preserved: "unmeasured" must never read as "idle"
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"loadavg_launch":${fmt(loadAtLaunch)},"loadavg_timed":${fmt(load)},"settle_secs":${fmt(settledSecs)},"settle_target":${fmt(settleTarget)},"reps_detail":$repsDetail,"reps_load":$repsLoad}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"loadavg_launch":${fmt(loadAtLaunch)},"loadavg_timed":${fmt(load)},"settle_secs":${fmt(settledSecs)},"settle_target":${fmt(settleTarget)},"reps_detail":$repsDetail,"reps_load":$repsLoad,"reps_cpu":$repsCpu}"""
     println(json)
     // the driver's log tail truncates; persist the full per-query list so a
     // round's numbers are always recoverable from the repo itself
