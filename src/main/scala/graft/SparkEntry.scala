@@ -24,7 +24,8 @@ object SparkEntry {
       pipeline.ChunkingQueries.defs ++
       operators.RangeJoin.defs ++
       streaming.StreamShapeQueries.defs ++
-      analytics.HealthcareEntry.defs
+      analytics.HealthcareEntry.defs ++
+      semantic.RefModelQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Multi-way broadcast join + exact-decimal aggregation + top-k — the

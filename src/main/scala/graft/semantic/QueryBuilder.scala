@@ -128,12 +128,23 @@ final class QueryBuilder(model: SemanticModel, source: String => DataFrame) {
       physical)
   }
 
-  private def typedLit(value: String, dataType: String): Column = dataType match {
-    case "date" => lit(value).cast("date")
-    case "timestamp_ntz" | "timestamp" => lit(value).cast("timestamp")
-    case "boolean" => lit(value.toBoolean)
-    case "number" => lit(value).cast("decimal(18,2)")
-    case _ => lit(value)
+  /** Literal typing from a declared data_type. Declared types are normalized
+    * the way the reference writes them — upper case with a precision suffix
+    * (`TIMESTAMP_NTZ(9)`, `NUMBER(38,0)`, `TIME(9)`,
+    * healthcare_cdc_semantic_model.yaml) — so `DATE` and `date` and
+    * `NUMBER(38,0)` all type their literals, not just the bare lower-case
+    * spellings.
+    */
+  private def typedLit(value: String, dataType: String): Column = {
+    val base = dataType.toLowerCase(java.util.Locale.ROOT).takeWhile(_ != '(').trim
+    base match {
+      case "date" => lit(value).cast("date")
+      case "timestamp_ntz" | "timestamp" | "timestamp_ltz" | "timestamp_tz" =>
+        lit(value).cast("timestamp")
+      case "boolean" => lit(value.toBoolean)
+      case "number" | "decimal" | "numeric" => lit(value).cast("decimal(18,2)")
+      case _ => lit(value) // varchar/text/time-as-string compare as strings
+    }
   }
 
   /** Literal typing for refs with no declared data_type (PK/FK-only columns):
@@ -167,6 +178,12 @@ final class QueryBuilder(model: SemanticModel, source: String => DataFrame) {
       case "ne" => c =!= v
       case "gte" => c >= v
       case "lte" => c <= v
+      // TO_DATE(ts) = <date> — the day-equality predicate the reference's
+      // verified "modified today" query uses (yaml:612); value is a date
+      // literal regardless of the column's declared (timestamp) type
+      case "eq_date" => to_date(c) === lit(f.value.getOrElse(
+        throw new IllegalArgumentException(s"filter eq_date on ${f.ref} needs a value")))
+        .cast("date")
       case other => throw new IllegalArgumentException(s"unknown filter op $other")
     }
   }

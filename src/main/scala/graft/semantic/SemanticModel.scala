@@ -74,29 +74,42 @@ final case class SemanticModel(
     sb.result()
   }
 
-  /** Fail fast on address collisions: a synonym that duplicates another
-    * column's canonical name (or another synonym) in the same table would
-    * otherwise resolve by declaration order — which column wins would depend
-    * on dimensions/time_dimensions/facts ordering. Same rule for named
-    * filters. Returns `this` so load() can validate inline.
+  /** Fail fast on CANONICAL-name collisions: two columns (or two named
+    * filters) of one table sharing a canonical name would make resolution
+    * depend on dimensions/time_dimensions/facts declaration order.
+    *
+    * Synonym collisions are deliberately NOT load errors: real Cortex models
+    * declare overlapping synonyms as NL hints (the reference's appointments
+    * table gives `last_modified`/`last_updated` to BOTH `_SNOWFLAKE_UPDATED_AT`
+    * and `updated_at`, healthcare_cdc_semantic_model.yaml:128-134,184-191) —
+    * a model that loads in the reference must load here. Addressing a column
+    * BY an ambiguous synonym is refused at resolution time instead
+    * ([[QueryBuilder]] and [[SemTable.filter]] both reject rather than take
+    * declaration order). [[ambiguousAddresses]] surfaces them for tooling.
+    * Returns `this` so load() can validate inline.
     */
   def validated: SemanticModel = {
     for (t <- tables) {
-      val colAddrs = (t.dimensions ++ t.timeDimensions ++ t.facts)
-        .flatMap(c => (c.name +: c.synonyms).map(_ -> c.name))
-      val dupCols = colAddrs.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1)
-      require(dupCols.isEmpty,
-        s"semantic table ${t.name}: ambiguous column address(es) " +
-          dupCols.map { case (a, cs) => s"'$a' -> {${cs.map(_._2).distinct.mkString(", ")}}" }
-            .mkString("; "))
-      val filterAddrs = t.filters.flatMap(f => (f.name +: f.synonyms).map(_ -> f.name))
-      val dupFilters = filterAddrs.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1)
+      val dupNames = (t.dimensions ++ t.timeDimensions ++ t.facts)
+        .groupBy(_.name).filter(_._2.size > 1).keys
+      require(dupNames.isEmpty,
+        s"semantic table ${t.name}: duplicate column name(s) ${dupNames.mkString(", ")}")
+      val dupFilters = t.filters.groupBy(_.name).filter(_._2.size > 1).keys
       require(dupFilters.isEmpty,
-        s"semantic table ${t.name}: ambiguous filter address(es) " +
-          dupFilters.keys.mkString(", "))
+        s"semantic table ${t.name}: duplicate filter name(s) ${dupFilters.mkString(", ")}")
     }
     this
   }
+
+  /** Per-table addresses (synonyms or names) that resolve to more than one
+    * column — legal to declare, refused if used as a request address.
+    */
+  def ambiguousAddresses: Map[String, Set[String]] =
+    tables.map { t =>
+      val addrs = (t.dimensions ++ t.timeDimensions ++ t.facts)
+        .flatMap(c => (c.name +: c.synonyms).distinct.map(_ -> c.name))
+      t.name -> addrs.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1).keySet
+    }.filter(_._2.nonEmpty).toMap
 }
 
 final case class SemTable(
@@ -166,6 +179,13 @@ object SemanticModel {
     def str(m: scala.collection.Map[String, Object], k: String, dflt: String = ""): String =
       m.get(k).map(_.toString).getOrElse(dflt)
 
+    // the reference model writes Postgres-quoted identifiers into expr /
+    // base_table ('"appointment_id"', '"healthcare"') — the quotes are the
+    // SOURCE system's case-preservation syntax, not part of the name
+    def unquote(s: String): String =
+      if (s.length >= 2 && s.head == '"' && s.last == '"') s.substring(1, s.length - 1)
+      else s
+
     def strs(m: scala.collection.Map[String, Object], k: String): Seq[String] =
       Option(m.getOrElse(k, null))
         .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.toString))
@@ -173,7 +193,7 @@ object SemanticModel {
 
     def cols(m: scala.collection.Map[String, Object], k: String): Seq[SemColumn] =
       seqOfMaps(m.getOrElse(k, null)).map(c =>
-        SemColumn(str(c, "name"), str(c, "expr", str(c, "name")), str(c, "data_type"),
+        SemColumn(str(c, "name"), unquote(str(c, "expr", str(c, "name"))), str(c, "data_type"),
           strs(c, "synonyms"), str(c, "description"), strs(c, "sample_values")))
 
     def filters(m: scala.collection.Map[String, Object]): Seq[SemNamedFilter] =
@@ -187,7 +207,7 @@ object SemanticModel {
         .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq).getOrElse(Seq.empty)
       SemTable(
         name = str(t, "name"),
-        baseTable = base.map(b => str(b, "table")).getOrElse(str(t, "name")),
+        baseTable = base.map(b => unquote(str(b, "table"))).getOrElse(str(t, "name")),
         primaryKey = pk,
         dimensions = cols(t, "dimensions"),
         timeDimensions = cols(t, "time_dimensions"),
@@ -216,6 +236,12 @@ object SemanticModel {
   def loadResource(path: String): SemanticModel = {
     val in = getClass.getResourceAsStream(path)
     require(in != null, s"resource $path not found")
+    try load(in) finally in.close()
+  }
+
+  /** Load from a filesystem path (e.g. the reference's published model). */
+  def loadFile(path: String): SemanticModel = {
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
     try load(in) finally in.close()
   }
 }
