@@ -90,6 +90,46 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("incremental dedup: postings computed once per side; index pruned BEFORE the pair join") {
+    // the suite-ceiling query (r8 driver median 6.3 s) — its two scale
+    // claims pinned against the FINAL adaptive plan:
+    //  1. the shingle-postings pipeline (scan → posexplode → doc_id
+    //     exchange) is computed ONCE per source side and ReusedExchange'd
+    //     by every consumer (sizes, the df/has_inc aggregate, n_a/n_b) —
+    //     at a 100 TB index, re-shingling per consumer would multiply the
+    //     dominant cost 4×. The only permitted recompute is the pair
+    //     join's b-side, whose pushed src=1 filter changes the scan
+    //     predicate — that recompute is O(batch), never O(index).
+    //  2. the vocabulary prune (df > 1 AND has_inc = 1, i.e. "shingle
+    //     occurs in ≥1 INCOMING doc") filters BOTH pair-join sides BELOW
+    //     the join, through ONE shared exchange — the index's postings
+    //     join in proportion to the increment's vocabulary, not the
+    //     index's size.
+    val finalPlan = executedPlanOf("q_dedup_incremental").split("== Initial Plan ==")(0)
+    // (1) ≥4 reuses of the two per-side postings exchanges
+    val postingsReuses =
+      raw"ReusedExchange \[doc_id#\d+L?, pos#\d+, tok#\d+\]".r.findAllIn(finalPlan).size
+    assert(postingsReuses >= 4,
+      s"expected the per-side postings exchanges to be reused >=4 times, got $postingsReuses\n" +
+        finalPlan.take(4000))
+    // (2) the prune exists, feeds one broadcast exchange, and that exchange
+    // serves BOTH pair-join sides (original + ReusedExchange = plan_id twice)
+    assert(finalPlan.contains("has_inc"), finalPlan.take(4000))
+    val pruneIds =
+      raw"BroadcastExchange [^\n]*\[plan_id=(\d+)\]\n[^\n]*\n[^\n]*Filter \(isnotnull\(has_inc".r
+        .findAllMatchIn(finalPlan).map(_.group(1)).toList
+    assert(pruneIds.size == 1, s"expected ONE has_inc prune exchange, got $pruneIds")
+    val uses = raw"\[plan_id=${pruneIds.head}\]".r.findAllIn(finalPlan).size
+    assert(uses >= 2,
+      s"the has_inc prune exchange must serve both pair-join sides, got $uses uses\n" +
+        finalPlan.take(4000))
+    // the pair join itself keys on the shingle with the size-ratio prune
+    // riding the condition
+    assert(raw"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[sh#".r
+      .findFirstIn(finalPlan).isDefined, finalPlan.take(4000))
+    assert(finalPlan.contains("least("), finalPlan.take(4000))
+  }
+
   test("embedding LSH candidate generation shuffles bare ids, not vectors") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.types.ArrayType
