@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ×10 growth datapoints for the round-8 operator families (r8 verdict
+  * item 5): SCD2 versioning, sessionization, changelog compaction, the
+  * stream-stream interval join, skip-gram co-occurrence, and the
+  * incremental near-dup's two growth axes (batch vs index).
+  *
+  * The REGISTERED faces of the event families cap `user_id` (≤40/60/100)
+  * to keep their DuckDB oracles reviewable, so replicating the corpus
+  * would not scale their work — this probe times the UNCAPPED shapes
+  * (same plans as the registered queries minus the oracle cap; the window
+  * specs, day arithmetic, and join predicates are restated verbatim).
+  * Each family runs on the base corpus (×1) and the replicated corpus
+  * (×k) in ONE JVM, so the reported ratio is self-contained and does not
+  * depend on cross-run ambient-load comparisons (BASELINE.md documents a
+  * ±1.5× ambient band on this box for cross-run probe diffs).
+  *
+  * Replication axes match the linearity claims: replica-k events shift
+  * `user_id`/`event_id` by k·10⁷ (keys grow linearly; per-key event
+  * counts, session structure, and day spans are UNCHANGED — so per-key
+  * window state and per-user join fan-out stay constant while the key
+  * count scales, exactly the axis a 1000-executor cluster scales on).
+  * Documents replicate with the same disjoint-token scheme as
+  * [[ScaleProbe]] (replica-k tokens prefixed `r<k>` → shingle/vocab space
+  * grows linearly, no cross-replica pairs).
+  */
+object FamilyScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = new java.io.File(s"target/scale_probe_x$replicas").getAbsolutePath
+
+    // corpus build (documents as in ScaleProbe; events new here) — reused
+    // across probe invocations when already materialized
+    if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      (0 until replicas).map { k =>
+        if (k == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r$k$$1").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    if (!new java.io.File(s"$dir/events.parquet").exists()) {
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      (0 until replicas).map { k =>
+        if (k == 0) ev
+        else ev.select(
+          (col("event_id") + lit(k * 10000000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(k * 10000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    // warm IO + JIT before timing
+    spark.read.parquet(s"$dir/documents.parquet").count()
+    spark.read.parquet(s"$dir/events.parquet").count()
+    spark.read.parquet(s"$src/documents.parquet").count()
+    spark.read.parquet(s"$src/events.parquet").count()
+
+    def eventsSec(d: String): DataFrame =
+      analytics.Tables.events(spark, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("ts_sec"))
+
+    // ---- uncapped family shapes (registered plans minus the oracle cap) ----
+
+    def scd2(d: String): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      eventsSec(d).select(
+        col("user_id"),
+        row_number().over(w).cast("long").as("version_seq"),
+        col("event_type").as("state"),
+        col("ts_sec").as("valid_from_sec"),
+        lead(col("ts_sec"), 1).over(w).as("valid_to_sec"))
+    }
+
+    def sessionize(d: String): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      eventsSec(d)
+        .withColumn("is_new",
+          when(lag("ts_sec", 1).over(w).isNull ||
+            col("ts_sec") - lag("ts_sec", 1).over(w) > 1800, 1).otherwise(0))
+        .withColumn("session_idx", sum("is_new").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_sec").as("session_start_sec"), max("ts_sec").as("session_end_sec"))
+    }
+
+    def compaction(d: String): DataFrame = {
+      val ev = eventsSec(d).withColumn("day_num", expr("CAST(ts_sec DIV 86400 AS BIGINT)"))
+      val wf = Window.partitionBy("user_id", "day_num").orderBy(col("ts_sec"), col("event_id"))
+      val wl = Window.partitionBy("user_id", "day_num")
+        .orderBy(col("ts_sec").desc, col("event_id").desc)
+      ev.withColumn("rn_first", row_number().over(wf))
+        .withColumn("rn_last", row_number().over(wl))
+        .groupBy("user_id", "day_num")
+        .agg(
+          max(when(col("rn_first") === 1, col("event_type"))).as("first_state"),
+          max(when(col("rn_last") === 1, col("event_type"))).as("last_state"),
+          count(lit(1)).as("n_changes"))
+    }
+
+    def intervalJoin(d: String): DataFrame = {
+      val ev = analytics.Tables.events(spark, d)
+        .withColumn("ts", date_trunc("second", col("ts")))
+      streaming.StreamOps.intervalJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "24 hours")
+        .select(col("l.user_id"), col("l.event_id"), col("r.event_id"))
+    }
+
+    def cooccurrence(d: String): DataFrame =
+      SparkEntry.queries("q_cooccurrence")(spark, d)
+
+    def time(f: => DataFrame): (Double, Long) = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val n = f.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val families = Seq[(String, String => DataFrame)](
+      "scd2" -> scd2, "sessionize" -> sessionize, "compaction" -> compaction,
+      "interval_join" -> intervalJoin, "cooccurrence" -> cooccurrence)
+
+    val rows = families.map { case (name, f) =>
+      // untimed warm rep per family: each shape's first execution pays
+      // whole-stage-codegen COMPILATION (comparable to the whole ×1 wall
+      // time at this scale) — without it the ×1 number absorbs the compile
+      // and the ratio flatters the ×10 run absurdly (observed 0.27-0.67
+      // "ratios" on strictly 10× work)
+      f(src).count()
+      val (s1, n1) = time(f(src))
+      val (sk, nk) = time(f(dir))
+      (name, s1, n1, sk, nk)
+    }
+
+    // ---- incremental near-dup: the two growth axes, separately ----
+    // base split = the registered q_dedup_incremental (even index / odd
+    // batch); the ×k variants scale exactly ONE side. Replica token spaces
+    // are disjoint, so a 10× index adds postings/vocabulary but no new
+    // eligible pairs for the base batch — the "index-sublinear" claim is
+    // that its cost grows with the index SCAN (shingling), not the pair
+    // join; the 10× batch axis carries the full pair workload and should
+    // stay ~linear.
+    val docsBase = analytics.Tables.documents(spark, src)
+    val docsAll = analytics.Tables.documents(spark, dir)
+    val baseIdx = docsBase.filter(col("doc_id") % 2 === 0)
+    val baseBatch = docsBase.filter(col("doc_id") % 2 === 1)
+    // same warm-rep discipline: the base split runs once untimed first
+    pipeline.DedupQueries.nearDupPairsIncremental(baseIdx, baseBatch, 0.8).count()
+    val incRows = Seq[(String, () => DataFrame)](
+      "dedup_incremental" ->
+        (() => pipeline.DedupQueries.nearDupPairsIncremental(baseIdx, baseBatch, 0.8)),
+      "dedup_incremental_batch10x" ->
+        (() => pipeline.DedupQueries.nearDupPairsIncremental(
+          baseIdx, docsAll.filter(col("doc_id") % 2 === 1), 0.8)),
+      "dedup_incremental_index10x" ->
+        (() => pipeline.DedupQueries.nearDupPairsIncremental(
+          docsAll.filter(col("doc_id") % 2 === 0), baseBatch, 0.8))
+    ).map { case (name, f) =>
+      val (s, n) = time(f())
+      (name, s, n)
+    }
+
+    def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val famJson = rows.map { case (name, s1, n1, sk, nk) =>
+      s""""$name":{"x1_sec":${fmt(s1)},"x1_rows":$n1,"x${replicas}_sec":${fmt(sk)},""" +
+        s""""x${replicas}_rows":$nk,"ratio":${fmt(sk / math.max(s1, 1e-9))}}"""
+    }.mkString(",")
+    val incJson = incRows.map { case (name, s, n) =>
+      s""""$name":{"sec":${fmt(s)},"rows":$n}"""
+    }.mkString(",")
+    val json = s"""{"metric":"family_scale_probe","replicas":$replicas,"src":"$src",""" +
+      s""""families":{$famJson},"incremental":{$incJson}}"""
+    println(json)
+    val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_SCALE_OUT", s"bench/scale_probe_families_x$replicas.json"))
+    Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
+    spark.stop()
+  }
+}
