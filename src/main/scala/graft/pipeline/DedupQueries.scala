@@ -67,6 +67,27 @@ object DedupQueries {
   private def shinglePostings(s: SparkSession, d: String): DataFrame =
     shinglePostings(Tables.documents(s, d))
 
+  /** NON-distinct n-gram instances per doc (one row per gram occurrence,
+    * multiplicity preserved — the unit the span-duplication profile counts),
+    * built with the same posexplode + window-lead shape as
+    * [[shinglePostings]]. `carry` propagates extra per-doc columns (e.g.
+    * `source`) through the explode.
+    */
+  def gramInstances(docs: DataFrame, n: Int, carry: Seq[String] = Seq.empty): DataFrame = {
+    val carryCols = carry.map(col)
+    val toks = docs
+      .select(col("doc_id") +: carryCols :+
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")): _*)
+      .filter(length(col("tok")) > 0)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until n).map(i => lead("tok", i).over(w).as(s"t$i"))
+    val gram = concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*)
+    toks
+      .select(col("doc_id") +: carryCols ++: col("pos") +: col("tok") +: leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id") +: carryCols :+ gram.as("gram"): _*)
+  }
+
   /** Exact near-dup pairs (Jaccard ≥ minJ) for any (doc_id, text) frame —
     * the inverted-index plan shared by q_dedup_ngram_jaccard and the corpus
     * cleaning pipeline.
@@ -311,6 +332,98 @@ object DedupQueries {
         .select("doc_id", "contaminated_shingles", "n_shingles", "contamination_rate")
         .orderBy(col("contamination_rate").desc, col("doc_id"))
         .limit(100)
+    },
+
+    // ----- Duplicated-SPAN profile (substring-level dedup) -----
+    // Whole-doc Jaccard misses partial duplication: a doc that embeds a
+    // copied paragraph in otherwise-unique text scores low overall. The
+    // span profile (Lee et al. 2022's "Deduplicating Training Data Makes
+    // Language Models Better" measure, shrunk from 50-token to 5-token
+    // units for this corpus) counts, per document, the fraction of 5-gram
+    // INSTANCES (with multiplicity — a repeated span inside one doc still
+    // counts each occurrence) whose gram occurs in ≥2 distinct documents.
+    //
+    // Scale: strictly the inverted-index pattern WITHOUT a pair self-join —
+    // gram instances aggregate to a distinct-doc frequency, and the
+    // duplicated-vocabulary side joins back gram-keyed (vocabulary-sized,
+    // far below the instance stream). Everything is one scan (the gram
+    // stream's exchange is reused by both the df aggregate and the
+    // join-back), map-side partial aggregation throughout, output bounded
+    // by the document count.
+    QueryDef(
+      "q_dedup_span",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |             unnest(CASE WHEN len(toks) >= 5
+         |                    THEN list_transform(generate_series(1, len(toks)-4),
+         |                         i -> array_to_string(toks[i:i+4], ' '))
+         |                    ELSE [] END) AS gram
+         |      FROM t),
+         |dup AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS ddf
+         |                          FROM g GROUP BY 1) WHERE ddf >= 2),
+         |per AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+         |               COUNT(dup.gram) AS n_dup_grams
+         |        FROM g LEFT JOIN dup ON g.gram = dup.gram
+         |        GROUP BY g.doc_id)
+         |SELECT doc_id, n_grams, n_dup_grams,
+         |       CAST(n_dup_grams AS DOUBLE) / n_grams AS dup_frac
+         |FROM per
+         |WHERE CAST(n_dup_grams AS DOUBLE) / n_grams >= 0.2
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val grams = gramInstances(Tables.documents(s, d), n = 5)
+      val dup = grams.select("doc_id", "gram").distinct()
+        .groupBy("gram").agg(count(lit(1)).as("ddf"))
+        .filter(col("ddf") >= 2)
+        .select(col("gram"), lit(1).as("is_dup"))
+      grams.join(dup, Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("is_dup")).as("n_dup_grams"))
+        .withColumn("dup_frac", col("n_dup_grams").cast("double") / col("n_grams"))
+        .filter(col("dup_frac") >= 0.2)
+        .select("doc_id", "n_grams", "n_dup_grams", "dup_frac")
+        .orderBy("doc_id")
+    },
+
+    // ----- Per-source boilerplate grams (C4-style template detection) -----
+    // Web-scale corpora carry per-site templates (nav bars, footers, legal
+    // boilerplate) that repeat across most documents of a SOURCE while
+    // being rare corpus-wide — the C4 cleaning step drops them. This query
+    // surfaces each source's template vocabulary: 5-grams present in ≥30%
+    // (and ≥2) of the source's documents, ranked by share.
+    //
+    // Scale: distinct (source, gram, doc) postings → one (source, gram)
+    // aggregate; the per-source doc counts are a tiny broadcast side. No
+    // self-join; the share threshold bounds output by template size, not
+    // corpus size.
+    QueryDef(
+      "q_boilerplate_by_source",
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |g AS (SELECT DISTINCT doc_id, source,
+         |             unnest(CASE WHEN len(toks) >= 5
+         |                    THEN list_transform(generate_series(1, len(toks)-4),
+         |                         i -> array_to_string(toks[i:i+4], ' '))
+         |                    ELSE [] END) AS gram
+         |      FROM t),
+         |per_src AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM t GROUP BY 1),
+         |df AS (SELECT source, gram, COUNT(*) AS n_docs_with
+         |       FROM g GROUP BY 1, 2)
+         |SELECT df.source, gram, n_docs_with, n_docs,
+         |       CAST(n_docs_with AS DOUBLE) / n_docs AS share
+         |FROM df JOIN per_src USING (source)
+         |WHERE n_docs_with >= 2
+         |  AND CAST(n_docs_with AS DOUBLE) / n_docs >= 0.3
+         |ORDER BY source, share DESC, gram""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val grams = gramInstances(docs.select(col("doc_id"), col("source"), col("text")),
+          n = 5, carry = Seq("source"))
+        .select("doc_id", "source", "gram").distinct()
+      val perSrc = docs.groupBy("source").agg(countDistinct(col("doc_id")).as("n_docs"))
+      grams.groupBy("source", "gram").agg(count(lit(1)).as("n_docs_with"))
+        .join(broadcast(perSrc), "source")
+        .withColumn("share", col("n_docs_with").cast("double") / col("n_docs"))
+        .filter(col("n_docs_with") >= 2 && col("share") >= 0.3)
+        .select("source", "gram", "n_docs_with", "n_docs", "share")
+        .orderBy(col("source"), col("share").desc, col("gram"))
     },
 
     // ----- SimHash fingerprints + Hamming-blocked near-dup pairs -----
