@@ -317,6 +317,37 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // ----- Scale tool: salted equi-join (SkewUtils.saltedJoin) -----
+    // The join-side counterpart of q_skew_salted_agg: events' 5 hot
+    // event_type keys joined to a tiny derived dim. saltedJoin replicates
+    // the dim once per salt and spreads each hot key's rows across 8
+    // deterministic salts, so no single task absorbs a whole key at scale.
+    // The oracle is the PLAIN join + group-by: salting must be a pure
+    // execution-strategy change — bit-identical results (weighted sum rides
+    // DECIMAL so partial order cannot perturb it).
+    QueryDef(
+      "q_skew_salted_join",
+      """WITH dim AS (SELECT DISTINCT event_type AS dim_type,
+        |                    LENGTH(event_type) AS weight FROM events)
+        |SELECT e.event_type, CAST(e.ts AS DATE) AS day, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(18,6)) * weight) AS DOUBLE)
+        |         AS weighted_value
+        |FROM events e JOIN dim d ON e.event_type = d.dim_type
+        |GROUP BY 1, 2
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select("event_type", "ts", "value", "event_id")
+      val dim = ev.select(col("event_type").as("dim_type")).distinct()
+        .withColumn("weight", length(col("dim_type")))
+      graft.functions.SkewUtils.saltedJoin(ev, dim, "event_type", "dim_type",
+          salts = 8, saltCols = Seq("event_id"))
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)") * col("weight"))
+            .cast("double").as("weighted_value"))
+        .orderBy("event_type", "day")
+    },
+
     // ----- A2: multi COUNT(DISTINCT) in one aggregate -----
     // Shape of sql/4.analytics_queries.sql:439-450 (CDC executive summary).
     QueryDef(

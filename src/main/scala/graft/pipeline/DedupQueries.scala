@@ -426,6 +426,57 @@ object DedupQueries {
         .orderBy(col("source"), col("share").desc, col("gram"))
     },
 
+    // ----- Fuzzy entity matching (deletion-neighborhood blocking) -----
+    // Entity-resolution for near-identical names: pairs of customers whose
+    // names are within Levenshtein distance 1. Blocking is the FastSS
+    // deletion neighborhood (Bocek et al. 2007): every string emits its
+    // length+1 single-deletion variants (plus itself); any two strings at
+    // edit distance <=1 MUST share a variant, so an inverted-index self-join
+    // on the variant key has FULL recall at the threshold — no all-pairs
+    // comparison anywhere, no LSH-style recall loss. levenshtein() is then
+    // only a verification filter over the candidate pairs.
+    //
+    // Scale: index size is O(rows * len) postings; join fan-out is bounded
+    // by variant-bucket sizes (names sharing a deletion), not the corpus.
+    // The same shape extends to distance k with k-deletion variants.
+    QueryDef(
+      "q_fuzzy_match_name",
+      """WITH v AS (
+        |  SELECT DISTINCT c_custkey, c_name,
+        |         unnest(list_append(
+        |           list_transform(generate_series(1, length(c_name)),
+        |             i -> substr(c_name, 1, i-1) || substr(c_name, i+1)),
+        |           c_name)) AS variant
+        |  FROM customer),
+        |pairs AS (
+        |  SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |                  a.c_name AS name_a, b.c_name AS name_b
+        |  FROM v a JOIN v b ON a.variant = b.variant
+        |                   AND a.c_custkey < b.c_custkey)
+        |SELECT id_a, id_b, name_a, name_b
+        |FROM pairs
+        |WHERE levenshtein(name_a, name_b) <= 1
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val variants = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          explode(expr(
+            """concat(
+              |  transform(sequence(1, length(c_name)),
+              |    i -> concat(substr(c_name, 1, i-1), substr(c_name, i+1))),
+              |  array(c_name))""".stripMargin)).as("variant"))
+        .distinct()
+      val a = variants.select(col("c_custkey").as("id_a"),
+        col("c_name").as("name_a"), col("variant"))
+      val b = variants.select(col("c_custkey").as("id_b"),
+        col("c_name").as("name_b"), col("variant"))
+      a.join(b, Seq("variant"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+        .orderBy("id_a", "id_b")
+    },
+
     // ----- SimHash fingerprints + Hamming-blocked near-dup pairs -----
     // Fingerprints are deterministic xxhash64 votes (not DuckDB-expressible);
     // the oracle re-verifies the Hamming stage — XOR + popcount + threshold —

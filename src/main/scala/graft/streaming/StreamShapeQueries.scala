@@ -155,6 +155,44 @@ object StreamShapeQueries {
           col("l.ts").cast("long").as("purchase_ts_sec"),
           col("r.ts").cast("long").as("click_ts_sec"))
         .orderBy("user_id", "purchase_id", "click_id")
+    },
+
+    // exactly-once-ify an at-least-once feed: events re-delivered later
+    // (every 7th event_id, +120 s) are dropped by content digest, keeping
+    // the earliest (ts, event_id) copy — StreamOps.dedupByDigest's batch
+    // face; the streaming face (dropDuplicatesWithinWatermark, first
+    // arrival == earliest under ordered replay) is covered by
+    // StreamOpsSpec. Timestamps floored to epoch seconds at the boundary.
+    QueryDef(
+      "q_stream_dedup",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec
+        |  FROM events WHERE user_id <= 60),
+        |feed AS (
+        |  SELECT * FROM ev
+        |  UNION ALL
+        |  SELECT user_id, event_id, event_type, ts_sec + 120
+        |  FROM ev WHERE event_id % 7 = 0),
+        |kept AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY md5(CAST(event_id AS VARCHAR))
+        |    ORDER BY ts_sec, event_id) AS rn
+        |  FROM feed)
+        |SELECT user_id, event_id, event_type, ts_sec
+        |FROM kept WHERE rn = 1
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("user_id") <= 60)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("ts_sec"))
+      val redelivered = ev.filter(col("event_id") % 7 === 0)
+        .withColumn("ts_sec", col("ts_sec") + 120)
+      StreamOps.dedupByDigest(
+        ev.unionAll(redelivered)
+          .withColumn("ekey", col("event_id").cast("string")),
+        tsCol = "ts_sec", contentCol = "ekey", idCol = "event_id")
+        .select("user_id", "event_id", "event_type", "ts_sec")
+        .orderBy("event_id")
     }
   )
 }
