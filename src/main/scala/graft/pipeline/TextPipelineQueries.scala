@@ -270,6 +270,67 @@ object TextPipelineQueries {
          |GROUP BY 1, 2
          |ORDER BY lang, predicted_lang""".stripMargin) { (s, d) =>
       langIdBreakdown(Tables.documents(s, d))
+    },
+
+    // ----- PII scan + redaction over free text -----
+    // The corpus-cleaning step every web-scale pipeline runs before
+    // training (C4/Dolma-style): count and redact emails and phone
+    // numbers inside unstructured text. The synthetic corpus carries no
+    // PII, so both engines INJECT identical deterministic PII into every
+    // third document (derived from doc_id) before scanning — the operator
+    // under test is the regex scan/redact machinery, and docs without
+    // injected PII prove the no-op path leaves text untouched.
+    //
+    // Scale: map-only expression evaluation (regexp_extract_all +
+    // regexp_replace, codegen'd), zero shuffles before the final sort.
+    // Regexes are lookaround-free so Java and RE2 semantics agree.
+    QueryDef(
+      "q_pii_scrub",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |                   || '@example.com or +1-555-'
+        |                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |              ELSE text END AS text
+        |  FROM documents),
+        |scanned AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(text, '[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z]+')) AS n_emails,
+        |         len(regexp_extract_all(text, '\+1-[0-9]{3}-[0-9]{4}')) AS n_phones,
+        |         regexp_replace(
+        |           regexp_replace(text, '[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g'),
+        |           '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked
+        |  FROM aug)
+        |SELECT doc_id, n_emails, n_phones,
+        |       substr(masked, GREATEST(length(masked) - 59, 1)) AS masked_tail,
+        |       length(masked) AS masked_len
+        |FROM scanned
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val emailRe = "[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z]+"
+      val phoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+      val masked =
+        regexp_replace(
+          regexp_replace(col("text"), lit(emailRe), lit("<EMAIL>")),
+          lit(phoneRe), lit("<PHONE>"))
+      Tables.documents(s, d)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+              lit("@example.com or +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(col("text")))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+          masked.as("masked"))
+        .select(
+          col("doc_id"), col("n_emails"), col("n_phones"),
+          substr(col("masked"), greatest(length(col("masked")) - 59, lit(1)), lit(60))
+            .as("masked_tail"),
+          length(col("masked")).cast("long").as("masked_len"))
+        .orderBy("doc_id")
     }
   )
 
