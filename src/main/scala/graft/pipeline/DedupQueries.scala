@@ -386,15 +386,18 @@ object DedupQueries {
 
     // ----- Per-source boilerplate grams (C4-style template detection) -----
     // Web-scale corpora carry per-site templates (nav bars, footers, legal
-    // boilerplate) that repeat across most documents of a SOURCE while
+    // boilerplate) that repeat across many documents of a SOURCE while
     // being rare corpus-wide — the C4 cleaning step drops them. This query
-    // surfaces each source's template vocabulary: 5-grams present in ≥30%
-    // (and ≥2) of the source's documents, ranked by share.
+    // surfaces each source's template vocabulary: the top-10 5-grams by
+    // within-source document share (≥2 docs), rank-based rather than an
+    // absolute share floor so the output is non-degenerate at every corpus
+    // scale (share distributions dilute as docs-per-source grows).
     //
     // Scale: distinct (source, gram, doc) postings → one (source, gram)
-    // aggregate; the per-source doc counts are a tiny broadcast side. No
-    // self-join; the share threshold bounds output by template size, not
-    // corpus size.
+    // aggregate; the per-source doc counts are a tiny broadcast side; the
+    // top-10 rank is a window partitioned BY SOURCE (shard-local, never a
+    // single-partition sort). No self-join anywhere; output is bounded by
+    // 10 × n_sources regardless of corpus size.
     QueryDef(
       "q_boilerplate_by_source",
       s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
@@ -406,24 +409,31 @@ object DedupQueries {
          |      FROM t),
          |per_src AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM t GROUP BY 1),
          |df AS (SELECT source, gram, COUNT(*) AS n_docs_with
-         |       FROM g GROUP BY 1, 2)
-         |SELECT df.source, gram, n_docs_with, n_docs,
-         |       CAST(n_docs_with AS DOUBLE) / n_docs AS share
-         |FROM df JOIN per_src USING (source)
-         |WHERE n_docs_with >= 2
-         |  AND CAST(n_docs_with AS DOUBLE) / n_docs >= 0.3
-         |ORDER BY source, share DESC, gram""".stripMargin) { (s, d) =>
+         |       FROM g GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |ranked AS (
+         |  SELECT df.source, gram, n_docs_with, n_docs,
+         |         CAST(n_docs_with AS DOUBLE) / n_docs AS share,
+         |         ROW_NUMBER() OVER (PARTITION BY df.source
+         |           ORDER BY CAST(n_docs_with AS DOUBLE) / n_docs DESC, gram) AS rk
+         |  FROM df JOIN per_src USING (source))
+         |SELECT source, gram, n_docs_with, n_docs, share, rk
+         |FROM ranked WHERE rk <= 10
+         |ORDER BY source, rk""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val grams = gramInstances(docs.select(col("doc_id"), col("source"), col("text")),
           n = 5, carry = Seq("source"))
         .select("doc_id", "source", "gram").distinct()
       val perSrc = docs.groupBy("source").agg(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("share").desc, col("gram"))
       grams.groupBy("source", "gram").agg(count(lit(1)).as("n_docs_with"))
+        .filter(col("n_docs_with") >= 2)
         .join(broadcast(perSrc), "source")
         .withColumn("share", col("n_docs_with").cast("double") / col("n_docs"))
-        .filter(col("n_docs_with") >= 2 && col("share") >= 0.3)
-        .select("source", "gram", "n_docs_with", "n_docs", "share")
-        .orderBy(col("source"), col("share").desc, col("gram"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select("source", "gram", "n_docs_with", "n_docs", "share", "rk")
+        .orderBy("source", "rk")
     },
 
     // ----- Fuzzy entity matching (deletion-neighborhood blocking) -----

@@ -379,6 +379,60 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("span profile: ONE documents scan; the gram postings exchange feeds both branches") {
+    // the duplicated-span profile references the gram stream twice (the
+    // distinct-doc frequency aggregate and the instance join-back) — at
+    // 100 TB, re-tokenizing per consumer would double the dominant cost.
+    // The doc_id postings exchange must be ReusedExchange'd, leaving ONE
+    // parquet scan in the final plan.
+    val finalPlan = executedPlanOf("q_dedup_span").split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    assert("FileScan parquet".r.findAllIn(finalPlan).size == 1,
+      "documents must be scanned once: " + finalPlan.take(4000))
+    assert(finalPlan.contains("ReusedExchange"), finalPlan.take(4000))
+  }
+
+  test("fuzzy match: variant-keyed equi-join over ONE customer scan, never all-pairs") {
+    // FastSS blocking's whole value is replacing the O(n²) name comparison
+    // with an inverted-index join — the plan must show a variant-keyed
+    // equi-join (levenshtein only rides the condition as a post-filter)
+    // and the deletion-variant pipeline computed once (ReusedExchange on
+    // the self-join's b side).
+    val finalPlan = executedPlanOf("q_fuzzy_match_name").split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    assert(!finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan)
+    assert(raw"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[variant#".r
+      .findFirstIn(finalPlan).isDefined, finalPlan.take(4000))
+    assert("FileScan parquet".r.findAllIn(finalPlan).size == 1,
+      "customer must be scanned once: " + finalPlan.take(4000))
+    assert(finalPlan.contains("levenshtein"), finalPlan.take(4000))
+  }
+
+  test("boilerplate: per-source rank is shard-local; doc-count side broadcasts") {
+    val finalPlan = executedPlanOf("q_boilerplate_by_source").split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Exchange SinglePartition"), finalPlan)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    assert(finalPlan.contains("BroadcastHashJoin") || finalPlan.contains("BroadcastExchange"),
+      finalPlan.take(4000))
+  }
+
+  test("salted join: salt rides the join key; dim replicates on the build side") {
+    val finalPlan = executedPlanOf("q_skew_salted_join").split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("_salt"), finalPlan.take(4000))
+    // the join must key on (type, salt) — the fan-out that spreads a hot key
+    assert(raw"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[event_type#\d+, _salt#".r
+      .findFirstIn(finalPlan).isDefined, finalPlan.take(4000))
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+  }
+
+  test("PII scrub: map-only — no joins, no exchanges before the final sort") {
+    val finalPlan = executedPlanOf("q_pii_scrub").split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Join"), finalPlan)
+    assert("FileScan parquet".r.findAllIn(finalPlan).size == 1, finalPlan)
+    // only the output orderBy's range exchange is allowed
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).isEmpty, finalPlan)
+  }
+
   test("LSH skew guard: pair-generating consumers share ONE banded exchange") {
     // tagHot is a window over the bucket key precisely so the PAIR-GENERATING
     // consumers — both self-join sides and the hot-star branch — hang off a
