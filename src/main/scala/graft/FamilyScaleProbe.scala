@@ -176,6 +176,8 @@ object FamilyScaleProbe {
       "scd2" -> scd2, "sessionize" -> sessionize, "compaction" -> compaction,
       "interval_join" -> intervalJoin, "cooccurrence" -> cooccurrence,
       "dedup_span" -> registered("q_dedup_span"),
+      "dedup_prefix" -> registered("q_dedup_prefix_filter"),
+      "dedup_fulljoin" -> registered("q_dedup_ngram_jaccard"),
       "boilerplate" -> registered("q_boilerplate_by_source"),
       "fuzzy_match" -> registered("q_fuzzy_match_name"),
       "pii_scrub" -> registered("q_pii_scrub"),

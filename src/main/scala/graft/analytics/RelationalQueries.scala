@@ -771,6 +771,39 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
+    // ----- UNPIVOT: wide measure columns → long (measure, value) form -----
+    // The inverse of q_pivot_status, via Dataset.unpivot (Spark's melt):
+    // per-returnflag sums of the four lineitem measures rotate into 4 rows
+    // per flag. Sums ride DECIMAL before the DOUBLE boundary (the
+    // no-raw-double-sums rule); unpivot itself is a zero-shuffle Expand —
+    // the only exchanges are the aggregate's.
+    QueryDef(
+      "q_unpivot_measures",
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS quantity,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS extendedprice,
+        |         CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS discount,
+        |         CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS tax
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'quantity' AS measure, quantity AS value FROM s
+        |  UNION ALL SELECT l_returnflag, 'extendedprice', extendedprice FROM s
+        |  UNION ALL SELECT l_returnflag, 'discount', discount FROM s
+        |  UNION ALL SELECT l_returnflag, 'tax', tax FROM s)
+        |ORDER BY l_returnflag, measure""".stripMargin) { (s, d) =>
+      def m(c: String) = sum(col(c).cast("decimal(18,6)")).cast("double")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(m("l_quantity").as("quantity"), m("l_extendedprice").as("extendedprice"),
+          m("l_discount").as("discount"), m("l_tax").as("tax"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    },
+
     // ----- ROLLUP / CUBE: hierarchical + full subtotal grids -----
     QueryDef(
       "q_rollup_revenue",

@@ -88,6 +88,61 @@ object DedupQueries {
       .select(col("doc_id") +: carryCols :+ gram.as("gram"): _*)
   }
 
+  /** Exact near-dup pairs (Jaccard ≥ minJ) via PPJoin-style PREFIX
+    * filtering (Xiao et al., WWW 2008; Chaudhuri et al., ICDE 2006): rank
+    * each document's shingles under one global canonical order (document
+    * frequency ascending, shingle as tie-break — rarest first) and index
+    * only the first |d| − ⌈minJ·|d|⌉ + 1 of them. Any two sets with
+    * J ≥ minJ MUST share a prefix shingle under a common total order, so
+    * joining prefixes (instead of full postings) loses nothing — while the
+    * pair-generating join shrinks from all postings to ~(1−minJ)·|d|+1 per
+    * doc (at minJ=0.8, ~5× fewer postings and far fewer candidate pairs,
+    * since prefixes hold the RAREST shingles). True intersections are then
+    * computed only for surviving candidates by joining back to the full
+    * postings — the standard filter-verify shape.
+    *
+    * Same output contract as [[nearDupPairs]] (exact J ≥ minJ pairs), so
+    * both faces share one oracle; DedupSpec asserts bit-equality.
+    *
+    * Scale: the quadratic-risk join consumes prefix postings only; the
+    * verify joins are candidate-bounded (Σ_cand |a|), the PPJoin trade.
+    * The df ranking reuses the postings exchange; everything is hash
+    * aggregates + keyed joins, no window over the full posting stream —
+    * the rank window partitions by doc_id (shard-local).
+    */
+  def nearDupPairsPrefix(docs: DataFrame, minJ: Double): DataFrame = {
+    val sh = shinglePostings(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "sh")))
+      .join(sizes, "doc_id")
+    // prefix = rarest (n - ceil(minJ*n) + 1) shingles; singleton-df entries
+    // occupy their prefix slots (the theorem needs ranks over ALL shingles)
+    // but can never match, so they drop AFTER the rank is assigned
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - ceil(lit(minJ) * col("n")) + 1)
+      .filter(col("df") > 1)
+      .select("doc_id", "sh", "n")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) >= lit(minJ) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJ)
+      .select("doc_a", "doc_b", "n_a", "n_b", "n_inter", "jaccard")
+  }
+
   /** Exact near-dup pairs (Jaccard ≥ minJ) for any (doc_id, text) frame —
     * the inverted-index plan shared by q_dedup_ngram_jaccard and the corpus
     * cleaning pipeline.
@@ -239,6 +294,26 @@ object DedupQueries {
          |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       nearDupPairs(Tables.documents(s, d), minJ = 0.8).orderBy("doc_a", "doc_b")
+    },
+
+    // ----- Prefix-filtered near-dup (PPJoin filter-verify) -----
+    // Same answer as q_dedup_ngram_jaccard, radically cheaper candidate
+    // generation: the pair join consumes only each doc's rarest
+    // (1-minJ)-fraction prefix under a global (df, shingle) order — see
+    // nearDupPairsPrefix. The oracle is the SAME exact-Jaccard SQL as the
+    // inverted-index face: the gate proves prefix filtering is lossless.
+    QueryDef(
+      "q_dedup_prefix_filter",
+      s"""WITH $shingleCtes,
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+         |       CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+         |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      nearDupPairsPrefix(Tables.documents(s, d), minJ = 0.8).orderBy("doc_a", "doc_b")
     },
 
     // ----- Incremental dedup: nightly increment vs existing index -----

@@ -111,6 +111,36 @@ class DedupSpec extends SparkSpec {
     assert(pruned.sameElements(naive))
   }
 
+  test("prefix filtering (PPJoin) is lossless: bit-equal to the inverted-index face") {
+    // not just the same pair SET — every column (sizes, intersection,
+    // jaccard) must match, since both faces share one oracle
+    val full = SparkEntryPairs("q_dedup_ngram_jaccard").collect().toSet
+    val pref = SparkEntryPairs("q_dedup_prefix_filter").collect().toSet
+    assert(full.nonEmpty, "test corpus should contain planted near-dups")
+    assert(pref == full,
+      s"prefix face diverged: missing=${full -- pref}, extra=${pref -- full}")
+  }
+
+  test("prefix filtering shrinks the pair-join input by ~the theoretical factor") {
+    // at minJ=0.8 the prefix keeps n - ceil(0.8 n) + 1 ≈ 0.2·n + 1 of each
+    // doc's shingles — the join input must actually shrink accordingly
+    // (this is the whole point of the operator; assert ≥3× at our sizes)
+    val docs = graft.analytics.Tables.documents(spark, sf())
+    val sh = DedupQueries.shinglePostings(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "sh")
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("df", "sh")))
+      .join(sizes, "doc_id")
+    val prefixCount = ranked
+      .filter(col("rk") <= col("n") - ceil(lit(0.8) * col("n")) + 1)
+      .count()
+    val fullCount = sh.count()
+    assert(prefixCount * 3 <= fullCount,
+      s"prefix postings $prefixCount vs full $fullCount — filter not effective")
+  }
+
   test("SimHash: hamming distance tracks document similarity") {
     // simhash stability grows with document length; use realistic sizes
     // (one substitution in 60 tokens) rather than 10-token toys
