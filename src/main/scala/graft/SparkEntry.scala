@@ -22,6 +22,7 @@ object SparkEntry {
       pipeline.CorpusPipeline.defs ++
       pipeline.CorpusStatsQueries.defs ++
       pipeline.ChunkingQueries.defs ++
+      pipeline.QualityGateQueries.defs ++
       operators.RangeJoin.defs ++
       streaming.StreamShapeQueries.defs ++
       analytics.HealthcareEntry.defs ++
