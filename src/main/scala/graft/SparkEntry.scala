@@ -28,6 +28,16 @@ object SparkEntry {
       analytics.HealthcareEntry.defs ++
       semantic.RefModelQueries.defs
 
+  // A duplicate name would silently shadow the earlier query in the
+  // registry Map (it happened once: two files both claimed
+  // "q_split_stratified" and the train/val/test split vanished from the
+  // driver's gate). Fail loudly at class-init instead.
+  require(
+    allDefs.map(_.name).distinct.size == allDefs.size, {
+      val dups = allDefs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+      s"duplicate query names in registry: ${dups.mkString(", ")}"
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Multi-way broadcast join + exact-decimal aggregation + top-k — the
     * engine's bread-and-butter plan.

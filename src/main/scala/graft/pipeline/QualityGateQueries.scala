@@ -163,7 +163,7 @@ object QualityGateQueries {
     // and the real pre-filter path at sf0.1, where the band keeps ~40 of
     // 250 before the window ranks them.)
     QueryDef(
-      "q_split_stratified",
+      "q_sample_per_source",
       """WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
         |pre AS (
         |  SELECT d.doc_id, d.source,
