@@ -36,13 +36,26 @@ object Verify {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_VERIFY_ONLY names no registered query: ${unknown.mkString(", ")}")
     }
+    // A thrown query must be VISIBLE in the correctness artifact, not
+    // silently absent (r9 lesson: six analysis-erroring queries vanished
+    // from CORRECTNESS_r09.json while the file read "all green"). On error
+    // we still write the query's output dir — a 1-row parquet whose single
+    // `__graft_error` column carries the exception — so the driver's DuckDB
+    // compare produces a loudly-red schema/hash-mismatch row instead of
+    // omitting the query. errors.json records the same map for humans.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(2000)
+        errors(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
+        import spark.implicits._
+        Seq(msg).toDF("__graft_error").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -60,6 +73,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }
