@@ -131,5 +131,50 @@ object RefModelQueries {
           SemMetric("sum_money", Some(SemRef("visits", "total_charge")), "total_revenue")),
         orderBy = Seq(
           SemOrder("total_revenue", desc = true, nullsLast = true),
-          SemOrder("doctor_id"))))))
+          SemOrder("doctor_id"))))),
+
+    // ----- synonym addressing through the REAL model, oracle-gated -----
+    // Every column reference below is a SYNONYM from the published YAML,
+    // never a canonical name: `area_of_practice`→specialization,
+    // `taking_new_patients`→accepting_new_patients (the filter),
+    // `tenure`→years_of_experience (yaml doctors block). The compile path
+    // must resolve each against the full 649-line model (where genuinely
+    // ambiguous synonyms like appointments.`last_modified` exist and are
+    // refused), apply the boolean filter through the declared
+    // BOOLEAN data_type, and surface output columns under CANONICAL names —
+    // the oracle restates the result in those canonical names.
+    QueryDef(
+      "sm_ref_syn_accepting_by_specialty",
+      s"""SELECT specialization, COUNT(*) AS n_doctors,
+         |       MAX(years_of_experience) AS max_tenure
+         |FROM $DL WHERE $NotDel AND accepting_new_patients = TRUE
+         |GROUP BY specialization
+         |ORDER BY specialization""".stripMargin)((s, _) =>
+      builder(s).compile(SemanticRequest(
+        root = "doctors",
+        dimensions = Seq(SemRef("doctors", "area_of_practice")),
+        metrics = Seq(
+          SemMetric("count_star", None, "n_doctors"),
+          SemMetric("max", Some(SemRef("doctors", "tenure")), "max_tenure")),
+        filters = Seq(
+          SemFilter(SemRef("doctors", "taking_new_patients"), "eq", Some("true"))),
+        orderBy = Seq(SemOrder("specialization"))))),
+
+    // Same discipline on appointments: `visit_type`→appointment_type (dim),
+    // `state`→status (filter; `state` is unambiguous — the model's status
+    // block declares it, nothing else does) — with a ne-op predicate typed
+    // as VARCHAR by the declared data_type.
+    QueryDef(
+      "sm_ref_syn_active_by_type",
+      s"""SELECT appointment_type, COUNT(*) AS n_appointments
+         |FROM $AL WHERE $NotDel AND status <> 'cancelled'
+         |GROUP BY appointment_type
+         |ORDER BY appointment_type""".stripMargin)((s, _) =>
+      builder(s).compile(SemanticRequest(
+        root = "appointments",
+        dimensions = Seq(SemRef("appointments", "visit_type")),
+        metrics = Seq(SemMetric("count_star", None, "n_appointments")),
+        filters = Seq(
+          SemFilter(SemRef("appointments", "state"), "ne", Some("cancelled"))),
+        orderBy = Seq(SemOrder("appointment_type"))))))
 }
