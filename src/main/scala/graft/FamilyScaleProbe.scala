@@ -172,7 +172,13 @@ object FamilyScaleProbe {
         tsCol = "ts_sec", contentCol = "ekey", idCol = "event_id")
     }
 
-    val families = Seq[(String, String => DataFrame)](
+    // FAMILIES=<comma list> restricts the probe — a ×20 run over every
+    // family costs tens of minutes, and the crossover questions (PPJoin vs
+    // inverted-index, fuzzy-match fan-out) only need their own families.
+    val familyFilter = sys.env.get("SPARK_GRAFT_SCALE_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val allFamilies = Seq[(String, String => DataFrame)](
       "scd2" -> scd2, "sessionize" -> sessionize, "compaction" -> compaction,
       "interval_join" -> intervalJoin, "cooccurrence" -> cooccurrence,
       "dedup_span" -> registered("q_dedup_span"),
@@ -183,6 +189,11 @@ object FamilyScaleProbe {
       "pii_scrub" -> registered("q_pii_scrub"),
       "salted_join" -> registered("q_skew_salted_join"),
       "stream_dedup" -> streamDedup)
+    familyFilter.foreach { names =>
+      val unknown = names.diff(allFamilies.map(_._1).toSet + "incremental")
+      require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")
+    }
+    val families = allFamilies.filter { case (n, _) => familyFilter.forall(_.contains(n)) }
 
     val rows = families.map { case (name, f) =>
       // untimed warm rep per family: each shape's first execution pays
@@ -208,9 +219,11 @@ object FamilyScaleProbe {
     val docsAll = analytics.Tables.documents(spark, dir)
     val baseIdx = docsBase.filter(col("doc_id") % 2 === 0)
     val baseBatch = docsBase.filter(col("doc_id") % 2 === 1)
+    val runIncremental = familyFilter.forall(_.contains("incremental"))
     // same warm-rep discipline: the base split runs once untimed first
-    pipeline.DedupQueries.nearDupPairsIncremental(baseIdx, baseBatch, 0.8).count()
-    val incRows = Seq[(String, () => DataFrame)](
+    if (runIncremental)
+      pipeline.DedupQueries.nearDupPairsIncremental(baseIdx, baseBatch, 0.8).count()
+    val incRows = (if (!runIncremental) Seq.empty[(String, () => DataFrame)] else Seq[(String, () => DataFrame)](
       "dedup_incremental" ->
         (() => pipeline.DedupQueries.nearDupPairsIncremental(baseIdx, baseBatch, 0.8)),
       "dedup_incremental_batch10x" ->
@@ -219,7 +232,7 @@ object FamilyScaleProbe {
       "dedup_incremental_index10x" ->
         (() => pipeline.DedupQueries.nearDupPairsIncremental(
           docsAll.filter(col("doc_id") % 2 === 0), baseBatch, 0.8))
-    ).map { case (name, f) =>
+    )).map { case (name, f) =>
       val (s, n) = time(f())
       (name, s, n)
     }
