@@ -196,13 +196,15 @@ object FamilyScaleProbe {
     val families = allFamilies.filter { case (n, _) => familyFilter.forall(_.contains(n)) }
 
     val rows = families.map { case (name, f) =>
-      // untimed warm rep per family: each shape's first execution pays
-      // whole-stage-codegen COMPILATION (comparable to the whole ×1 wall
-      // time at this scale) — without it the ×1 number absorbs the compile
-      // and the ratio flatters the ×10 run absurdly (observed 0.27-0.67
-      // "ratios" on strictly 10× work)
+      // untimed warm rep per (family, CORPUS): a shape's first execution
+      // pays whole-stage-codegen COMPILATION (comparable to the whole ×1
+      // wall time at this scale), and its first execution AT SCALE pays
+      // one-off shuffle-buffer/heap growth — measured r10 on dedup_prefix
+      // ×20: 37 s first execution vs 13.5 s steady state, enough to turn a
+      // true ~3× ratio into a reported 30× (PrefixRepro). Warm both sides.
       f(src).count()
       val (s1, n1) = time(f(src))
+      f(dir).count()
       val (sk, nk) = time(f(dir))
       (name, s1, n1, sk, nk)
     }
@@ -233,6 +235,7 @@ object FamilyScaleProbe {
         (() => pipeline.DedupQueries.nearDupPairsIncremental(
           docsAll.filter(col("doc_id") % 2 === 0), baseBatch, 0.8))
     )).map { case (name, f) =>
+      f().count() // same warm-both-sides discipline as the families above
       val (s, n) = time(f())
       (name, s, n)
     }

@@ -297,11 +297,23 @@ object DedupQueries {
     },
 
     // ----- Prefix-filtered near-dup (PPJoin filter-verify) -----
-    // Same answer as q_dedup_ngram_jaccard, radically cheaper candidate
-    // generation: the pair join consumes only each doc's rarest
+    // Same answer as q_dedup_ngram_jaccard with a 4.7×-smaller pair-join
+    // input: the pair join consumes only each doc's rarest
     // (1-minJ)-fraction prefix under a global (df, shingle) order — see
     // nearDupPairsPrefix. The oracle is the SAME exact-Jaccard SQL as the
     // inverted-index face: the gate proves prefix filtering is lossless.
+    //
+    // Measured honesty (r10, BASELINE.md): on THIS corpus there is no
+    // crossover — steady-state the inverted-index face wins ~10-25% at ×1,
+    // ×10, and ×20 (both scale sub-linearly per row; the ×20 probe's raw
+    // 30.6× ratio was a first-execution artifact, 37 s rep1 vs 13.5 s
+    // steady). The df-ranking stages (df join + per-doc window + sizes
+    // join) cost more than the saved pair-join work when the df/size-ratio
+    // prunes already bound candidates. PPJoin's payoff regime is
+    // candidate-dominated corpora — high duplication rates and longer
+    // documents where |candidates| approaches |postings|² — so the face is
+    // kept as the published-algorithm alternative for that regime, not as
+    // the default.
     QueryDef(
       "q_dedup_prefix_filter",
       s"""WITH $shingleCtes,
@@ -456,6 +468,84 @@ object DedupQueries {
         .withColumn("dup_frac", col("n_dup_grams").cast("double") / col("n_grams"))
         .filter(col("dup_frac") >= 0.2)
         .select("doc_id", "n_grams", "n_dup_grams", "dup_frac")
+        .orderBy("doc_id")
+    },
+
+    // ----- Duplicated-span REMOVAL (the C4/Lee-et-al. rewrite step) -----
+    // q_dedup_span PROFILES span duplication; this query performs the
+    // actual corpus rewrite: every occurrence of a duplicated 5-gram except
+    // the corpus-wide FIRST (ordered by doc_id, pos — a total order both
+    // engines agree on) is removed, token positions covered by a removed
+    // occurrence are dropped, and documents are rebuilt from the surviving
+    // tokens. Ref behavior class: C4 §2.2 three-sentence-span dedup /
+    // Lee et al. 2022 exact-substring dedup, re-expressed over word
+    // 5-grams.
+    //
+    // Scale: the "first occurrence per gram" is an argmin AGGREGATE
+    // (min(struct(doc_id, pos))) with map-side partial aggregation — NOT a
+    // per-gram row_number window, whose hot-gram partitions would skew at
+    // corpus scale. Occurrences join back gram-keyed (reusing the postings
+    // exchange), cover expansion is a bounded ×n explode, and the rebuild
+    // is one doc_id-keyed aggregate. No pair join anywhere; every stage is
+    // linear in the token stream.
+    QueryDef(
+      "q_dedup_span_removal",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM t),
+         |tok2 AS (SELECT doc_id, i, toks[i] AS tok FROM tok),
+         |g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS gram
+         |      FROM tok WHERE i + 4 <= len(toks)),
+         |r AS (SELECT doc_id, pos,
+         |             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+         |      FROM g),
+         |cover AS (SELECT DISTINCT doc_id, i FROM (
+         |            SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS i
+         |            FROM r WHERE rn >= 2)),
+         |kept AS (SELECT tok2.doc_id, tok2.i, tok2.tok
+         |         FROM tok2 LEFT JOIN cover
+         |           ON tok2.doc_id = cover.doc_id AND tok2.i = cover.i
+         |         WHERE cover.i IS NULL),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_total FROM tok2 GROUP BY 1),
+         |k AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |             string_agg(tok, ' ' ORDER BY i) AS clean_text
+         |      FROM kept GROUP BY 1)
+         |SELECT k.doc_id, k.n_kept, tot.n_total - k.n_kept AS n_removed,
+         |       k.clean_text
+         |FROM k JOIN tot ON k.doc_id = tot.doc_id
+         |ORDER BY k.doc_id""".stripMargin) { (s, d) =>
+      val n = 5
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.tokens(col("text")))
+            .as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val leads = (1 until n).map(i => lead("tok", i).over(w).as(s"t$i"))
+      val gram = concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*)
+      val occ = toks
+        .select(col("doc_id") +: col("pos") +: col("tok") +: leads: _*)
+        .filter(col(s"t${n - 1}").isNotNull)
+        .select(col("doc_id"), col("pos"), gram.as("gram"))
+      val firsts = occ.groupBy("gram").agg(
+          count(lit(1)).as("cnt"),
+          min(struct(col("doc_id"), col("pos"))).as("first"))
+        .filter(col("cnt") >= 2)
+      val removed = occ.join(firsts, "gram")
+        .filter(!(col("doc_id") === col("first.doc_id") &&
+          col("pos") === col("first.pos")))
+      val cover = removed
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+        .distinct()
+      val kept = toks.join(cover, Seq("doc_id", "pos"), "left_anti")
+      val totals = toks.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
+      kept.groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+            .as("clean_text"))
+        .join(totals, "doc_id")
+        .select(col("doc_id"), col("n_kept"),
+          (col("n_total") - col("n_kept")).as("n_removed"), col("clean_text"))
         .orderBy("doc_id")
     },
 

@@ -392,6 +392,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(finalPlan.contains("ReusedExchange"), finalPlan.take(4000))
   }
 
+  test("span removal: first-occurrence via argmin AGGREGATE, never a per-gram window") {
+    // the rewrite ranks occurrences per GRAM — a row_number window
+    // partitioned by gram would put every occurrence of a hot gram ("the
+    // end of" at web scale) in one task; the plan must instead compute the
+    // corpus-wide first occurrence as min(struct(doc_id, pos)), which
+    // partial-aggregates map-side. No pair join anywhere in the rewrite.
+    val finalPlan = executedPlanOf("q_dedup_span_removal").split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(4000))
+    // exactly ONE window operator (the per-doc lead() gram builder,
+    // doc_id-partitioned); a second would be the per-gram rank
+    assert("Window".r.findAllIn(finalPlan).size <= 2, // Window + its sort node name overlap
+      "unexpected extra Window (per-gram rank?): " + finalPlan.take(4000))
+    assert(!finalPlan.contains("partitionBy(gram)") &&
+      !finalPlan.contains("windowspecdefinition(gram"),
+      "per-gram window found: " + finalPlan.take(4000))
+    assert(finalPlan.contains("min(struct("), // the argmin first-occurrence
+      "argmin aggregate missing: " + finalPlan.take(4000))
+  }
+
   test("fuzzy match: variant-keyed equi-join over ONE customer scan, never all-pairs") {
     // FastSS blocking's whole value is replacing the O(n²) name comparison
     // with an inverted-index join — the plan must show a variant-keyed

@@ -203,4 +203,36 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getString(1) == out(1).getString(1)) // bag matches
     assert(out(0).getString(1) != out(2).getString(1))
   }
+
+  test("span removal: keeps the corpus-wide first occurrence, rewrites the rest") {
+    // doc 1 and doc 2 share the 5-gram "one two three four five"; doc 1
+    // (lower doc_id) keeps it, doc 2 loses exactly those 5 token positions.
+    // doc 3 shares nothing and survives untouched.
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanrm").toString
+    Seq(
+      (1L, "one two three four five alpha beta", "en", "s", 30L),
+      (2L, "prefix one two three four five suffix tail", "en", "s", 40L),
+      (3L, "unrelated words only here nothing shared", "en", "s", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("q_dedup_span_removal")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((7L, 0L, "one two three four five alpha beta")))
+    assert(out(2L) == ((3L, 5L, "prefix suffix tail")))
+    assert(out(3L) == ((6L, 0L, "unrelated words only here nothing shared")))
+  }
+
+  test("span removal: within-doc repeats collapse to the first occurrence") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanrm2").toString
+    // the 5-gram "a b c d e" occurs twice INSIDE one doc; second occurrence
+    // (positions 5-9) is removed, nothing else
+    Seq((1L, "a b c d e a b c d e tail", "en", "s", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.SparkEntry.queries("q_dedup_span_removal")(spark, dir)
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getString(3)) ==
+      ((6L, 5L, "a b c d e tail")))
+  }
 }
