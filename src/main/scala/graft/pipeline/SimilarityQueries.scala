@@ -180,7 +180,136 @@ object SimilarityQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Integer-exact Lloyd k-means over the embeddings (k=8, two assignment
+    * rounds, centroids initialized from vec_id 0..k-1) — the clustering
+    * stage of SemDeDup (Abbas et al. 2023): cluster first, then dedup only
+    * WITHIN clusters, so the pair join is bounded by cluster populations
+    * instead of n².
+    *
+    * Float k-means cannot be hash-gated across engines (centroid means are
+    * cross-row float sums, whose value depends on summation order), so
+    * every quantity here is an INTEGER:
+    *  - components quantize once to `v = ROUND(vf·10⁴) + 10⁴` (the +10⁴
+    *    shift makes every value positive — truncating integer division
+    *    then equals floor in BOTH engines; a uniform shift changes no L2
+    *    distance and no argmin);
+    *  - centroids live at ×100 that scale: init `c = v·100`, update
+    *    `c = (Σv·100) DIV n` — exact integer floor-mean;
+    *  - distances are Σ(v·100 − c)² ≤ 64·(2.6·10⁶)² ≈ 4·10¹⁴, safely in
+    *    BIGINT; argmin breaks ties by cluster id via min(struct(dist,
+    *    cluster)).
+    *
+    * Scale shape: centroids are k×64 rows — always broadcast; each
+    * assignment is explode → broadcast join → per-vector partial-agg
+    * argmin (linear, no big shuffle); the update aggregates to k×64 cells.
+    * Iteration count is fixed (2) — at 100 TB each extra Lloyd round is
+    * one more linear pass, chosen by the pipeline owner, not the engine.
+    */
+  private def kmeansAssignments(e: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val q = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "vf")))
+      .select(col("vec_id"), col("i"),
+        (round(col("vf").cast("double") * 10000, 0).cast("long") + 10000L).as("v"))
+    val c0 = q.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"), col("i"),
+        (col("v") * 100L).as("c"))
+    def assign(cent: org.apache.spark.sql.DataFrame) = {
+      val diff = col("v") * 100L - col("c")
+      q.join(broadcast(cent), "i")
+        .groupBy("vec_id", "cluster")
+        .agg(sum(diff * diff).as("dist"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"),
+          col("m.dist").as("dist"))
+    }
+    val a1 = assign(c0)
+    val c1 = q.join(a1.select("vec_id", "cluster"), "vec_id")
+      .groupBy("cluster", "i")
+      .agg(expr("(SUM(v) * 100) DIV COUNT(1)").as("c"))
+    assign(c1)
+  }
+
+  /** Shared DuckDB CTE chain mirroring [[kmeansAssignments]] (k=8): ends in
+    * `a2(vec_id, cluster, dist)`. SUM over BIGINT is HUGEINT in DuckDB, so
+    * the final dist casts back to BIGINT for schema parity.
+    */
+  private val kmeansCtes =
+    """comp AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+      |                embedding FROM embeddings),
+      |q AS (SELECT vec_id, i,
+      |             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+      |               + 10000 AS v
+      |      FROM comp),
+      |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, i, v * 100 AS c
+      |       FROM q WHERE vec_id < 8),
+      |d1 AS (SELECT q.vec_id, c0.cluster,
+      |              SUM((q.v*100 - c0.c) * (q.v*100 - c0.c)) AS dist
+      |       FROM q JOIN c0 USING (i) GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cluster FROM (
+      |         SELECT vec_id, cluster,
+      |                ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                                   ORDER BY dist, cluster) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a1.cluster, q.i, (SUM(q.v) * 100) // COUNT(*) AS c
+      |       FROM q JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      |d2 AS (SELECT q.vec_id, c1.cluster,
+      |              SUM((q.v*100 - c1.c) * (q.v*100 - c1.c)) AS dist
+      |       FROM q JOIN c1 USING (i) GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist FROM (
+      |         SELECT vec_id, cluster, dist,
+      |                ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                                   ORDER BY dist, cluster) AS rn
+      |         FROM d2) WHERE rn = 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ----- k-means clustering (integer-exact Lloyd, SemDeDup stage 1) ----
+    QueryDef(
+      "q_kmeans_assign",
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cluster, dist FROM a2 ORDER BY vec_id""".stripMargin) {
+      (s, d) =>
+        kmeansAssignments(Tables.embeddings(s, d), k = 8).orderBy("vec_id")
+    },
+
+    // ----- SemDeDup: near-dup pairs WITHIN k-means clusters -------------
+    // Stage 2 of SemDeDup: the pair join is keyed by the cluster
+    // assignment, so candidate volume is Σ_c |c|² instead of n² — the
+    // clustering IS the blocking structure (vs. RP-LSH's random
+    // hyperplanes in q_dedup_embedding_lsh; both re-score candidates with
+    // the exact cosine and decide membership on the ROUNDED value). Like
+    // any blocking scheme it trades recall for boundedness: cross-cluster
+    // near-dups are invisible by design (SimilaritySpec measures the
+    // actual recall against the exact all-pairs baseline).
+    QueryDef(
+      "q_semdedup_pairs",
+      s"""WITH $kmeansCtes
+         |SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ROUND(${cosSql("ea.embedding", "eb.embedding")}, 9) AS cosine
+         |FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |WHERE ROUND(${cosSql("ea.embedding", "eb.embedding")}, 9) >= 0.42
+         |ORDER BY a.cluster, vec_a, vec_b""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val asg = kmeansAssignments(e, k = 8).select("vec_id", "cluster")
+      val vecs = e.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      val withVec = asg.join(vecs, "vec_id")
+      withVec
+        .select(col("cluster"), col("vec_id").as("vec_a"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        .join(withVec.select(col("cluster"), col("vec_id").as("vec_b"),
+          col("embedding").as("eb"), col("nrm").as("nb")), Seq("cluster"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(round(col("cos"), 9) >= 0.42)
+        .select(col("cluster"), col("vec_a"), col("vec_b"),
+          round(col("cos"), 9).as("cosine"))
+        .orderBy("cluster", "vec_a", "vec_b")
+    },
 
     // ----- Brute-force cosine scoring against a fixed query vector -----
     QueryDef(

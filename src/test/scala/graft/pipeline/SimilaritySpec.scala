@@ -180,4 +180,48 @@ class SimilaritySpec extends SparkSpec {
       .collect()(0).getSeq[Double](0)
     assert(out == Seq(2.0, 4.0))
   }
+
+  test("k-means: every vector lands on its nearest final centroid; near-identical vectors co-cluster") {
+    // mechanics on data with REAL structure: 8 tight groups, and ids 0..7
+    // (the deterministic inits) land one per group so the 8 initial
+    // centroids are DISTINCT. Every pair of same-group vectors must then
+    // share a cluster: identical-up-to-noise vectors are nearest the same
+    // centroid. (With duplicate inits — several near-identical centroids —
+    // k-means legitimately splits a tight group; that is a property of
+    // Lloyd with bad seeding, not of this implementation.)
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val base = Array.tabulate(8)(g => Array.tabulate(dim)(j =>
+      if (j == g * 2) 0.4f else 0.01f))
+    val vecs = (0 until 32).map { id =>
+      val g = id % 8
+      (id.toLong, base(g).map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f), g)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmeans").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("q_kmeans_assign")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until 8).foreach { g =>
+      val clusters = (0 until 32).filter(_ % 8 == g).map(id => out(id.toLong)).distinct
+      assert(clusters.size == 1, s"group $g split across clusters $clusters")
+    }
+  }
+
+  test("SemDeDup pairs: exact-cosine subset of the all-pairs baseline, recall is the blocking trade") {
+    def pairSet(name: String) =
+      graft.SparkEntry.queries(name)(spark, sf())
+        .select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet("q_dedup_embedding")
+    val sem = pairSet("q_semdedup_pairs")
+    // within-cluster re-scoring uses the same exact cosine → no false
+    // positives are possible; recall < 1 is the cluster-blocking trade
+    // (cross-cluster near-dups are invisible BY DESIGN — τ=0.42 pairs are
+    // correlated, not near-identical, and can straddle centroid borders)
+    assert(sem.subsetOf(exact), s"false positives: ${sem -- exact}")
+    assert(exact.nonEmpty)
+    val recall = sem.size.toDouble / exact.size
+    assert(recall >= 0.3, s"SemDeDup recall $recall collapsed (${sem.size}/${exact.size})")
+  }
 }
