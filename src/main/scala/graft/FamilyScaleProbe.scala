@@ -84,6 +84,20 @@ object FamilyScaleProbe {
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     }
+    if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      // vec_id shifts keep replica vectors identical — k-means assignment
+      // work scales with the population while centroids stay put (init ids
+      // 0..7 resolve to the same vectors), exactly the axis a cluster
+      // scales on. (semdedup pair output would grow quadratically on this
+      // corpus BY DESIGN — replicas are genuine duplicates — so only the
+      // assignment face is probed.)
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      (0 until replicas).map { k =>
+        if (k == 0) emb
+        else emb.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
     // warm IO + JIT before timing
     spark.read.parquet(s"$dir/documents.parquet").count()
     spark.read.parquet(s"$dir/events.parquet").count()
@@ -188,7 +202,9 @@ object FamilyScaleProbe {
       "fuzzy_match" -> registered("q_fuzzy_match_name"),
       "pii_scrub" -> registered("q_pii_scrub"),
       "salted_join" -> registered("q_skew_salted_join"),
-      "stream_dedup" -> streamDedup)
+      "stream_dedup" -> streamDedup,
+      "span_removal" -> registered("q_dedup_span_removal"),
+      "kmeans" -> registered("q_kmeans_assign"))
     familyFilter.foreach { names =>
       val unknown = names.diff(allFamilies.map(_._1).toSet + "incremental")
       require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")
