@@ -675,5 +675,69 @@ object HealthcareEntry {
         namedFilters = Seq(SemRef("visits", "expensive_visits")),
         orderBy = Seq(
           SemOrder("total_revenue", desc = true, nullsLast = true),
-          SemOrder("diagnosis"))))))
+          SemOrder("diagnosis"))))),
+
+    // ----- Journal time travel: table state AS OF an arbitrary LSN -----
+    // The payoff of the append-only journal (S5) beyond auditing: rebuild
+    // the appointments table as it stood at ANY point in the CDC stream —
+    // snapshot rows not yet touched, plus each touched key's latest
+    // journal event at lsn ≤ L (latest-wins), minus keys whose winning op
+    // is DELETE. asOf=16 is mid-demo by design: it exercises inserts,
+    // a multi-update key (174 resolves to its lsn-14 state, not lsn-8),
+    // one APPLIED delete (key 3, lsn 16) and one NOT-yet-applied delete
+    // (key 7, lsn 17 — still visible).
+    //
+    // Scale shape: the journal is hive-partitioned by commit date, so an
+    // AS-OF bounded replay prunes partitions before reading; the winner
+    // pick is one key-partitioned window over the (bounded) journal slice,
+    // and the snapshot join is a key-keyed LEFT ANTI — no full-table
+    // rewrite, no driver loop. Ref: sql/3.live_appointments.sql:414 (the
+    // journal records every event; this query is why you keep it).
+    QueryDef(
+      "hc_time_travel_asof",
+      s"""WITH j AS (SELECT * FROM read_parquet('${HealthcareData.Root}/store/appointments_journal/*/*.parquet')
+         |           WHERE lsn <= 16),
+         |win AS (SELECT * FROM (
+         |          SELECT key, op, after,
+         |                 ROW_NUMBER() OVER (PARTITION BY key ORDER BY lsn DESC) AS rn
+         |          FROM j) WHERE rn = 1),
+         |surv AS (SELECT key AS appointment_id,
+         |                CAST(json_extract_string(after, '$$.patient_id') AS BIGINT) AS patient_id,
+         |                CAST(json_extract_string(after, '$$.doctor_id') AS BIGINT) AS doctor_id,
+         |                CAST(json_extract_string(after, '$$.appointment_date') AS DATE) AS appointment_date,
+         |                json_extract_string(after, '$$.status') AS status,
+         |                json_extract_string(after, '$$.appointment_type') AS appointment_type
+         |         FROM win WHERE op <> 'DELETE'),
+         |unt AS (SELECT appointment_id, patient_id, doctor_id, appointment_date,
+         |               status, appointment_type
+         |        FROM $A
+         |        WHERE $NotDel AND appointment_id NOT IN (SELECT key FROM win))
+         |SELECT * FROM unt UNION ALL SELECT * FROM surv
+         |ORDER BY appointment_id""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      HealthcareData.ensure(s)
+      val root = HealthcareData.Root
+      val asOf = 16L
+      val snap = s.read.parquet(s"$root/appointments")
+      val j = s.read.parquet(s"$root/store/appointments_journal")
+        .filter(col("lsn") <= asOf)
+      val w = Window.partitionBy("key").orderBy(col("lsn").desc)
+      val win = j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("key", "op", "after")
+      val surv = win.filter(col("op") =!= "DELETE")
+        .select(col("key").cast("long").as("appointment_id"),
+          get_json_object(col("after"), "$.patient_id").cast("long").as("patient_id"),
+          get_json_object(col("after"), "$.doctor_id").cast("long").as("doctor_id"),
+          get_json_object(col("after"), "$.appointment_date").cast("date").as("appointment_date"),
+          get_json_object(col("after"), "$.status").as("status"),
+          get_json_object(col("after"), "$.appointment_type").as("appointment_type"))
+      val unt = snap
+        .filter(!col("_snowflake_deleted"))
+        .join(win.select(col("key").cast("long").as("appointment_id")),
+          Seq("appointment_id"), "left_anti")
+        .select("appointment_id", "patient_id", "doctor_id",
+          "appointment_date", "status", "appointment_type")
+      unt.unionByName(surv).orderBy("appointment_id")
+    })
 }
