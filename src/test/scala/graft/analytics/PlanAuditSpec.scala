@@ -392,6 +392,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(finalPlan.contains("ReusedExchange"), finalPlan.take(4000))
   }
 
+  test("k-means: centroids broadcast on every assignment round; no cartesian") {
+    // both Lloyd rounds join the exploded component stream against a k×64
+    // centroid frame — at any corpus size that side is broadcast-sized, so
+    // the assignment must plan as BroadcastHashJoin (the component stream
+    // never shuffles for the join) and nothing may degrade to a cartesian.
+    val finalPlan = executedPlanOf("q_kmeans_assign").split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(4000))
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan.take(4000))
+    assert(!finalPlan.contains("SortMergeJoin"),
+      "centroid join degraded to SMJ: " + finalPlan.take(4000))
+  }
+
+  test("time travel: journal winners anti-join the snapshot; no cartesian") {
+    val finalPlan = executedPlanOf("hc_time_travel_asof").split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(4000))
+    assert(finalPlan.contains("LeftAnti"),
+      "snapshot must exclude touched keys via LEFT ANTI, not a rewrite: " +
+        finalPlan.take(4000))
+  }
+
   test("span removal: first-occurrence via argmin AGGREGATE, never a per-gram window") {
     // the rewrite ranks occurrences per GRAM — a row_number window
     // partitioned by gram would put every occurrence of a hot gram ("the
