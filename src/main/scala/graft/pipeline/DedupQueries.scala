@@ -110,6 +110,48 @@ object DedupQueries {
     * aggregates + keyed joins, no window over the full posting stream —
     * the rank window partitions by doc_id (shard-local).
     */
+  /** C4-style duplicated-span removal: every occurrence of a duplicated
+    * n-gram except the corpus-wide FIRST (by (doc_id, pos) — a total order)
+    * is removed, covered token positions drop, and documents rebuild from
+    * surviving tokens. See the `q_dedup_span_removal` QueryDef comment for
+    * the full scale rationale (argmin aggregate, no per-gram window, no
+    * pair join).
+    */
+  def removeDuplicatedSpans(docs: DataFrame, n: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokens(col("text")))
+          .as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until n).map(i => lead("tok", i).over(w).as(s"t$i"))
+    val gram = concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*)
+    val occ = toks
+      .select(col("doc_id") +: col("pos") +: col("tok") +: leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"), gram.as("gram"))
+    val firsts = occ.groupBy("gram").agg(
+        count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("cnt") >= 2)
+    val removed = occ.join(firsts, "gram")
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+    val cover = removed
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(cover, Seq("doc_id", "pos"), "left_anti")
+    val totals = toks.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
+    kept.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+          .as("clean_text"))
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_removed"), col("clean_text"))
+  }
+
   def nearDupPairsPrefix(docs: DataFrame, minJ: Double): DataFrame = {
     val sh = shinglePostings(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -513,40 +555,7 @@ object DedupQueries {
          |       k.clean_text
          |FROM k JOIN tot ON k.doc_id = tot.doc_id
          |ORDER BY k.doc_id""".stripMargin) { (s, d) =>
-      val n = 5
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(graft.functions.TextFunctions.tokens(col("text")))
-            .as(Seq("pos", "tok")))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val leads = (1 until n).map(i => lead("tok", i).over(w).as(s"t$i"))
-      val gram = concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*)
-      val occ = toks
-        .select(col("doc_id") +: col("pos") +: col("tok") +: leads: _*)
-        .filter(col(s"t${n - 1}").isNotNull)
-        .select(col("doc_id"), col("pos"), gram.as("gram"))
-      val firsts = occ.groupBy("gram").agg(
-          count(lit(1)).as("cnt"),
-          min(struct(col("doc_id"), col("pos"))).as("first"))
-        .filter(col("cnt") >= 2)
-      val removed = occ.join(firsts, "gram")
-        .filter(!(col("doc_id") === col("first.doc_id") &&
-          col("pos") === col("first.pos")))
-      val cover = removed
-        .select(col("doc_id"),
-          explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
-        .distinct()
-      val kept = toks.join(cover, Seq("doc_id", "pos"), "left_anti")
-      val totals = toks.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
-      kept.groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_kept"),
-          expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
-            .as("clean_text"))
-        .join(totals, "doc_id")
-        .select(col("doc_id"), col("n_kept"),
-          (col("n_total") - col("n_kept")).as("n_removed"), col("clean_text"))
-        .orderBy("doc_id")
+      removeDuplicatedSpans(Tables.documents(s, d), n = 5).orderBy("doc_id")
     },
 
     // ----- Per-source boilerplate grams (C4-style template detection) -----

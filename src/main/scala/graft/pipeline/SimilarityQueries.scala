@@ -205,7 +205,7 @@ object SimilarityQueries {
     * Iteration count is fixed (2) — at 100 TB each extra Lloyd round is
     * one more linear pass, chosen by the pipeline owner, not the engine.
     */
-  private def kmeansAssignments(e: org.apache.spark.sql.DataFrame,
+  private[pipeline] def kmeansAssignments(e: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {
     val q = e
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "vf")))

@@ -223,6 +223,16 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((6L, 0L, "unrelated words only here nothing shared")))
   }
 
+  test("span removal is partitioning-independent") {
+    // argmin-of-struct + integer aggregates are associative/commutative,
+    // so the rewrite must be identical however the corpus is split
+    val docs = graft.analytics.Tables.documents(spark, sf())
+    def run(d: org.apache.spark.sql.DataFrame) =
+      DedupQueries.removeDuplicatedSpans(d, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(run(docs) == run(docs.repartition(7)))
+  }
+
   test("span removal: within-doc repeats collapse to the first occurrence") {
     val dir = java.nio.file.Files.createTempDirectory("graft-spanrm2").toString
     // the 5-gram "a b c d e" occurs twice INSIDE one doc; second occurrence

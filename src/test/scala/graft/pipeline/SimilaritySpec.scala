@@ -208,6 +208,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("k-means assignment is partitioning-independent") {
+    // at 1000 executors the input arrives under an arbitrary partitioning;
+    // every k-means quantity is an integer aggregate (min-of-struct argmin,
+    // integer sums/floor-divisions — associative and commutative), so the
+    // assignment must be bit-identical however the input is split
+    val e = graft.analytics.Tables.embeddings(spark, sf())
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SimilarityQueries.kmeansAssignments(d, k = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run(e) == run(e.repartition(7)))
+    assert(run(e) == run(e.repartition(1)))
+  }
+
   test("SemDeDup pairs: exact-cosine subset of the all-pairs baseline, recall is the blocking trade") {
     def pairSet(name: String) =
       graft.SparkEntry.queries(name)(spark, sf())
