@@ -215,5 +215,45 @@ object CorpusPipeline {
           |        LEFT JOIN victims v ON e.doc_id = v.doc_id
           |        WHERE v.doc_id IS NULL), 0) AS BIGINT) AS clean_tokens""".stripMargin) { (s, d) =>
       funnel(Tables.documents(s, d))
+    },
+
+    // ----- End-to-end training export: funnel → greedy sequence packing --
+    // The full nightly composition as ONE lazy DAG: quality gate → exact
+    // dedup → near-dup removal (greedy), then the survivors pack into
+    // 128-token training bins across 8 hash-sharded independent streams
+    // (ChunkingQueries.packSequences — secondary-sorted groups, so packing
+    // is deterministic under any input partitioning). The oracle extends
+    // the funnel's CTE chain with the packer's RECURSIVE fold — the entire
+    // export manifest is hash-gated end to end, not just its stages.
+    //
+    // Scale: everything before packing is the audited funnel; packing adds
+    // one doc_id-keyed join (survivor ids back to text) and one grp-keyed
+    // sorted-group pass. Nothing new shuffles more than once.
+    QueryDef(
+      "q_train_export",
+      funnelSql +
+        """,surv AS (
+          |  SELECT e.doc_id, e.n_tokens FROM eligible e
+          |  LEFT JOIN victims v ON e.doc_id = v.doc_id
+          |  WHERE v.doc_id IS NULL),
+          |ord AS (
+          |  SELECT doc_id, doc_id % 8 AS grp, n_tokens AS nt,
+          |         ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+          |  FROM surv),
+          |pack(grp, rn, doc_id, nt, bin, used) AS (
+          |  SELECT grp, rn, doc_id, nt, CAST(0 AS BIGINT), nt FROM ord WHERE rn = 1
+          |  UNION ALL
+          |  SELECT o.grp, o.rn, o.doc_id, o.nt,
+          |         CASE WHEN p.used + o.nt > 128 THEN p.bin + 1 ELSE p.bin END,
+          |         CASE WHEN p.used + o.nt > 128 THEN o.nt ELSE p.used + o.nt END
+          |  FROM pack p JOIN ord o ON o.grp = p.grp AND o.rn = p.rn + 1)
+          |SELECT doc_id, grp, bin AS bin_id, nt AS n_tokens
+          |FROM pack
+          |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val survivorIds = clean(docs).select("doc_id")
+      ChunkingQueries.packSequences(
+          docs.join(survivorIds, "doc_id"), budget = 128, nGroups = 8)
+        .orderBy("doc_id")
     })
 }
