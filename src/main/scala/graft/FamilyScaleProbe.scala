@@ -204,7 +204,8 @@ object FamilyScaleProbe {
       "salted_join" -> registered("q_skew_salted_join"),
       "stream_dedup" -> streamDedup,
       "span_removal" -> registered("q_dedup_span_removal"),
-      "kmeans" -> registered("q_kmeans_assign"))
+      "kmeans" -> registered("q_kmeans_assign"),
+      "train_export" -> registered("q_train_export"))
     familyFilter.foreach { names =>
       val unknown = names.diff(allFamilies.map(_._1).toSet + "incremental")
       require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")
