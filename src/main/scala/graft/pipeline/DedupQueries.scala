@@ -117,25 +117,28 @@ object DedupQueries {
     * the full scale rationale (argmin aggregate, no per-gram window, no
     * pair join).
     */
-  def removeDuplicatedSpans(docs: DataFrame, n: Int): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"),
-        posexplode(graft.functions.TextFunctions.tokens(col("text")))
-          .as(Seq("pos", "tok")))
+  /** (doc_id, pos, tok) token stream — contiguous 0-based positions. */
+  private def tokenStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(graft.functions.TextFunctions.tokens(col("text")))
+        .as(Seq("pos", "tok")))
+
+  /** (doc_id, pos, gram) n-gram occurrence stream over [[tokenStream]]. */
+  private def gramOccurrences(toks: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val leads = (1 until n).map(i => lead("tok", i).over(w).as(s"t$i"))
     val gram = concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*)
-    val occ = toks
+    toks
       .select(col("doc_id") +: col("pos") +: col("tok") +: leads: _*)
       .filter(col(s"t${n - 1}").isNotNull)
       .select(col("doc_id"), col("pos"), gram.as("gram"))
-    val firsts = occ.groupBy("gram").agg(
-        count(lit(1)).as("cnt"),
-        min(struct(col("doc_id"), col("pos"))).as("first"))
-      .filter(col("cnt") >= 2)
-    val removed = occ.join(firsts, "gram")
-      .filter(!(col("doc_id") === col("first.doc_id") &&
-        col("pos") === col("first.pos")))
+  }
+
+  /** Rebuild documents from the token stream minus `removed` gram
+    * occurrences: positions covered by any removed occurrence drop, the
+    * rest re-join in order.
+    */
+  private def rebuildWithout(toks: DataFrame, removed: DataFrame, n: Int): DataFrame = {
     val cover = removed
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
@@ -150,6 +153,55 @@ object DedupQueries {
       .join(totals, "doc_id")
       .select(col("doc_id"), col("n_kept"),
         (col("n_total") - col("n_kept")).as("n_removed"), col("clean_text"))
+  }
+
+  def removeDuplicatedSpans(docs: DataFrame, n: Int): DataFrame = {
+    val toks = tokenStream(docs)
+    val occ = gramOccurrences(toks, n)
+    val firsts = occ.groupBy("gram").agg(
+        count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("cnt") >= 2)
+    val removed = occ.join(firsts, "gram")
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+    rebuildWithout(toks, removed, n)
+  }
+
+  /** Incremental span removal: dedupe an INCOMING batch's spans against a
+    * standing corpus whose copies are canonical — the nightly face of
+    * [[removeDuplicatedSpans]], mirroring [[nearDupPairsIncremental]]'s
+    * contract. A batch occurrence is removed iff its gram exists ANYWHERE
+    * in the index (the index copy is the keeper — the index is never
+    * rewritten), or earlier in the batch itself ((doc_id, pos) argmin,
+    * batch-internal). Only batch documents are rebuilt.
+    *
+    * Scale: the index contributes a distinct-gram set pruned to grams the
+    * BATCH actually contains (a gram-keyed semi-join — index postings
+    * participate in proportion to the increment's vocabulary, exactly the
+    * has_inc prune the incremental near-dup audit pins); batch-internal
+    * dedup is the same argmin aggregate as the full rewrite. Nothing
+    * scans index text twice, no pair join.
+    */
+  def removeDuplicatedSpansIncremental(index: DataFrame, batch: DataFrame,
+      n: Int): DataFrame = {
+    val toksB = tokenStream(batch)
+    val occB = gramOccurrences(toksB, n)
+    val indexGrams = gramOccurrences(tokenStream(index), n)
+      .select("gram")
+      .join(occB.select("gram").distinct(), "gram") // prune to batch vocab
+      .distinct()
+    val inIndex = occB.join(indexGrams, "gram")
+      .select("doc_id", "pos")
+    val firstsB = occB.groupBy("gram").agg(
+        count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("cnt") >= 2)
+    val laterInBatch = occB.join(firstsB, "gram")
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .select("doc_id", "pos")
+    rebuildWithout(toksB, inIndex.unionByName(laterInBatch).distinct(), n)
   }
 
   def nearDupPairsPrefix(docs: DataFrame, minJ: Double): DataFrame = {
@@ -556,6 +608,50 @@ object DedupQueries {
          |FROM k JOIN tot ON k.doc_id = tot.doc_id
          |ORDER BY k.doc_id""".stripMargin) { (s, d) =>
       removeDuplicatedSpans(Tables.documents(s, d), n = 5).orderBy("doc_id")
+    },
+
+    // ----- Incremental span removal: batch vs standing corpus -----
+    // Same parity split as q_dedup_incremental (even = standing index,
+    // odd = incoming batch): batch occurrences of any gram the index
+    // already contains are removed (the index copy is canonical), plus
+    // batch-internal non-first occurrences; only batch docs rebuild.
+    QueryDef(
+      "q_dedup_span_removal_inc",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tokB AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+         |         FROM t WHERE doc_id % 2 = 1),
+         |tok2B AS (SELECT doc_id, i, toks[i] AS tok FROM tokB),
+         |gB AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS gram
+         |       FROM tokB WHERE i + 4 <= len(toks)),
+         |gI AS (SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS gram
+         |       FROM (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+         |             FROM t WHERE doc_id % 2 = 0) x
+         |       WHERE i + 4 <= len(toks)),
+         |rB AS (SELECT doc_id, pos, gram,
+         |              ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+         |       FROM gB),
+         |rem AS (SELECT doc_id, pos FROM gB WHERE gram IN (SELECT gram FROM gI)
+         |        UNION
+         |        SELECT doc_id, pos FROM rB WHERE rn >= 2),
+         |cover AS (SELECT DISTINCT doc_id, i FROM (
+         |            SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS i FROM rem)),
+         |kept AS (SELECT tok2B.doc_id, tok2B.i, tok2B.tok
+         |         FROM tok2B LEFT JOIN cover
+         |           ON tok2B.doc_id = cover.doc_id AND tok2B.i = cover.i
+         |         WHERE cover.i IS NULL),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_total FROM tok2B GROUP BY 1),
+         |k AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |             string_agg(tok, ' ' ORDER BY i) AS clean_text
+         |      FROM kept GROUP BY 1)
+         |SELECT k.doc_id, k.n_kept, tot.n_total - k.n_kept AS n_removed,
+         |       k.clean_text
+         |FROM k JOIN tot ON k.doc_id = tot.doc_id
+         |ORDER BY k.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      removeDuplicatedSpansIncremental(
+          index = docs.filter(col("doc_id") % 2 === 0),
+          batch = docs.filter(col("doc_id") % 2 === 1), n = 5)
+        .orderBy("doc_id")
     },
 
     // ----- Per-source boilerplate grams (C4-style template detection) -----

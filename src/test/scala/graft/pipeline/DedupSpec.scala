@@ -233,6 +233,26 @@ class DedupSpec extends SparkSpec {
     assert(run(docs) == run(docs.repartition(7)))
   }
 
+  test("incremental span removal: index copies are canonical, batch never rewrites the index") {
+    import spark.implicits._
+    val index = Seq((10L, "one two three four five kept index tail"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // gram present in the index → removed from the batch even though
+      // this is its first occurrence WITHIN the batch
+      (1L, "pre one two three four five post"),
+      // batch-internal duplicate of a gram the index does NOT have:
+      // first batch occurrence survives, second drops
+      (3L, "a b c d e mid a b c d e end"))
+      .toDF("doc_id", "text")
+    val out = DedupQueries.removeDuplicatedSpansIncremental(index, batch, 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 5L, "pre post")))
+    assert(out(3L) == ((7L, 5L, "a b c d e mid end")))
+    assert(!out.contains(10L), "index documents must not be rewritten")
+  }
+
   test("span removal: within-doc repeats collapse to the first occurrence") {
     val dir = java.nio.file.Files.createTempDirectory("graft-spanrm2").toString
     // the 5-gram "a b c d e" occurs twice INSIDE one doc; second occurrence
