@@ -25,6 +25,7 @@ object SparkEntry {
       pipeline.QualityGateQueries.defs ++
       operators.RangeJoin.defs ++
       streaming.StreamShapeQueries.defs ++
+      sources.FormatSources.defs ++
       analytics.HealthcareEntry.defs ++
       semantic.RefModelQueries.defs
 

@@ -70,7 +70,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // format-source oracles embed a staged path derived from the input dir
+    // (__KEY__ placeholder) — resolve for THIS run's sfDir so the oracle
+    // reads exactly the files the Spark side staged
     val json = SparkEntry.oracleSql
+      .map { case (k, v) => k -> sources.FormatSources.resolveOracle(sfDir, v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
