@@ -208,6 +208,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("k-means: duplicate init vectors collapse to the lower cluster id, deterministically") {
+    // two identical init vectors give two zero-distance clusters; the
+    // argmin tie-break (min cluster id) must send BOTH — and every later
+    // member — to the lower id, so the duplicate cluster empties out of the
+    // centroid update and the final assignment, rather than flapping
+    import spark.implicits._
+    val v = Array.fill(8)(0.1f)
+    val other = Array.tabulate(8)(j => if (j < 4) 0.5f else 0.01f)
+    val vecs = (0 until 8).map { id =>
+      // ids 0 and 5 are IDENTICAL inits; remaining inits are `other`+jitter
+      val e =
+        if (id == 0 || id == 5) v
+        else other.map(x => x + id * 0.001f)
+      (id.toLong, e, 0)
+    } ++ Seq((100L, v.map(x => x + 0.0005f), 0)) // near the duplicate pair
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmeans-dup").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("q_kmeans_assign")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(0L) == out(5L), "identical vectors split across clusters")
+    assert(out(100L) == out(0L), "near-duplicate did not follow the collapsed cluster")
+    assert(!out.values.toSet.contains(5), "the duplicate init's cluster id must empty out")
+  }
+
   test("k-means assignment is partitioning-independent") {
     // at 1000 executors the input arrives under an arbitrary partitioning;
     // every k-means quantity is an integer aggregate (min-of-struct argmin,
