@@ -847,6 +847,46 @@ object RelationalQueries {
         .orderBy("returnflag", "linestatus")
     },
 
+    // ----- GROUPING SETS: arbitrary subtotal combinations -----
+    // ROLLUP/CUBE cover the hierarchical and full grids; real reporting
+    // workloads also ask for a hand-picked set of grouping combinations
+    // (here: (status,priority), (status), (priority) — the CUBE minus the
+    // grand total). GROUPING() indicators disambiguate a genuine NULL key
+    // from a subtotal row, which COALESCE alone cannot. One pass over the
+    // fact table: Catalyst plans a single Expand + partial/final hash
+    // aggregate, so the cost is |sets| × map-side rows, never |sets| scans.
+    QueryDef(
+      "q_grouping_sets",
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority))
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(
+            Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")),
+            Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+          count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("g_status"), col("g_priority"),
+          col("n_orders"), col("revenue"))
+        .orderBy("g_status", "g_priority", "status", "priority")
+    },
+
     // ----- F6/F9: Snowflake DATEDIFF(year) + DAYOFWEEK numbering shims -----
     QueryDef(
       "q_sf_date_shims",
