@@ -67,6 +67,41 @@ object DedupQueries {
   private def shinglePostings(s: SparkSession, d: String): DataFrame =
     shinglePostings(Tables.documents(s, d))
 
+  /** Bloom sizing for the decontamination pre-filter: 2¹⁶ bits / 2 probes
+    * comfortably holds the sf-scale benchmark shingle sets (FP rate
+    * (nk/m)² ≲ 10⁻²); production sizing derives m from the benchmark
+    * cardinality the same way — it is a constant of the SMALL side only.
+    */
+  private val BloomLogM = 16
+  private val BloomK = 2
+
+  /** Shared final stage of both decontamination faces: per-doc hit counts
+    * over the (pre-filtered or not) train∩bench postings, rated against
+    * total per-doc shingle counts.
+    */
+  private def decontaminateFinal(hits: DataFrame, sizes: DataFrame): DataFrame =
+    hits
+      .groupBy("doc_id").agg(count(lit(1)).as("contaminated_shingles"))
+      .join(sizes, "doc_id")
+      .withColumn("contamination_rate",
+        col("contaminated_shingles").cast("double") / col("n_shingles"))
+      .select("doc_id", "contaminated_shingles", "n_shingles", "contamination_rate")
+      .orderBy(col("contamination_rate").desc, col("doc_id"))
+      .limit(100)
+
+  private lazy val decontaminateOracle =
+    s"""WITH $shingleCtes,
+       |bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
+       |train AS (SELECT doc_id, s FROM ex WHERE doc_id % 97 <> 0),
+       |hits AS (SELECT t.doc_id, COUNT(*) AS contaminated_shingles
+       |         FROM train t JOIN bench b ON t.s = b.s
+       |         GROUP BY t.doc_id)
+       |SELECT h.doc_id, contaminated_shingles, sz.n AS n_shingles,
+       |       CAST(contaminated_shingles AS DOUBLE) / sz.n AS contamination_rate
+       |FROM hits h JOIN sizes sz ON h.doc_id = sz.doc_id
+       |ORDER BY contamination_rate DESC, h.doc_id
+       |LIMIT 100""".stripMargin
+
   /** NON-distinct n-gram instances per doc (one row per gram occurrence,
     * multiplicity preserved — the unit the span-duplication profile counts),
     * built with the same posexplode + window-lead shape as
@@ -489,30 +524,44 @@ object DedupQueries {
     // a map-side semi-join at any scale. -----
     QueryDef(
       "q_decontaminate",
-      s"""WITH $shingleCtes,
-         |bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
-         |train AS (SELECT doc_id, s FROM ex WHERE doc_id % 97 <> 0),
-         |hits AS (SELECT t.doc_id, COUNT(*) AS contaminated_shingles
-         |         FROM train t JOIN bench b ON t.s = b.s
-         |         GROUP BY t.doc_id)
-         |SELECT h.doc_id, contaminated_shingles, sz.n AS n_shingles,
-         |       CAST(contaminated_shingles AS DOUBLE) / sz.n AS contamination_rate
-         |FROM hits h JOIN sizes sz ON h.doc_id = sz.doc_id
-         |ORDER BY contamination_rate DESC, h.doc_id
-         |LIMIT 100""".stripMargin) { (s, d) =>
+      decontaminateOracle) { (s, d) =>
       val sh = shinglePostings(s, d)
       // stand-in benchmark slice: every 97th doc (deterministic holdout)
       val benchSh = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
       val train = sh.filter(col("doc_id") % 97 =!= 0)
       val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-      train.join(broadcast(benchSh), "sh")
-        .groupBy("doc_id").agg(count(lit(1)).as("contaminated_shingles"))
-        .join(sizes, "doc_id")
-        .withColumn("contamination_rate",
-          col("contaminated_shingles").cast("double") / col("n_shingles"))
-        .select("doc_id", "contaminated_shingles", "n_shingles", "contamination_rate")
-        .orderBy(col("contamination_rate").desc, col("doc_id"))
-        .limit(100)
+      decontaminateFinal(train.join(broadcast(benchSh), "sh"), sizes)
+    },
+
+    // ----- Decontamination, Bloom-pre-filtered face -----
+    // Same contract as q_decontaminate (the oracle is LITERALLY the same
+    // SQL — the Bloom filter is a lossless pre-filter given the exact
+    // verify join), different scale regime. The broadcast-exact face
+    // assumes the benchmark's distinct shingles fit a broadcast hash
+    // table; real decontamination sets (every eval suite's 13-grams) can
+    // reach 10⁸⁺ entries where an exact broadcast table blows the driver
+    // /executor budget but a Bloom filter is ~256 MB at 1% FP. Shape:
+    //  1. fold benchmark shingles into m bits via a distributed bit_or
+    //     aggregate (one job over the SMALL side);
+    //  2. bit-test every train posting MAP-SIDE (pure codegen'd projection
+    //     — the corpus never shuffles to discover it is clean);
+    //  3. exact semi-join ONLY the survivors (true hits + bloom FPs,
+    //     ~hit-rate + 2⁻ᵏ′ of postings) against the benchmark to kill
+    //     false positives. Catalyst picks broadcast here at test scale;
+    //     at the 10⁸-shingle scale it plans a shuffled join whose left
+    //     input the bloom already cut by ~99%.
+    QueryDef(
+      "q_decontaminate_bloom",
+      decontaminateOracle) { (s, d) =>
+      val sh = shinglePostings(s, d)
+      val benchSh = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
+      val train = sh.filter(col("doc_id") % 97 =!= 0)
+      val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val words = graft.functions.BloomFilters.build(
+        benchSh, col("sh"), logM = BloomLogM, k = BloomK)
+      val pruned = train.filter(
+        graft.functions.BloomFilters.mightContain(col("sh"), words, BloomLogM, BloomK))
+      decontaminateFinal(pruned.join(broadcast(benchSh), "sh"), sizes)
     },
 
     // ----- Duplicated-SPAN profile (substring-level dedup) -----

@@ -464,6 +464,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalPlan.contains("CartesianProduct"), finalPlan)
   }
 
+  test("bloom decontamination: bit test filters the corpus BELOW the verify join") {
+    // the whole point of the bloom face: the corpus stream is cut by a
+    // map-side codegen'd bit test (xxhash64 probes against an array
+    // literal) before any join sees it — the verify join's input is the
+    // pruned stream, not the full postings
+    val finalPlan = executedPlanOf("q_decontaminate_bloom").split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    // a Filter node carrying the probe hashes must exist (the bit test),
+    // and it must sit in the same stage as the scan side of the join —
+    // i.e. the plan contains the xxhash64 probe at all (the plain face has
+    // no xxhash64 anywhere)
+    assert(finalPlan.contains("xxhash64"), finalPlan.take(4000))
+    assert("Filter.*xxhash64".r.findFirstIn(finalPlan).isDefined, finalPlan.take(4000))
+    val plain = executedPlanOf("q_decontaminate").split("== Initial Plan ==")(0)
+    assert(!plain.contains("xxhash64"), "control: plain face must not carry probes")
+  }
+
   test("PII scrub: map-only — no joins, no exchanges before the final sort") {
     val finalPlan = executedPlanOf("q_pii_scrub").split("== Initial Plan ==")(0)
     assert(!finalPlan.contains("Join"), finalPlan)

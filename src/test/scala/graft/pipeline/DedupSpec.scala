@@ -253,6 +253,41 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(10L), "index documents must not be rewritten")
   }
 
+  test("bloom decontamination: lossless vs the exact face, and actually prunes") {
+    // lossless: the bloom face's exact verify join kills every false
+    // positive, so the two faces must be value-identical — not just the
+    // same doc set
+    def rows(name: String) = graft.SparkEntry.queries(name)(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows("q_decontaminate_bloom") == rows("q_decontaminate"))
+
+    // the bit test must do real work: strictly fewer postings reach the
+    // verify join than the train stream carries, and never fewer than the
+    // true hits (no false negatives by construction)
+    val docs = graft.analytics.Tables.documents(spark, sf())
+    val sh = DedupQueries.shinglePostings(docs)
+    val bench = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+    val words = graft.functions.BloomFilters.build(bench, col("sh"), 16, 2)
+    val total = train.count()
+    val pruned = train
+      .filter(graft.functions.BloomFilters.mightContain(col("sh"), words, 16, 2))
+      .count()
+    val hits = train.join(bench, "sh").count()
+    assert(pruned < total, s"bloom pruned nothing: $pruned of $total")
+    assert(pruned >= hits, s"bloom dropped true hits: $pruned < $hits")
+  }
+
+  test("bloom filter: zero false negatives over every inserted value") {
+    val vals = (0 until 5000).map(i => s"value-$i")
+    val df = vals.toDF("v")
+    val words = graft.functions.BloomFilters.build(df, col("v"), 14, 2)
+    val misses = df
+      .filter(!graft.functions.BloomFilters.mightContain(col("v"), words, 14, 2))
+      .count()
+    assert(misses == 0, s"$misses inserted values missed — bloom is broken")
+  }
+
   test("span removal: within-doc repeats collapse to the first occurrence") {
     val dir = java.nio.file.Files.createTempDirectory("graft-spanrm2").toString
     // the 5-gram "a b c d e" occurs twice INSIDE one doc; second occurrence
