@@ -61,6 +61,56 @@ object CorpusStatsQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ----- Corpus-LM familiarity (CCNet-style perplexity filter) -----
+    // CCNet ranks web documents by the perplexity of a KenLM n-gram model;
+    // low-probability documents are gibberish/OOD. Re-expressed
+    // integer-exact so the hash gate holds cross-engine: the "LM" is the
+    // corpus's own bigram frequency table, and a document's familiarity is
+    // the mean floor(log2(count)) of its bigrams — floor-log2 computed as
+    // length(bin(count))-1, pure integer ops in both engines (a float
+    // log() differs in the last ulp between libm implementations; a
+    // BIGINT bit length cannot). Monotone in the geometric-mean bigram
+    // probability, which is what the perplexity ranking actually uses.
+    //
+    // Scale: bigram instances stream once; the frequency aggregate is
+    // map-side-combined and keyed by the gram (vocabulary-sized output),
+    // and the join-back is the same gram-keyed equi-join as the span
+    // profile — the instances exchange feeds both the count aggregate and
+    // the join, so the corpus is shuffled once. Per-doc aggregation keys
+    // on doc_id. Nothing single-partition, nothing all-pairs. Training on
+    // a held-out reference corpus instead of self-scoring swaps the lm
+    // side's input and nothing else.
+    QueryDef(
+      "q_lm_familiarity",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |             unnest(CASE WHEN len(toks) >= 2
+         |                    THEN list_transform(generate_series(1, len(toks)-1),
+         |                         i -> array_to_string(toks[i:i+1], ' '))
+         |                    ELSE [] END) AS gram
+         |      FROM t),
+         |lm AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY 1),
+         |per AS (SELECT g.doc_id, COUNT(*) AS n_bigrams,
+         |               CAST(SUM(length(bin(lm.cnt)) - 1) AS BIGINT) AS familiarity_sum
+         |        FROM g JOIN lm USING (gram) GROUP BY 1)
+         |SELECT doc_id, n_bigrams, familiarity_sum,
+         |       CAST(familiarity_sum AS DOUBLE) / n_bigrams AS familiarity
+         |FROM per
+         |ORDER BY familiarity ASC, doc_id
+         |LIMIT 100""".stripMargin) { (s, d) =>
+      val grams = DedupQueries.gramInstances(Tables.documents(s, d), n = 2)
+      val lm = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      grams.join(lm, "gram")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum((length(bin(col("cnt"))) - 1).cast("long")).as("familiarity_sum"))
+        .withColumn("familiarity",
+          col("familiarity_sum").cast("double") / col("n_bigrams"))
+        .orderBy(col("familiarity").asc, col("doc_id"))
+        .limit(100)
+    },
+
     // ----- Gopher-style repetition quality rules -----
     // The classic web-corpus filters: a document dominated by one token,
     // one bigram, or repeated trigrams is boilerplate/spam, not prose.

@@ -464,6 +464,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalPlan.contains("CartesianProduct"), finalPlan)
   }
 
+  test("lm familiarity: one scan; token exchange reused; LM side broadcasts") {
+    val finalPlan = executedPlanOf("q_lm_familiarity").split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(finalPlan).size == 1,
+      "documents must be scanned once: " + finalPlan.take(4000))
+    assert(finalPlan.contains("ReusedExchange"),
+      "the bigram stream must be computed once and reused: " + finalPlan.take(4000))
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      "the vocabulary-sized LM joins broadcast at this scale: " + finalPlan.take(4000))
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+  }
+
   test("bloom decontamination: bit test filters the corpus BELOW the verify join") {
     // the whole point of the bloom face: the corpus stream is cut by a
     // map-side codegen'd bit test (xxhash64 probes against an array

@@ -20,6 +20,22 @@ class CorpusStatsSpec extends SparkSpec {
     CorpusStatsQueries.defs.find(_.name == name).get.build(s, dir)
   }
 
+  test("lm familiarity: docs of rare bigrams score below docs of common ones") {
+    // 6 docs repeat the same sentence (its bigrams reach corpus count ≥6);
+    // one doc is unique gibberish (every bigram count = 1 → bucket 0)
+    val common = (1L to 6L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog", "en", "s", 43L))
+    val docs = (common :+ ((7L, "zxq wvu tsr qpo nml kji", "en", "s", 23L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = build("q_lm_familiarity", docs)(spark)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows(7L) == 0.0, s"unique-bigram doc must score 0, got ${rows(7L)}")
+    assert(rows(1L) >= 2.0, s"repeated-sentence doc must score >= 2, got ${rows(1L)}")
+    // ordering surface: the gibberish doc is the least familiar
+    val first = build("q_lm_familiarity", docs)(spark).collect().head
+    assert(first.getLong(0) == 7L)
+  }
+
   test("repetition: degenerate docs are flagged, diverse docs kept") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam", "en", "s", 50L),
