@@ -67,6 +67,66 @@ object TextPipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ----- Linear quality classifier (integer-exact logit) -----
+    // The production pattern behind fastText/logistic quality filters
+    // (CCNet, FineWeb-Edu): engineered features × trained weights →
+    // threshold on the score. Re-expressed integer-exact so the decision
+    // is bit-reproducible cross-engine AND across cluster sizes: features
+    // are per-mille/×100 integer ratios (integer DIV — no float division
+    // anywhere), weights are integers, the logit is a BIGINT dot product,
+    // and keep = logit ≥ 0 (sigmoid is monotone, so thresholding the
+    // probability IS thresholding the logit — the sigmoid itself never
+    // needs evaluating). Swapping in trained weights changes constants,
+    // not shape.
+    //
+    // Scale: a single codegen'd Project over the scan — zero shuffles,
+    // zero joins; the classifier cost is one pass at wire speed, the
+    // same map-only envelope as the PII scrub. The HOF filters iterate a
+    // materialized token array (O(tokens), scalar lambda bodies) — not
+    // the O(tokens²) tokenizer-in-lambda trap q_repetition_gopher's
+    // comment documents.
+    QueryDef(
+      "q_quality_classifier",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks, text FROM documents),
+         |f AS (SELECT doc_id,
+         |             CAST(len(toks) AS BIGINT) AS n_tokens,
+         |             length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS sum_len,
+         |             len(list_filter(toks, x -> x IN ($stopwordsSql))) AS n_stop,
+         |             len(list_filter(toks, x -> len(x) >= 6)) AS n_long
+         |      FROM t),
+         |s AS (SELECT doc_id, n_tokens,
+         |             CAST((n_stop * 1000) // n_tokens AS BIGINT) AS stop_pm,
+         |             CAST((n_long * 1000) // n_tokens AS BIGINT) AS long_pm,
+         |             CAST((sum_len * 100) // n_tokens AS BIGINT) AS meanlen_x100
+         |      FROM f WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens, stop_pm, long_pm, meanlen_x100,
+         |       4*stop_pm + 2*long_pm + 6*n_tokens + meanlen_x100 - 1400 AS logit,
+         |       4*stop_pm + 2*long_pm + 6*n_tokens + meanlen_x100 - 1400 >= 0 AS keep
+         |FROM s
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      val f = Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
+            .cast("long").as("sum_len"),
+          size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+            .cast("long").as("n_stop"),
+          size(filter(toks, t => length(t) >= 6)).cast("long").as("n_long"))
+        .filter(col("n_tokens") > 0)
+        .select(
+          col("doc_id"), col("n_tokens"),
+          expr("(n_stop * 1000) DIV n_tokens").as("stop_pm"),
+          expr("(n_long * 1000) DIV n_tokens").as("long_pm"),
+          expr("(sum_len * 100) DIV n_tokens").as("meanlen_x100"))
+      val logit = lit(4L) * col("stop_pm") + lit(2L) * col("long_pm") +
+        lit(6L) * col("n_tokens") + col("meanlen_x100") - lit(1400L)
+      f.select(col("doc_id"), col("n_tokens"), col("stop_pm"), col("long_pm"),
+          col("meanlen_x100"), logit.as("logit"), (logit >= 0).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // ----- BPE-ish token counting (GPT-2-style pretokenizer regex) -----
     // The regex uses only alternation + character classes (no lookaround),
     // so Java regex (Spark) and RE2 (DuckDB) produce identical leftmost

@@ -464,6 +464,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalPlan.contains("CartesianProduct"), finalPlan)
   }
 
+  test("quality classifier: map-only — one scan, no joins, no pre-sort exchange") {
+    val finalPlan = executedPlanOf("q_quality_classifier").split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Join"), finalPlan)
+    assert("FileScan parquet".r.findAllIn(finalPlan).size == 1, finalPlan)
+    // only the final ORDER BY may exchange (rangepartitioning); the
+    // classification itself must not shuffle
+    assert(!finalPlan.contains("Exchange hashpartitioning"), finalPlan)
+  }
+
   test("lm familiarity: one scan; token exchange reused; LM side broadcasts") {
     val finalPlan = executedPlanOf("q_lm_familiarity").split("== Initial Plan ==")(0)
     assert("FileScan parquet".r.findAllIn(finalPlan).size == 1,
