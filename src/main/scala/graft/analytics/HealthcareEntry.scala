@@ -677,6 +677,119 @@ object HealthcareEntry {
           SemOrder("total_revenue", desc = true, nullsLast = true),
           SemOrder("diagnosis"))))),
 
+    // ----- GDPR erasure: right-to-be-forgotten cascade audit -----
+    // Erasing a patient is NOT one DELETE: PII persists in the patient
+    // row, every appointment/visit referencing them (including
+    // soft-deleted rows — the _snowflake_deleted flag hides rows from
+    // queries, it does not remove PII), and the append-only CDC journal,
+    // whose `after` images embed the patient's data and whose DELETE
+    // tombstones carry no `after` at all — so journal attribution must go
+    // by KEY (every journal event for an appointment/visit the patient
+    // ever owned), not by payload inspection. This query runs the full
+    // cascade as one plan and emits a per-store audit: rows before,
+    // rows erased, rows after, and — recomputed FROM the erased result,
+    // not asserted — the residual references remaining (must be 0).
+    //
+    // Scale shape: direct stores flag by a pushed-down predicate; the
+    // journals flag via a broadcast key-set join (the erased key set is
+    // one patient's keys — always broadcastable); each audit row is a
+    // pair of 1-row aggregates crossJoined (bounded by construction). At
+    // 100 TB the same plan rewrites only the files whose row groups
+    // contain hits — the key-set join IS the pruning predicate.
+    QueryDef(
+      "hc_gdpr_erasure",
+      s"""WITH aj AS (SELECT * FROM read_parquet('${HealthcareData.Root}/store/appointments_journal/*/*.parquet')),
+         |vj AS (SELECT * FROM read_parquet('${HealthcareData.Root}/store/visits_journal/*/*.parquet')),
+         |ak AS (SELECT DISTINCT CAST(appointment_id AS VARCHAR) AS k FROM $AL WHERE patient_id = 41
+         |       UNION SELECT DISTINCT CAST(key AS VARCHAR) FROM aj
+         |       WHERE CAST(json_extract_string(after, '$$.patient_id') AS BIGINT) = 41),
+         |vk AS (SELECT DISTINCT CAST(visit_id AS VARCHAR) AS k FROM $VL WHERE patient_id = 41
+         |       UNION SELECT DISTINCT CAST(key AS VARCHAR) FROM vj
+         |       WHERE CAST(json_extract_string(after, '$$.patient_id') AS BIGINT) = 41),
+         |pf AS (SELECT patient_id = 41 AS hit FROM $P),
+         |af AS (SELECT patient_id = 41 AS hit FROM $AL),
+         |vf AS (SELECT patient_id = 41 AS hit FROM $VL),
+         |ajf AS (SELECT (ak.k IS NOT NULL) AS hit FROM aj LEFT JOIN ak ON CAST(aj.key AS VARCHAR) = ak.k),
+         |vjf AS (SELECT (vk.k IS NOT NULL) AS hit FROM vj LEFT JOIN vk ON CAST(vj.key AS VARCHAR) = vk.k)
+         |SELECT * FROM (
+         |  SELECT 'appointments' AS table_name,
+         |         (SELECT COUNT(*) FROM af) AS rows_before,
+         |         (SELECT CAST(COALESCE(SUM(CASE WHEN hit THEN 1 ELSE 0 END), 0) AS BIGINT) FROM af) AS erased,
+         |         (SELECT COUNT(*) FROM af WHERE NOT hit) AS rows_after,
+         |         (SELECT CAST(COALESCE(SUM(CASE WHEN hit THEN 1 ELSE 0 END), 0) AS BIGINT) FROM af WHERE NOT hit) AS residual
+         |  UNION ALL
+         |  SELECT 'appointments_journal',
+         |         (SELECT COUNT(*) FROM ajf),
+         |         (SELECT CAST(COALESCE(SUM(CASE WHEN hit THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ajf),
+         |         (SELECT COUNT(*) FROM ajf WHERE NOT hit),
+         |         (SELECT CAST(COALESCE(SUM(CASE WHEN hit THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ajf WHERE NOT hit)
+         |  UNION ALL
+         |  SELECT 'patients',
+         |         (SELECT COUNT(*) FROM pf),
+         |         (SELECT CAST(COALESCE(SUM(CASE WHEN hit THEN 1 ELSE 0 END), 0) AS BIGINT) FROM pf),
+         |         (SELECT COUNT(*) FROM pf WHERE NOT hit),
+         |         (SELECT CAST(COALESCE(SUM(CASE WHEN hit THEN 1 ELSE 0 END), 0) AS BIGINT) FROM pf WHERE NOT hit)
+         |  UNION ALL
+         |  SELECT 'visits',
+         |         (SELECT COUNT(*) FROM vf),
+         |         (SELECT CAST(COALESCE(SUM(CASE WHEN hit THEN 1 ELSE 0 END), 0) AS BIGINT) FROM vf),
+         |         (SELECT COUNT(*) FROM vf WHERE NOT hit),
+         |         (SELECT CAST(COALESCE(SUM(CASE WHEN hit THEN 1 ELSE 0 END), 0) AS BIGINT) FROM vf WHERE NOT hit)
+         |  UNION ALL
+         |  SELECT 'visits_journal',
+         |         (SELECT COUNT(*) FROM vjf),
+         |         (SELECT CAST(COALESCE(SUM(CASE WHEN hit THEN 1 ELSE 0 END), 0) AS BIGINT) FROM vjf),
+         |         (SELECT COUNT(*) FROM vjf WHERE NOT hit),
+         |         (SELECT CAST(COALESCE(SUM(CASE WHEN hit THEN 1 ELSE 0 END), 0) AS BIGINT) FROM vjf WHERE NOT hit)
+         |) ORDER BY table_name""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.functions._
+      HealthcareData.ensure(s)
+      val root = HealthcareData.Root
+      val pid = 41L
+      val patients = s.read.parquet(s"$root/patients")
+      val apptLive = s.read.parquet(s"$root/appointments_live")
+      val visitsLive = s.read.parquet(s"$root/visits_live")
+      val aj = s.read.parquet(s"$root/store/appointments_journal")
+      val vj = s.read.parquet(s"$root/store/visits_journal")
+
+      // one audit row from a flagged store: before/erased over the full
+      // set, after/residual recomputed over the erased result. Both sides
+      // are 1-row aggregates — the crossJoin is 1×1 by construction.
+      def audit(name: String, flagged: DataFrame): DataFrame = {
+        def counts(df: DataFrame, total: String, hits: String) = df.agg(
+          count(lit(1)).as(total),
+          coalesce(sum(when(col("_gdpr_hit"), 1L).otherwise(0L)), lit(0L)).as(hits))
+        counts(flagged, "rows_before", "erased")
+          .crossJoin(counts(flagged.filter(!col("_gdpr_hit")), "rows_after", "residual"))
+          .select(lit(name).as("table_name"), col("rows_before"), col("erased"),
+            col("rows_after"), col("residual"))
+      }
+      def direct(df: DataFrame) = df.withColumn("_gdpr_hit", col("patient_id") === pid)
+      // journal attribution by KEY: every event for an entity the patient
+      // ever owned — catches DELETE tombstones whose payload has no PII
+      // link. The key set is one patient's entities: broadcast.
+      def journalFlag(j: DataFrame, keys: DataFrame) = j
+        .withColumn("_jk", col("key").cast("string"))
+        .join(broadcast(keys), j("key").cast("string") === keys("_k"), "left")
+        .withColumn("_gdpr_hit", col("_k").isNotNull)
+      val apptKeys = apptLive.filter(col("patient_id") === pid)
+        .select(col("appointment_id").cast("string").as("_k"))
+        .union(aj.filter(get_json_object(col("after"), "$.patient_id").cast("long") === pid)
+          .select(col("key").cast("string").as("_k")))
+        .distinct()
+      val visitKeys = visitsLive.filter(col("patient_id") === pid)
+        .select(col("visit_id").cast("string").as("_k"))
+        .union(vj.filter(get_json_object(col("after"), "$.patient_id").cast("long") === pid)
+          .select(col("key").cast("string").as("_k")))
+        .distinct()
+      audit("patients", direct(patients))
+        .unionByName(audit("appointments", direct(apptLive)))
+        .unionByName(audit("visits", direct(visitsLive)))
+        .unionByName(audit("appointments_journal", journalFlag(aj, apptKeys)))
+        .unionByName(audit("visits_journal", journalFlag(vj, visitKeys)))
+        .orderBy("table_name")
+    },
+
     // ----- Journal time travel: table state AS OF an arbitrary LSN -----
     // The payoff of the append-only journal (S5) beyond auditing: rebuild
     // the appointments table as it stood at ANY point in the CDC stream —
