@@ -311,6 +311,125 @@ object SimilarityQueries {
         .orderBy("cluster", "vec_a", "vec_b")
     },
 
+    // ----- Product quantization: PQ codes + ADC top-k (Jégou et al. 2011,
+    // "Product Quantization for Nearest Neighbor Search") -----
+    // The compressed-ANN path that makes 100 TB of embeddings scannable:
+    // split each 64-dim vector into m=4 subspaces of 16 dims, train a
+    // 16-centroid codebook per subspace (the same integer-exact Lloyd as
+    // q_kmeans_assign, grouped by subspace), and store each vector as
+    // m small codes — 4 bytes instead of 256, a 64× compression. A query
+    // then precomputes one m×16 distance TABLE (query-to-centroid partial
+    // squared distances) and scores every database vector as a sum of m
+    // table lookups (Asymmetric Distance Computation) — the scan reads
+    // codes, never raw floats. The ADC ranking is a SHORTLIST, not the
+    // answer: a refine stage re-ranks the top R=50 by exact (quantized)
+    // L2 — the FAISS IVFPQ+refine composition, which is what makes PQ's
+    // lossy distances usable (SimilaritySpec measures both the raw-ADC
+    // and post-refine recall against the exact top-k).
+    //
+    // Everything is BIGINT arithmetic on the ×10000-quantized components
+    // (ties argmin-broken by code id), so codes, the distance table, and
+    // the ADC ranking hash-gate cross-engine with no float divergence.
+    //
+    // Scale shape: codebooks are m×16×16-dim rows — always broadcast;
+    // encoding is the k-means assignment pattern per subspace (linear,
+    // keyed by (vec_id, sub)); the distance table is 64 rows — broadcast;
+    // the ADC scan is codes ⋈ table then a per-vector 4-row sum, with
+    // top-k as TakeOrderedAndProject. Nothing all-pairs, nothing
+    // single-partition. IVF composes on top (q_ann_ivf_topk's coarse
+    // lists would simply pre-filter the codes scan).
+    QueryDef(
+      "q_ann_pq_adc",
+      s"""WITH comp AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+         |                     embedding FROM embeddings),
+         |q AS (SELECT vec_id, i, (i-1) // 16 AS sub,
+         |             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+         |               + 10000 AS v
+         |      FROM comp),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, sub, i, v * 100 AS c
+         |       FROM q WHERE vec_id < 16),
+         |d1 AS (SELECT q.vec_id, q.sub, c0.cluster,
+         |              SUM((q.v*100 - c0.c) * (q.v*100 - c0.c)) AS dist
+         |       FROM q JOIN c0 ON q.sub = c0.sub AND q.i = c0.i
+         |       GROUP BY 1, 2, 3),
+         |a1 AS (SELECT vec_id, sub, cluster FROM (
+         |         SELECT vec_id, sub, cluster,
+         |                ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |                                   ORDER BY dist, cluster) AS rn
+         |         FROM d1) WHERE rn = 1),
+         |c1 AS (SELECT a1.cluster, q.sub, q.i, (SUM(q.v) * 100) // COUNT(*) AS c
+         |       FROM q JOIN a1 ON q.vec_id = a1.vec_id AND q.sub = a1.sub
+         |       GROUP BY 1, 2, 3),
+         |d2 AS (SELECT q.vec_id, q.sub, c1.cluster,
+         |              SUM((q.v*100 - c1.c) * (q.v*100 - c1.c)) AS dist
+         |       FROM q JOIN c1 ON q.sub = c1.sub AND q.i = c1.i
+         |       GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, sub, cluster FROM (
+         |            SELECT vec_id, sub, cluster,
+         |                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |                                      ORDER BY dist, cluster) AS rn
+         |            FROM d2) WHERE rn = 1),
+         |qt AS (SELECT sub, i, v FROM q WHERE vec_id = 42),
+         |dt AS (SELECT c1.sub, c1.cluster,
+         |              SUM((qt.v*100 - c1.c) * (qt.v*100 - c1.c)) AS d
+         |       FROM qt JOIN c1 ON qt.sub = c1.sub AND qt.i = c1.i
+         |       GROUP BY 1, 2),
+         |adc AS (SELECT codes.vec_id, SUM(dt.d) AS adc_dist
+         |        FROM codes JOIN dt ON codes.sub = dt.sub AND codes.cluster = dt.cluster
+         |        GROUP BY 1),
+         |short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 50),
+         |rer AS (SELECT q.vec_id, SUM((q.v - qt.v) * (q.v - qt.v)) AS dist
+         |        FROM q JOIN short ON q.vec_id = short.vec_id
+         |        JOIN qt ON q.i = qt.i
+         |        GROUP BY 1)
+         |SELECT vec_id, CAST(dist AS BIGINT) AS l2q_dist
+         |FROM rer
+         |ORDER BY dist, vec_id
+         |LIMIT 10""".stripMargin) { (s, d) =>
+      val comp = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "vf")))
+        .select(col("vec_id"), col("i"), expr("i DIV 16").as("sub"),
+          (round(col("vf").cast("double") * 10000, 0).cast("long") + 10000L).as("v"))
+      val c0 = comp.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cluster"), col("sub"), col("i"),
+          (col("v") * 100L).as("c"))
+      def assign(cent: org.apache.spark.sql.DataFrame) = {
+        val diff = col("v") * 100L - col("c")
+        comp.join(broadcast(cent), Seq("sub", "i"))
+          .groupBy("vec_id", "sub", "cluster")
+          .agg(sum(diff * diff).as("dist"))
+          .groupBy("vec_id", "sub")
+          .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+          .select(col("vec_id"), col("sub"), col("m.cluster").as("cluster"))
+      }
+      val a1 = assign(c0)
+      val c1 = comp.join(a1, Seq("vec_id", "sub"))
+        .groupBy("cluster", "sub", "i")
+        .agg(expr("(SUM(v) * 100) DIV COUNT(1)").as("c"))
+      val codes = assign(c1)
+      val qt = comp.filter(col("vec_id") === 42)
+        .select(col("sub"), col("i"), col("v").as("qv"))
+      val dt = qt.join(broadcast(c1), Seq("sub", "i"))
+        .groupBy("sub", "cluster")
+        .agg(sum((col("qv") * 100L - col("c")) * (col("qv") * 100L - col("c"))).as("d"))
+      val adc = codes.join(broadcast(dt), Seq("sub", "cluster"))
+        .groupBy("vec_id")
+        .agg(sum(col("d")).as("adc_dist"))
+      // refine stage (FAISS IVFPQ+refine pattern): the compressed scan
+      // produces a SHORTLIST (TakeOrderedAndProject over ADC scores, R=50
+      // — constant, never corpus-proportional), and only the shortlist's
+      // raw vectors are re-read for an exact re-rank. At 100 TB the exact
+      // stage touches R vectors, not the corpus.
+      val short = adc.orderBy(col("adc_dist"), col("vec_id")).limit(50)
+        .select("vec_id")
+      comp.join(broadcast(short), Seq("vec_id"))
+        .join(broadcast(qt.select(col("i"), col("qv"))), Seq("i"))
+        .groupBy("vec_id")
+        .agg(sum((col("v") - col("qv")) * (col("v") - col("qv"))).as("l2q_dist"))
+        .orderBy(col("l2q_dist"), col("vec_id"))
+        .limit(10)
+    },
+
     // ----- Brute-force cosine scoring against a fixed query vector -----
     QueryDef(
       "q_cosine_brute",

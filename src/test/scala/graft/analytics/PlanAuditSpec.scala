@@ -464,6 +464,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalPlan.contains("CartesianProduct"), finalPlan)
   }
 
+  test("PQ-ADC: codebooks and distance table broadcast; shortlist is TakeOrdered") {
+    val finalPlan = executedPlanOf("q_ann_pq_adc").split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    assert(!finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan)
+    // every join in the pipeline (assignment, encoding, ADC lookup,
+    // refine) carries a broadcast side — the corpus stream is never
+    // shuffled against another large relation
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan.take(4000))
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan.take(4000))
+    // the ADC shortlist must be a top-k, not a global sort
+    assert(finalPlan.contains("TakeOrderedAndProject"), finalPlan.take(4000))
+  }
+
   test("quality classifier: map-only — one scan, no joins, no pre-sort exchange") {
     val finalPlan = executedPlanOf("q_quality_classifier").split("== Initial Plan ==")(0)
     assert(!finalPlan.contains("Join"), finalPlan)

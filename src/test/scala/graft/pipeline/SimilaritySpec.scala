@@ -262,4 +262,62 @@ class SimilaritySpec extends SparkSpec {
     val recall = sem.size.toDouble / exact.size
     assert(recall >= 0.3, s"SemDeDup recall $recall collapsed (${sem.size}/${exact.size})")
   }
+
+  /** Quantized integer components of the corpus embeddings — the exact
+    * representation q_ann_pq_adc ranks in (×10000, +10000, per-dim).
+    */
+  private def quantized(dir: String) =
+    graft.analytics.Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("i", "vf")))
+      .select($"vec_id", $"i",
+        (round($"vf".cast("double") * 10000, 0).cast("long") + 10000L).as("v"))
+
+  test("PQ-ADC + refine: distances are exact, self ranks first, recall beats chance") {
+    val out = graft.SparkEntry.queries("q_ann_pq_adc")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the refine stage outputs EXACT quantized-L2 distances — check every
+    // returned (vec_id, dist) against an independent brute-force
+    val comp = quantized(sf())
+    val qv = comp.filter($"vec_id" === 42L).select($"i", $"v".as("qv"))
+    val exact = comp.join(qv, "i")
+      .groupBy("vec_id")
+      .agg(sum(($"v" - $"qv") * ($"v" - $"qv")).as("dist"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, dist) =>
+      assert(exact(id) == dist, s"vec $id: refine dist $dist != exact ${exact(id)}")
+    }
+    assert(out.head == ((42L, 0L)), "the query itself must rank first at distance 0")
+    // recall floor vs the exact top-10: these embeddings are near-isotropic
+    // noise (the hardest regime for PQ — cell distortion is comparable to
+    // neighbor gaps), so the bar is beats-chance-clearly, not clustered-
+    // data recall: a random 50-of-500 shortlist would hit 10% in
+    // expectation; the measured shortlist recall here is 40%
+    val exactTop10 = exact.toSeq.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val got = out.map(_._1).toSet
+    val recall = (exactTop10 & got).size.toDouble / 10
+    assert(recall >= 0.3, s"PQ+refine recall $recall vs exact top-10")
+  }
+
+  test("PQ-ADC + refine recovers planted clusters completely") {
+    // on data with real structure (4 tight clusters on separated axes) the
+    // PQ cells align with clusters and the shortlist contains the whole
+    // true neighborhood — recall is a data property, the mechanics must
+    // deliver 100% here
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    def member(axis: Int): Array[Float] =
+      Array.tabulate(dim)(i => (if (i == axis * 8) 5f else 0f) + (rnd.nextFloat() - 0.5f) * 0.2f)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    (0L until 200L).map(i => (i, member((i % 4).toInt), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("q_ann_pq_adc")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.head._1 == 42L && out.head._2 == 0L)
+    // query 42 belongs to cluster 42 % 4 = 2; every neighbor must too
+    out.foreach { case (id, _) =>
+      assert(id % 4 == 2, s"vec $id from cluster ${id % 4} leaked into cluster-2 top-k")
+    }
+    assert(out.length == 10)
+  }
 }
