@@ -84,6 +84,20 @@ object FamilyScaleProbe {
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     }
+    if (!new java.io.File(s"$dir/orders.parquet").exists()) {
+      // grouping-sets probe axis: fact rows grow linearly, the grouping
+      // grid (status × priority) stays constant-cardinality — exactly the
+      // Expand+partial-agg shape whose map-side combine should absorb the
+      // growth (subtotal output rows do NOT scale with the corpus).
+      val ord = spark.read.parquet(s"$src/orders.parquet")
+      (0 until replicas).map { k =>
+        if (k == 0) ord
+        else ord
+          .withColumn("o_orderkey", col("o_orderkey") + lit(k * 10000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(k * 10000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    }
     if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
       // vec_id shifts keep replica vectors identical — k-means assignment
       // work scales with the population while centroids stay put (init ids
@@ -205,7 +219,22 @@ object FamilyScaleProbe {
       "stream_dedup" -> streamDedup,
       "span_removal" -> registered("q_dedup_span_removal"),
       "kmeans" -> registered("q_kmeans_assign"),
-      "train_export" -> registered("q_train_export"))
+      "train_export" -> registered("q_train_export"),
+      // round-10 late additions. Replica embeddings are identical vectors
+      // (vec_id-shifted), so PQ codebooks (vec_id<16) and the query vector
+      // stay fixed while encode/ADC work scales with the population;
+      // replica documents carry disjoint token spaces, so the bloom
+      // benchmark side and the bigram LM both grow linearly with no
+      // cross-replica hits; quality_classifier is the map-only envelope;
+      // grouping_sets rides the replicated orders fact (constant grid).
+      // (hc_gdpr_erasure is fixture-store-rooted, not dir-driven — its
+      // scale argument is the broadcast key-set join shape, spec'd in
+      // GdprErasureSpec, so it has no corpus-replica axis to probe.)
+      "pq_adc" -> registered("q_ann_pq_adc"),
+      "decontaminate_bloom" -> registered("q_decontaminate_bloom"),
+      "lm_familiarity" -> registered("q_lm_familiarity"),
+      "quality_classifier" -> registered("q_quality_classifier"),
+      "grouping_sets" -> registered("q_grouping_sets"))
     familyFilter.foreach { names =>
       val unknown = names.diff(allFamilies.map(_._1).toSet + "incremental")
       require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")

@@ -15,6 +15,7 @@ object SparkEntry {
     analytics.RelationalQueries.defs ++
       analytics.CdcShapeQueries.defs ++
       analytics.SequenceQueries.defs ++
+      analytics.GraphQueries.defs ++
       pipeline.TextPipelineQueries.defs ++
       pipeline.DedupQueries.defs ++
       pipeline.SimilarityQueries.defs ++
