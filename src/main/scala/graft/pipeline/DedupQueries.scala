@@ -45,6 +45,52 @@ object DedupQueries {
        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)""".stripMargin
 
+  /** Shared CTE chain for the fuzzy-name faces: FastSS deletion-variant
+    * index over customer names → variant-blocked candidate pairs →
+    * levenshtein-verified pairs (`lev`). Kept as one string so the pair
+    * face and the cluster face gate against LITERALLY the same candidate
+    * semantics.
+    */
+  private val fuzzyPairCtes =
+    """v AS (
+      |  SELECT DISTINCT c_custkey, c_name,
+      |         unnest(list_append(
+      |           list_transform(generate_series(1, length(c_name)),
+      |             i -> substr(c_name, 1, i-1) || substr(c_name, i+1)),
+      |           c_name)) AS variant
+      |  FROM customer),
+      |cand AS (
+      |  SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |                  a.c_name AS name_a, b.c_name AS name_b
+      |  FROM v a JOIN v b ON a.variant = b.variant
+      |                   AND a.c_custkey < b.c_custkey),
+      |lev AS (SELECT id_a, id_b, name_a, name_b FROM cand
+      |        WHERE levenshtein(name_a, name_b) <= 1)""".stripMargin
+
+  /** Levenshtein-≤1 name pairs via the FastSS deletion-neighborhood
+    * blocking (full recall at the threshold; levenshtein only verifies
+    * candidates). Shared by the pair face and the ER-cluster face.
+    */
+  private def fuzzyNamePairs(s: SparkSession, d: String): DataFrame = {
+    val variants = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"),
+        explode(expr(
+          """concat(
+            |  transform(sequence(1, length(c_name)),
+            |    i -> concat(substr(c_name, 1, i-1), substr(c_name, i+1))),
+            |  array(c_name))""".stripMargin)).as("variant"))
+      .distinct()
+    val a = variants.select(col("c_custkey").as("id_a"),
+      col("c_name").as("name_a"), col("variant"))
+    val b = variants.select(col("c_custkey").as("id_b"),
+      col("c_name").as("name_b"), col("variant"))
+    a.join(b, Seq("variant"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "name_a", "name_b")
+      .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+  }
+
   /** Distinct (doc_id, sh) 3-word-shingle postings, built with
     * posexplode + windowed lead — every expression codegen-friendly. The
     * window partitions by doc_id (tokens of one doc are never large), and
@@ -770,40 +816,60 @@ object DedupQueries {
     // The same shape extends to distance k with k-deletion variants.
     QueryDef(
       "q_fuzzy_match_name",
-      """WITH v AS (
-        |  SELECT DISTINCT c_custkey, c_name,
-        |         unnest(list_append(
-        |           list_transform(generate_series(1, length(c_name)),
-        |             i -> substr(c_name, 1, i-1) || substr(c_name, i+1)),
-        |           c_name)) AS variant
-        |  FROM customer),
-        |pairs AS (
-        |  SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
-        |                  a.c_name AS name_a, b.c_name AS name_b
-        |  FROM v a JOIN v b ON a.variant = b.variant
-        |                   AND a.c_custkey < b.c_custkey)
-        |SELECT id_a, id_b, name_a, name_b
-        |FROM pairs
-        |WHERE levenshtein(name_a, name_b) <= 1
-        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      val variants = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_name"),
-          explode(expr(
-            """concat(
-              |  transform(sequence(1, length(c_name)),
-              |    i -> concat(substr(c_name, 1, i-1), substr(c_name, i+1))),
-              |  array(c_name))""".stripMargin)).as("variant"))
-        .distinct()
-      val a = variants.select(col("c_custkey").as("id_a"),
-        col("c_name").as("name_a"), col("variant"))
-      val b = variants.select(col("c_custkey").as("id_b"),
-        col("c_name").as("name_b"), col("variant"))
-      a.join(b, Seq("variant"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
-        .distinct()
-        .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
-        .orderBy("id_a", "id_b")
+      s"""WITH $fuzzyPairCtes
+         |SELECT id_a, id_b, name_a, name_b
+         |FROM lev
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      fuzzyNamePairs(s, d).orderBy("id_a", "id_b")
+    },
+
+    // ----- Entity-resolution clustering (pairs → transitive entities) -----
+    // Record linkage does not stop at PAIRS: the deliverable is one entity
+    // id per group of transitively-linked records (A~B, B~C ⇒ {A,B,C} is
+    // one entity even when levenshtein(A,C) = 2). This face closes the
+    // loop: the FastSS candidate pairs above feed the same min-label
+    // connected-components kernel the near-dup survivor policy uses, and
+    // each clustered record comes back with its entity id (the cluster's
+    // minimum custkey — a deterministic canonical record choice) and the
+    // entity's member count. Records matching nothing are their own
+    // entity and are omitted (standard linkage output: clusters of size
+    // >= 2).
+    //
+    // Scale: the pair graph after blocking is FAR smaller than the corpus
+    // (only records sharing a deletion variant), so the CC step runs on
+    // the bounded union-find path / distributed min-label loop of
+    // [[graft.operators.ConnectedComponents]]; the members join-back is
+    // keyed by custkey. The oracle replays the transitive closure as a
+    // recursive CTE — label propagation to fixpoint, exactly the
+    // distributed algorithm, so the gate covers the clustering itself,
+    // not just the pairs.
+    QueryDef(
+      "q_er_clusters",
+      s"""WITH RECURSIVE $fuzzyPairCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM lev
+         |          UNION SELECT id_b, id_a FROM lev),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |rep AS (SELECT id, MIN(r) AS entity_id FROM reach GROUP BY 1),
+         |sizes AS (SELECT entity_id, COUNT(*) AS n_members FROM rep GROUP BY 1)
+         |SELECT rep.entity_id, c.c_custkey, c.c_name, sizes.n_members
+         |FROM rep
+         |JOIN customer c ON rep.id = c.c_custkey
+         |JOIN sizes USING (entity_id)
+         |ORDER BY entity_id, c_custkey""".stripMargin) { (s, d) =>
+      val pairs = fuzzyNamePairs(s, d)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      val cc = graft.operators.ConnectedComponents.minLabel(pairs)
+      val sizes = cc.groupBy("rep").agg(count(lit(1)).as("n_members"))
+      cc.join(sizes, "rep")
+        .join(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+          cc("id") === col("c_custkey"))
+        .select(col("rep").as("entity_id"), col("c_custkey"), col("c_name"),
+          col("n_members"))
+        .orderBy("entity_id", "c_custkey")
     },
 
     // ----- SimHash fingerprints + Hamming-blocked near-dup pairs -----
