@@ -149,6 +149,65 @@ object SequenceQueries {
           (datediff(col("active_week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
+    },
+
+    // ----- Gap-fill + forward-fill resample (daily last-observation) -----
+    // The time-series normalization step feature pipelines need before
+    // any per-day join or model input: resample each user's event stream
+    // to a DENSE daily grid (their own first..last active day) and carry
+    // the last observed value across silent days (LOCF). The observed
+    // value per day is the day's LAST event (latest ts, event_id
+    // tiebreak) — a deterministic "daily close".
+    //
+    // Scale: the grid explodes one row per user-day — output-sized, never
+    // corpus-squared; its generation is keyed by user and inherits the
+    // same hash partitioning as the observation join and the forward-fill
+    // window, so the whole resample rides ONE exchange by user. The fill
+    // itself is last(ignoreNulls) over an unbounded-preceding ROWS frame
+    // — running-state, no per-row rescans. Values are COPIED, never
+    // combined, so no float arithmetic exists to diverge cross-engine.
+    // The user_id cap keeps the oracle's grid reviewable, as with the
+    // other event-family oracles.
+    QueryDef(
+      "q_gapfill_ffill",
+      """WITH ev AS (SELECT * FROM events WHERE user_id <= 30),
+        |obs AS (SELECT user_id, day, value AS close FROM (
+        |          SELECT user_id, CAST(ts AS DATE) AS day, value,
+        |                 ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                                    ORDER BY ts DESC, event_id DESC) AS rn
+        |          FROM ev) WHERE rn = 1),
+        |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |                CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |                                            CAST(d1 AS TIMESTAMP),
+        |                                            INTERVAL 1 DAY)) AS DATE) AS day
+        |         FROM span)
+        |SELECT g.user_id, g.day,
+        |       LAST_VALUE(o.close IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_close,
+        |       o.close IS NOT NULL AS is_observed
+        |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+        |ORDER BY g.user_id, g.day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("user_id") <= 30)
+      val wDay = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val obs = ev
+        .withColumn("day", col("ts").cast("date"))
+        .withColumn("rn", row_number().over(wDay))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("value").as("close"))
+      val grid = obs.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val wFill = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("close"), ignoreNulls = true).over(wFill).as("filled_close"),
+          col("close").isNotNull.as("is_observed"))
+        .orderBy("user_id", "day")
     }
   )
 }
