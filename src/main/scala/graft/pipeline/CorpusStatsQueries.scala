@@ -430,6 +430,74 @@ object CorpusStatsQueries {
         .select(col("lang"), col("n_docs"), col("target_docs"),
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
         .orderBy("lang")
+    },
+
+    // ----- BM25 retrieval: multi-term query → top-k documents -----
+    // The retrieval face on top of the corpus statistics: Okapi BM25
+    // (Robertson & Walker 1994) with k1 = 1.2, b = 0.75, for a fixed
+    // 3-term query. q_tfidf_topk ranks TERMS within a document; this
+    // ranks DOCUMENTS for a query — the RAG/search-index workload.
+    //
+    // Integer-exact, because a per-document score is a SUM over query
+    // terms and float addition is order-dependent (the one thing that
+    // would break the cross-engine hash gate AND bit-reproducibility
+    // across cluster sizes). With avgdl = L/N (corpus tokens / docs), the
+    // BM25 term factor tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) multiplies out
+    // to the exact rational 22·tf·L / (10·L·tf + 3·L + 9·dl·N); it lands
+    // in a ×10³ fixed-point via one integral DIV, the log-free rational
+    // idf (2(N−df)+1)/(2·df+1) lands in its own ×10³, and the score is
+    // Σ idf1k·tfn1k — pure BIGINT products and sums, scale ×10⁶.
+    //
+    // Scale: the query side collapses the posting scan to |q| terms
+    // (predicate-pushed IN filter — at index scale this is the inverted
+    // index lookup); df for those terms and the corpus totals (L, N) are
+    // 1-row/|q|-row broadcasts; scoring joins tf⋈dl keyed by doc_id and
+    // top-k is TakeOrderedAndProject, never a global sort. Document
+    // lengths come from the same tokenize pass as the postings.
+    QueryDef(
+      "q_bm25_topk",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |q AS (SELECT unnest(['spark', 'hash', 'join']) AS term),
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |tf AS (SELECT tok.doc_id, tok.term, COUNT(*) AS tf
+         |       FROM tok JOIN q USING (term) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |gl AS (SELECT CAST(SUM(dl) AS BIGINT) AS l, COUNT(*) AS n FROM dl),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |contrib AS (
+         |  SELECT tf.doc_id,
+         |         ((2*(gl.n - df.df) + 1) * 1000) // (2*df.df + 1) AS idf1k,
+         |         (22 * tf.tf * gl.l * 1000)
+         |           // (10*gl.l*tf.tf + 3*gl.l + 9*dl.dl*gl.n) AS tfn1k
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN gl),
+         |s AS (SELECT doc_id, COUNT(*) AS n_terms_matched,
+         |             CAST(SUM(idf1k * tfn1k) AS BIGINT) AS score_x1m
+         |      FROM contrib GROUP BY 1)
+         |SELECT doc_id, n_terms_matched, score_x1m
+         |FROM s
+         |ORDER BY score_x1m DESC, doc_id
+         |LIMIT 15""".stripMargin) { (s, d) =>
+      val qTerms = Seq("spark", "hash", "join")
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val dl = t.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val gl = dl.agg(sum("dl").as("l"), count(lit(1)).as("n"))
+      val tf = t.select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(gl))
+        .select(col("doc_id"),
+          expr("((2*(n - df) + 1) * 1000) DIV (2*df + 1)").as("idf1k"),
+          expr("(22 * tf * l * 1000) DIV (10*l*tf + 3*l + 9*dl*n)").as("tfn1k"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_terms_matched"),
+          sum(expr("idf1k * tfn1k")).as("score_x1m"))
+        .orderBy(col("score_x1m").desc, col("doc_id"))
+        .limit(15)
     }
   )
 }
