@@ -237,6 +237,94 @@ object Multimodal {
   }
 
   /** Attach metadata to a blob column — pure codegen'd expressions. */
+  /** Real, dependency-free audio codec for the WAV/PCM16-mono subset —
+    * the audio analogue of [[ImageCodec]]: RIFF container (chunk-walked,
+    * not offset-assumed, so decoders survive extra chunks), 16-bit
+    * little-endian PCM samples. Everything is integer byte arithmetic, so
+    * the decode is oracle-checkable: DuckDB independently re-parses the
+    * same staged bytes sample by sample in `q_audio_features`.
+    */
+  object AudioCodec {
+
+    /** Canonical 44-byte-header mono PCM16 WAV from raw samples. */
+    def encodePcm16Wav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      out.put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      out.putShort(1).putShort(1) // PCM, mono
+      out.putInt(sampleRate).putInt(sampleRate * 2)
+      out.putShort(2).putShort(16) // block align, bits/sample
+      out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(out.putShort)
+      out.array()
+    }
+
+    /** (sampleRate, samples) from a PCM16-mono WAV, walking RIFF chunks
+      * (fmt before data assumed, as RIFF requires; unknown chunks are
+      * skipped, odd-length chunks padded per spec). None when the blob is
+      * not this subset — the poison-blob guard a 100 TB scan needs.
+      */
+    def decodePcm16Wav(b: Array[Byte]): Option[(Int, Array[Short])] = {
+      if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+        !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var rate = -1
+      var ok = false
+      var data: Array[Short] = null
+      while (data == null && pos + 8 <= b.length) {
+        val id = new String(b, pos, 4, "US-ASCII")
+        val len = buf.getInt(pos + 4)
+        // long arithmetic: a hostile length near Int.MaxValue overflows an
+        // int sum and would sail past this bound check
+        if (len < 0 || pos.toLong + 8 + len > b.length) return None
+        id match {
+          case "fmt " if len >= 16 =>
+            ok = buf.getShort(pos + 8) == 1 && buf.getShort(pos + 10) == 1 &&
+              buf.getShort(pos + 22) == 16 // PCM, mono, 16-bit
+            rate = buf.getInt(pos + 12)
+          case "data" if ok =>
+            data = Array.tabulate(len / 2)(i => buf.getShort(pos + 8 + 2 * i))
+          case _ => ()
+        }
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (data == null || rate <= 0) None else Some((rate, data))
+    }
+  }
+
+  /** Deterministic REAL-WAV fixture generator: one valid PCM16-mono WAV
+    * per doc — sample count and rate derived from doc_id, the waveform
+    * cycled from the doc's UTF-8 bytes with every 4th 256-sample window
+    * near-silent (so silence detection is non-vacuous). Same
+    * `mapPartitions` shape as [[docPngs]].
+    */
+  def docWavs(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("wav", BinaryType, nullable = false)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    docs.select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val tb = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+        val n = (512 + (id % 256)).toInt
+        val rate = (8000 + (id % 8) * 1000).toInt
+        val samples = Array.tabulate(n) { i =>
+          if ((i / 256) % 4 == 3) ((i % 7) - 3).toShort // near-silent window
+          else {
+            val base = if (tb.isEmpty) i & 0xFF else tb(i % tb.length) & 0xFF
+            ((base - 128) * 181 + (i % 64)).toShort
+          }
+        }
+        Row(id, AudioCodec.encodePcm16Wav(rate, samples))
+      }
+    }
+  }
+
   def withMediaMeta(df: DataFrame, blobCol: String, mediaType: String): DataFrame =
     df.withColumn("meta", struct(
       lit(mediaType).as("media_type"),
@@ -381,6 +469,93 @@ object Multimodal {
         .select(col("doc_id"),
           col("meta.byte_len").as("byte_len"),
           col("meta.content_sha256").as("content_sha256"))
+        .orderBy("doc_id")
+    },
+
+    // ----- Audio features from real WAV bytes -----
+    // The audio-modality pipeline end to end: real PCM16 WAVs (RIFF
+    // chunk-walked decode, [[AudioCodec]]) → per-document duration,
+    // total energy, peak amplitude, silent-window count. The CODEC only
+    // decodes (mapPartitions, init once per partition); every feature is
+    // then a Catalyst aggregate over the exploded sample stream, so the
+    // analysis plan — windowing by `i DIV 256`, integer energy sums — is
+    // the same distributed shape at any corpus size, keyed by doc_id.
+    // All features are integer-exact (sample values are int16; energy
+    // sums s², ≤ 2³¹ per sample, in BIGINT), so the DuckDB oracle can
+    // re-derive every number from the SAME staged bytes: it parses the
+    // RIFF header fields and each little-endian sample straight out of
+    // the staged hex, sample by sample — a fully independent decoder.
+    QueryDef(
+      "q_audio_features",
+      s"""WITH w AS (
+         |  SELECT doc_id, wav_hex,
+         |         CAST(('0x' || substr(wav_hex,55,2) || substr(wav_hex,53,2)
+         |               || substr(wav_hex,51,2) || substr(wav_hex,49,2)) AS BIGINT) AS rate,
+         |         CAST(('0x' || substr(wav_hex,87,2) || substr(wav_hex,85,2)
+         |               || substr(wav_hex,83,2) || substr(wav_hex,81,2)) AS BIGINT) // 2 AS n
+         |  FROM ${graft.OracleStage.pq("wavs_multimodal")}),
+         |smp AS (SELECT doc_id, rate, n, wav_hex,
+         |               unnest(generate_series(0, n - 1)) AS i
+         |        FROM w),
+         |sv AS (SELECT doc_id, i,
+         |              CAST(('0x' || substr(wav_hex, 91 + 4*i, 2)
+         |                    || substr(wav_hex, 89 + 4*i, 2)) AS BIGINT) AS v
+         |       FROM smp),
+         |ss AS (SELECT doc_id, i,
+         |              CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+         |       FROM sv),
+         |wins AS (SELECT doc_id, i // 256 AS wdw, MAX(ABS(s)) AS wmax
+         |         FROM ss GROUP BY 1, 2),
+         |sil AS (SELECT doc_id,
+         |               CAST(SUM(CASE WHEN wmax < 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent_windows
+         |        FROM wins GROUP BY 1),
+         |agg AS (SELECT doc_id,
+         |               CAST(SUM(s * s) AS BIGINT) AS energy,
+         |               CAST(MAX(ABS(s)) AS BIGINT) AS peak_amp
+         |        FROM ss GROUP BY 1)
+         |SELECT w.doc_id, w.rate AS sample_rate, w.n AS n_samples,
+         |       (w.n * 1000) // w.rate AS duration_ms,
+         |       agg.energy, agg.peak_amp, sil.n_silent_windows
+         |FROM w JOIN agg USING (doc_id) JOIN sil USING (doc_id)
+         |ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+      val wavs = docWavs(Tables.documents(s, d))
+      val staged = graft.OracleStage.stage("wavs_multimodal",
+        wavs.select(col("doc_id"), hex(col("wav")).as("wav_hex")))
+      val blobs = staged.select(col("doc_id"), unhex(col("wav_hex")).as("wav"))
+      // decode-only mapPartitions: (doc_id, rate, samples)
+      val decSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("rate", LongType, nullable = false),
+        StructField("samples", ArrayType(IntegerType), nullable = false)))
+      implicit val enc = RowEncoder.encoderFor(decSchema)
+      val decoded = blobs.mapPartitions { rows =>
+        // per-partition codec init goes here (once, not per row)
+        rows.flatMap { r =>
+          val bytes = r.get(1) match {
+            case b: Array[Byte] => b
+            case null => Array.empty[Byte]
+          }
+          AudioCodec.decodePcm16Wav(bytes).map { case (rate, smp) =>
+            Row(r.getLong(0), rate.toLong, smp.map(_.toInt).toSeq)
+          }
+        }
+      }
+      val ss = decoded.select(col("doc_id"), col("rate"),
+          size(col("samples")).cast("long").as("n"),
+          posexplode(col("samples")).as(Seq("i", "s0")))
+        .select(col("doc_id"), col("rate"), col("n"), col("i"),
+          col("s0").cast("long").as("s"))
+      val wins = ss.groupBy(col("doc_id"), expr("i DIV 256").as("wdw"))
+        .agg(max(abs(col("s"))).as("wmax"))
+      val sil = wins.groupBy("doc_id")
+        .agg(sum(when(col("wmax") < 512, 1L).otherwise(0L)).as("n_silent_windows"))
+      val agg = ss.groupBy("doc_id", "rate", "n")
+        .agg(sum(expr("s * s")).as("energy"), max(abs(col("s"))).as("peak_amp"))
+      agg.join(sil, "doc_id")
+        .select(col("doc_id"), col("rate").as("sample_rate"),
+          col("n").as("n_samples"),
+          expr("(n * 1000) DIV rate").as("duration_ms"),
+          col("energy"), col("peak_amp"), col("n_silent_windows"))
         .orderBy("doc_id")
     }
   )

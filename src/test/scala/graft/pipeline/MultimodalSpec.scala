@@ -177,6 +177,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.processMedia(df, "blob", 4, 4, 1, 2).count() == 4)
   }
 
+  test("WAV codec round-trips PCM16 and survives hostile containers") {
+    import Multimodal.AudioCodec
+    val samples = Array.tabulate(777)(i => ((i * 131) % 30000 - 15000).toShort)
+    val wav = AudioCodec.encodePcm16Wav(11025, samples)
+    // encode∘decode identity on rate and every sample
+    val Some((rate, back)) = AudioCodec.decodePcm16Wav(wav)
+    assert(rate == 11025 && back.sameElements(samples))
+    // chunk walk: an unknown chunk (odd length → padded) before data is skipped
+    val le = java.nio.ByteOrder.LITTLE_ENDIAN
+    val extra = java.nio.ByteBuffer.allocate(8 + 3 + 1).order(le)
+      .put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](9, 9, 9, 0)).array()
+    val withChunk = wav.take(36) ++ extra ++ wav.drop(36)
+    // fix RIFF size field
+    java.nio.ByteBuffer.wrap(withChunk).order(le).putInt(4, withChunk.length - 8)
+    val Some((r2, b2)) = AudioCodec.decodePcm16Wav(withChunk)
+    assert(r2 == 11025 && b2.sameElements(samples))
+    // poison: truncated data chunk length, non-RIFF, stereo all → None
+    val truncated = wav.clone()
+    java.nio.ByteBuffer.wrap(truncated).order(le).putInt(40, Int.MaxValue - 7)
+    assert(AudioCodec.decodePcm16Wav(truncated).isEmpty)
+    assert(AudioCodec.decodePcm16Wav("nope".getBytes).isEmpty)
+    val stereo = wav.clone(); stereo(22) = 2
+    assert(AudioCodec.decodePcm16Wav(stereo).isEmpty)
+  }
+
   test("feature extraction composes with the metadata stamp end-to-end") {
     val blobs = graft.analytics.Tables.documents(spark, sf())
       .limit(20)
