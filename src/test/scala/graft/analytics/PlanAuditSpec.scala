@@ -547,4 +547,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(modalUses >= 3,
       s"expected the shared banded exchange at ≥3 use sites, got $ids\n${finalPlan.take(4000)}")
   }
+
+  test("PageRank: broadcast 1-row N, keyed contribution joins, top-k without global sort") {
+    val p = planOf("q_pagerank")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // the only nested-loops are broadcasts of the 1-ROW node count: one per
+    // re-expanded iteration lineage (iterations + 1 = 4 — the declarative
+    // form re-derives init under every round; a production run persists the
+    // edge/init frames per the operator's Scaladoc, which collapses these)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 4, s"unexpected nested-loop joins ($bnlj)\n${p.take(2000)}")
+    // per-round contribution aggregates are partial+final on the dst key
+    assert(p.contains("HashAggregate(keys=[node#"), p.take(2000))
+  }
+
+  test("ER clustering: keyed member join-back, no all-pairs anywhere") {
+    val p = planOf("q_er_clusters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // the join back to customer is an equi-join on the custkey
+    assert(p.contains("Join [id#") || p.contains("[c_custkey#"), p.take(2000))
+  }
+
+  test("gap-fill: daily close rides WindowGroupLimit, fill window is user-partitioned") {
+    val p = planOf("q_gapfill_ffill")
+    // rn=1 per (user, day) plans as a group-limit pushdown, not a full
+    // window materialization (partial+final pre-shuffle prune)
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    // the forward-fill window is partitioned — never "move all to one"
+    assert(p.contains("windowspecdefinition(user_id#"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("BM25: query-side stats broadcast, per-doc score partial+final, top-k TakeOrdered") {
+    val p = planOf("q_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // df (per-term) and (L, N) corpus totals reach the scoring join as
+    // broadcasts; the corpus-totals side is the 1-row nested-loop build
+    assert("BroadcastExchange|BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(p).size >= 2, p.take(3000))
+    // score = Σ idf·tfn per doc: map-side combine before the doc_id exchange
+    assert(p.contains("partial_sum((idf1k#"), p.take(3000))
+  }
+
+  test("audio features: decode-only MapPartitions, aggregates keyed by doc_id") {
+    val p = planOf("q_audio_features")
+    assert(p.contains("MapPartitions"), p.take(2000))
+    assert(p.contains("HashAggregate(keys=[doc_id#"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
