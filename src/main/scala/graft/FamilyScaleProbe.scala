@@ -98,6 +98,20 @@ object FamilyScaleProbe {
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     }
+    if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
+      // pagerank probe axis: orderkey shifts keep lineitems attached to
+      // their replica's orders; custkey/suppkey shifts make each replica a
+      // disjoint purchase graph — node count ×k, per-node degree and
+      // component structure UNCHANGED (the axis a cluster scales on).
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      (0 until replicas).map { k =>
+        if (k == 0) li
+        else li
+          .withColumn("l_orderkey", col("l_orderkey") + lit(k * 10000000L))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(k * 10000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    }
     if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
       // vec_id shifts keep replica vectors identical — k-means assignment
       // work scales with the population while centroids stay put (init ids
@@ -191,6 +205,29 @@ object FamilyScaleProbe {
     def registered(name: String)(d: String): DataFrame =
       SparkEntry.queries(name)(spark, d)
 
+    def gapfill(d: String): DataFrame = {
+      // the registered q_gapfill_ffill minus its oracle cap (user_id ≤ 30
+      // would exclude every replica) — window specs and grid arithmetic
+      // restated verbatim
+      val wDay = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val obs = analytics.Tables.events(spark, d)
+        .withColumn("day", col("ts").cast("date"))
+        .withColumn("rn", row_number().over(wDay))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("value").as("close"))
+      val grid = obs.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val wFill = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("close"), ignoreNulls = true).over(wFill).as("filled_close"),
+          col("close").isNotNull.as("is_observed"))
+    }
+
     def streamDedup(d: String): DataFrame = {
       val ev = eventsSec(d)
       val redelivered = ev.filter(col("event_id") % 7 === 0)
@@ -230,6 +267,19 @@ object FamilyScaleProbe {
       // (hc_gdpr_erasure is fixture-store-rooted, not dir-driven — its
       // scale argument is the broadcast key-set join shape, spec'd in
       // GdprErasureSpec, so it has no corpus-replica axis to probe.)
+      // round-10 graph/retrieval/modality families. pagerank rides the
+      // replicated purchase graph (disjoint per-replica components);
+      // er_clusters rides the re-derived replica names (cross-replica
+      // lev-1 pairs are genuine matches — output grows faster than rows BY
+      // DESIGN, the cost claim is about variant-bucket sizes, same as
+      // fuzzy_match); bm25 scales the CORPUS under a fixed query (tf stays
+      // constant, the tokenize/length side grows — the retrieval axis);
+      // audio is linear decode+agg; gapfill is restated uncapped.
+      "pagerank" -> registered("q_pagerank"),
+      "er_clusters" -> registered("q_er_clusters"),
+      "gapfill" -> gapfill,
+      "bm25" -> registered("q_bm25_topk"),
+      "audio" -> registered("q_audio_features"),
       "pq_adc" -> registered("q_ann_pq_adc"),
       "decontaminate_bloom" -> registered("q_decontaminate_bloom"),
       "lm_familiarity" -> registered("q_lm_familiarity"),
