@@ -208,6 +208,48 @@ object SequenceQueries {
           last(col("close"), ignoreNulls = true).over(wFill).as("filled_close"),
           col("close").isNotNull.as("is_observed"))
         .orderBy("user_id", "day")
+    },
+
+    // ----- Sequence-pattern detection (MATCH_RECOGNIZE shape) -----
+    // Detect CONSECUTIVE view→click→purchase runs per user — the
+    // row-pattern-matching workload (SQL:2016 MATCH_RECOGNIZE, Flink CEP)
+    // for a fixed-length pattern, expressed as window `lead`s over the
+    // user's (ts, event_id)-ordered stream: each row sees the next two
+    // event types, and a pattern instance is a single codegen'd predicate.
+    // Longer fixed patterns add leads; variable-length patterns (A B* C)
+    // are where a real NFA operator — flatMapGroups with sorted groups —
+    // would take over, with this same per-user partitioning.
+    //
+    // Scale: ONE exchange keyed by user_id feeds both the leads and the
+    // per-user aggregate; per-user streams are never materialized beyond
+    // the 2-row lead lookahead. Deterministic: ties in ts break by
+    // event_id in the window order, and the count/min aggregates are
+    // order-free.
+    QueryDef(
+      "q_seq_pattern",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_type,
+        |         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+        |         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_patterns,
+        |       STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_match_ts
+        |FROM o
+        |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+        |GROUP BY 1
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("t1", lead("event_type", 1).over(w))
+        .withColumn("t2", lead("event_type", 2).over(w))
+        .filter(col("event_type") === "view" && col("t1") === "click" &&
+          col("t2") === "purchase")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_patterns"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_match_ts"))
+        .orderBy("user_id")
     }
   )
 }

@@ -205,6 +205,49 @@ object QualityGateQueries {
           sum(when(col("z_len") * 100 < col("n_bytes") * 35, 1L).otherwise(0L)).as("n_high_repeat"),
           sum(when(col("z_len") * 100 >= col("n_bytes") * 90, 1L).otherwise(0L)).as("n_incompressible"))
         .orderBy("source")
+    },
+
+    // ----- Robust outlier detection: median absolute deviation -----
+    // The DQ screen for numeric measures that mean/stddev z-scores get
+    // wrong in the presence of the very outliers being hunted: flag
+    // values where |v − median| > 3·MAD, per group. Both the median and
+    // the MAD are EXACT interpolated percentiles (Spark `percentile` ==
+    // DuckDB `quantile_cont`, per the oracle parity rules), and every
+    // float that reaches a decision is a short fixed-order IEEE chain
+    // (subtract / abs / one multiply / compare) — no float summation, so
+    // the counts gate exactly cross-engine.
+    //
+    // Scale: two grouped exact percentiles (one over values, one over
+    // deviations) + a broadcast join of the 5-row medians table back onto
+    // the stream. Exact percentile buffers each GROUP's values — right
+    // for group counts ≪ corpus (here: event types); a high-cardinality
+    // group key swaps in percentile_approx, which q_token_quantiles
+    // already gates against its exact twin within 10%.
+    QueryDef(
+      "q_outlier_mad",
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, e.value, m.med,
+        |               ABS(e.value - m.med) AS ad
+        |        FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT d.event_type, d.med AS median_value, md.mad,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CASE WHEN d.ad > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN md USING (event_type)
+        |GROUP BY 1, 2, 3
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val m = ev.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(m), "event_type")
+        .withColumn("ad", abs(col("value") - col("med")))
+      val md = dev.groupBy("event_type").agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(md), "event_type")
+        .groupBy(col("event_type"), col("med").as("median_value"), col("mad"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("ad") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
     }
   )
 }
