@@ -250,6 +250,52 @@ object SequenceQueries {
           count(lit(1)).as("n_patterns"),
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_match_ts"))
         .orderBy("user_id")
+    },
+
+    // ----- First-touch attribution (earliest view in a 7-day lookback) -----
+    // Marketing attribution's other half: q_asof_purchase_view binds each
+    // purchase to the LATEST prior view (last-touch); this binds it to the
+    // EARLIEST view inside a bounded lookback window — which an AS-OF join
+    // cannot express (as-of is latest-before by construction; first-touch
+    // needs min-within-range). Shape: user-keyed equi-join with the range
+    // as a join predicate, then a per-purchase min/count aggregate. The
+    // window bound is what keeps it scalable — per-purchase fan-out is the
+    // user's 7-day view count, never their full history (the same
+    // bounded-interval argument as the stream-stream interval join).
+    QueryDef(
+      "q_first_touch",
+      """WITH p AS (SELECT user_id, event_id, ts FROM events
+        |           WHERE event_type = 'purchase' AND user_id <= 100),
+        |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |       STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       STRFTIME(MIN(v.ts), '%Y-%m-%d %H:%M:%S') AS first_touch_ts,
+        |       COUNT(v.ts) AS n_touches
+        |FROM p LEFT JOIN v
+        |  ON p.user_id = v.user_id
+        | AND v.ts >= p.ts - INTERVAL 7 DAY AND v.ts <= p.ts
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase" && col("user_id") <= 100)
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"))
+      p.join(v,
+          p("user_id") === v("user_id") &&
+            col("v_ts") >= col("ts") - expr("INTERVAL 7 DAY") &&
+            col("v_ts") <= col("ts"),
+          "left")
+        .groupBy(col("purchase_id"), p("user_id"), col("ts"))
+        .agg(
+          min(col("v_ts")).as("ft"),
+          count(col("v_ts")).as("n_touches"))
+        .select(
+          col("purchase_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          date_format(col("ft"), "yyyy-MM-dd HH:mm:ss").as("first_touch_ts"),
+          col("n_touches"))
+        .orderBy("purchase_id")
     }
   )
 }

@@ -498,6 +498,54 @@ object CorpusStatsQueries {
           sum(expr("idf1k * tfn1k")).as("score_x1m"))
         .orderBy(col("score_x1m").desc, col("doc_id"))
         .limit(15)
+    },
+
+    // ----- Corpus drift detection (token-distribution divergence) -----
+    // The data-drift monitor between two corpus snapshots (here: the
+    // doc_id parity halves, the repo's standing A/B split): per-token
+    // occurrence RATES in each half, ranked by absolute rate divergence —
+    // the per-token terms of total-variation distance. The monitoring
+    // workload that catches a scraper change or a source going bad
+    // between pipeline runs.
+    //
+    // Integer-exact: rates are ×10⁶ integer ratios (count·10⁶ DIV total),
+    // drift is their absolute difference — no floats, so the ranking is
+    // bit-stable cross-engine. One tokenize pass; per-token counts are a
+    // map-side-combined conditional aggregate (never one table per half +
+    // outer join); totals are a 1-row broadcast. Top-20 is TakeOrdered.
+    QueryDef(
+      "q_drift_tokens",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id % 2 AS half, unnest(toks) AS tok FROM t),
+         |cnt AS (SELECT tok,
+         |               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         |               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+         |        FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na,
+         |               CAST(SUM(c_b) AS BIGINT) AS nb FROM cnt),
+         |r AS (SELECT tok, c_a, c_b,
+         |             (c_a * 1000000) // na AS rate_a_x1m,
+         |             (c_b * 1000000) // nb AS rate_b_x1m
+         |      FROM cnt CROSS JOIN tot)
+         |SELECT tok, c_a, c_b, rate_a_x1m, rate_b_x1m,
+         |       ABS(rate_a_x1m - rate_b_x1m) AS drift_x1m
+         |FROM r
+         |ORDER BY drift_x1m DESC, tok
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val cnt = Tables.documents(s, d)
+        .select((col("doc_id") % 2).as("half"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("c_a"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("c_b"))
+      val tot = cnt.agg(sum("c_a").as("na"), sum("c_b").as("nb"))
+      cnt.crossJoin(broadcast(tot))
+        .select(col("tok"), col("c_a"), col("c_b"),
+          expr("(c_a * 1000000) DIV na").as("rate_a_x1m"),
+          expr("(c_b * 1000000) DIV nb").as("rate_b_x1m"))
+        .withColumn("drift_x1m", abs(col("rate_a_x1m") - col("rate_b_x1m")))
+        .orderBy(col("drift_x1m").desc, col("tok"))
+        .limit(20)
     }
   )
 }
