@@ -546,6 +546,60 @@ object CorpusStatsQueries {
         .withColumn("drift_x1m", abs(col("rate_a_x1m") - col("rate_b_x1m")))
         .orderBy(col("drift_x1m").desc, col("tok"))
         .limit(20)
+    },
+
+    // ----- Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005) -----
+    // The fixed-memory frequency sketch for streams/shards too hot for an
+    // exact groupBy: d=4 hash rows × w=256 buckets of BIGINT counters;
+    // estimate(x) = min over rows of its bucket counter — never an
+    // undercount, overcount bounded by colliding mass. Hashes are
+    // md5-derived bucket indices (not xxhash) PRECISELY so the oracle can
+    // rebuild the identical sketch: every counter, estimate, and the
+    // overcount column are exact BIGINTs in both engines.
+    //
+    // Scale: the sketch here folds the per-token partial counts (already
+    // map-side combined) into 4×256 counters — a constant-size aggregate
+    // that merges associatively, which is the whole point: shard sketches
+    // on 1000 executors, bit_or-free BIGINT adds on merge, no vocabulary
+    // shuffle. The top-10 exact side exists only as the gate's ground
+    // truth (TakeOrdered, not a global sort).
+    QueryDef(
+      "q_heavy_hitters_cms",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |exact AS (SELECT tok, COUNT(*) AS exact_c
+         |          FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+         |entries AS (
+         |  SELECT tok, exact_c, r,
+         |         CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || tok), 1, 4)) AS BIGINT) % 256 AS bucket
+         |  FROM exact, (SELECT unnest(generate_series(0, 3)) AS r)),
+         |sketch AS (SELECT r, bucket, CAST(SUM(exact_c) AS BIGINT) AS bc
+         |           FROM entries GROUP BY 1, 2),
+         |top AS (SELECT tok, exact_c FROM exact ORDER BY exact_c DESC, tok LIMIT 10),
+         |est AS (
+         |  SELECT e.tok, MIN(s.bc) AS est_c
+         |  FROM entries e JOIN sketch s ON e.r = s.r AND e.bucket = s.bucket
+         |  JOIN top ON e.tok = top.tok
+         |  GROUP BY 1)
+         |SELECT top.tok, top.exact_c, est.est_c,
+         |       est.est_c - top.exact_c AS overcount
+         |FROM top JOIN est ON top.tok = est.tok
+         |ORDER BY top.exact_c DESC, top.tok""".stripMargin) { (s, d) =>
+      val exact = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("exact_c"))
+      val entries = exact
+        .select(col("tok"), col("exact_c"), explode(expr("sequence(0, 3)")).as("r"))
+        .withColumn("bucket",
+          expr("CAST(conv(substr(md5(CAST(concat('cms', CAST(r AS STRING), ':', tok) AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 256"))
+      val sketch = entries.groupBy("r", "bucket").agg(sum("exact_c").as("bc"))
+      val top = exact.orderBy(col("exact_c").desc, col("tok")).limit(10)
+      val est = entries.join(broadcast(top.select("tok")), "tok")
+        .join(broadcast(sketch), Seq("r", "bucket"))
+        .groupBy("tok").agg(min("bc").as("est_c"))
+      top.join(est, "tok")
+        .select(col("tok"), col("exact_c"), col("est_c"),
+          (col("est_c") - col("exact_c")).as("overcount"))
+        .orderBy(col("exact_c").desc, col("tok"))
     }
   )
 }
