@@ -103,12 +103,18 @@ object FamilyScaleProbe {
       // their replica's orders; custkey/suppkey shifts make each replica a
       // disjoint purchase graph — node count ×k, per-node degree and
       // component structure UNCHANGED (the axis a cluster scales on).
+      // l_partkey shifts with the replica too (r10): the co-supply graph
+      // families (triangles) need each replica to be a DISJOINT part space
+      // — shared partkeys would multiply suppliers-per-part by k and turn
+      // the linear axis quadratic. PageRank never reads partkey, so the
+      // added shift changes nothing for it.
       val li = spark.read.parquet(s"$src/lineitem.parquet")
       (0 until replicas).map { k =>
         if (k == 0) li
         else li
           .withColumn("l_orderkey", col("l_orderkey") + lit(k * 10000000L))
           .withColumn("l_suppkey", col("l_suppkey") + lit(k * 10000000L))
+          .withColumn("l_partkey", col("l_partkey") + lit(k * 10000000L))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     }
@@ -237,6 +243,44 @@ object FamilyScaleProbe {
         tsCol = "ts_sec", contentCol = "ekey", idCol = "event_id")
     }
 
+    def twapUncapped(d: String): DataFrame = {
+      // q_twap minus its user_id ≤ 80 oracle cap — window + agg restated
+      val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      analytics.Tables.events(spark, d)
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 100).cast("long").as("v_cents"),
+          col("ts").cast("long").as("ts_sec"))
+        .withColumn("next_sec", lead(col("ts_sec"), 1).over(w))
+        .filter(col("next_sec").isNotNull)
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_segments"),
+          sum(col("v_cents") * (col("next_sec") - col("ts_sec"))).as("weighted_sum"),
+          sum(col("next_sec") - col("ts_sec")).as("total_sec"))
+    }
+
+    def streamLeftOuterUncapped(d: String): DataFrame = {
+      // q_stream_left_outer minus its user_id ≤ 100 oracle cap
+      val ev = analytics.Tables.events(spark, d)
+        .withColumn("ts", date_trunc("second", col("ts")))
+      streaming.StreamOps.intervalJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "2 hours", joinType = "left_outer")
+        .select(col("l.user_id"), col("l.event_id"), col("r.event_id"))
+    }
+
+    def rateLimitUncapped(d: String): DataFrame = {
+      import spark.implicits._
+      val ev = eventsSec(d)
+        .withColumn("day_num", expr("CAST(ts_sec DIV 86400 AS BIGINT)"))
+        .select("user_id", "day_num", "event_id", "ts_sec")
+        .as[streaming.StreamOps.QuotaEvent]
+      streaming.StreamOps.rateLimit(ev, cap = 2).toDF()
+        .groupBy("user_id", "day_num")
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("accepted"), 1)).as("n_accepted"))
+    }
+
     // FAMILIES=<comma list> restricts the probe — a ×20 run over every
     // family costs tens of minutes, and the crossover questions (PPJoin vs
     // inverted-index, fuzzy-match fan-out) only need their own families.
@@ -284,7 +328,40 @@ object FamilyScaleProbe {
       "decontaminate_bloom" -> registered("q_decontaminate_bloom"),
       "lm_familiarity" -> registered("q_lm_familiarity"),
       "quality_classifier" -> registered("q_quality_classifier"),
-      "grouping_sets" -> registered("q_grouping_sets"))
+      "grouping_sets" -> registered("q_grouping_sets"),
+      // round-10 profiling/governance families. triangles rides the
+      // part-shifted lineitem (disjoint co-supply graphs per replica:
+      // nodes ×k, degree bounded by the kNN prune at ANY k);
+      // snapshot_diff / sample_weighted / kanonymity / corr_matrix /
+      // median_disc / hist_equidepth / dl_distance are registered
+      // UNCAPPED, so the registered plans probe directly — the profile
+      // axes are: keys ×k with constant per-key history (diff), linear
+      // scan under a constant-k TakeOrdered (sampling), constant class
+      // grid under ×k members (k-anonymity), linear single-scan sums
+      // (corr), per-stratum windows at stratum size ×k (quantiles/
+      // histogram), and a sequential-key equi-join ×k (dl). twap and
+      // stream_left_outer restate their registered shapes minus the
+      // user_id oracle caps (replica users shift beyond them).
+      "triangles" -> registered("q_graph_triangles"),
+      "snapshot_diff" -> registered("q_snapshot_diff"),
+      "sample_weighted" -> registered("q_sample_weighted"),
+      "kanonymity" -> registered("q_kanonymity"),
+      "corr_matrix" -> registered("q_corr_matrix"),
+      "median_disc" -> registered("q_median_disc"),
+      "hist_equidepth" -> registered("q_hist_equidepth"),
+      "benford" -> registered("q_benford"),
+      "dl_distance" -> registered("q_dl_distance"),
+      "twap" -> twapUncapped,
+      "stream_left_outer" -> streamLeftOuterUncapped,
+      // round-10 batch-2 families: unicode_nfc is map-only over ×k names;
+      // quantize rides ×k embeddings under a constant 64-row stats side;
+      // source_overlap's shingle postings grow ×k while per-shingle
+      // fan-out stays bounded by C(#sources,2) (sources are constant);
+      // rate_limit restates the registered shape minus the user cap.
+      "unicode_nfc" -> registered("q_unicode_nfc"),
+      "quantize_int8" -> registered("q_quantize_int8"),
+      "source_overlap" -> registered("q_source_overlap"),
+      "rate_limit" -> rateLimitUncapped)
     familyFilter.foreach { names =>
       val unknown = names.diff(allFamilies.map(_._1).toSet + "incremental")
       require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")

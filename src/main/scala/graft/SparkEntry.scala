@@ -16,6 +16,7 @@ object SparkEntry {
       analytics.CdcShapeQueries.defs ++
       analytics.SequenceQueries.defs ++
       analytics.GraphQueries.defs ++
+      analytics.ProfileQueries.defs ++
       pipeline.TextPipelineQueries.defs ++
       pipeline.DedupQueries.defs ++
       pipeline.SimilarityQueries.defs ++

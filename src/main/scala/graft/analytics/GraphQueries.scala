@@ -97,6 +97,60 @@ object GraphQueries {
       pagerank(s, d, iterations = 3)
         .orderBy(col("rank_scaled").desc, col("node"))
         .limit(20)
+    },
+
+    // ----- triangle counting on the bounded-degree co-supply graph -----
+    // Suppliers are linked by the parts they both supply; each node keeps
+    // only its top-5 strongest co-suppliers (shared-part count, ties by
+    // neighbor id) before canonicalizing to an undirected edge set, and
+    // triangles are enumerated with the standard ordered-edge wedge join
+    // (a < b < c, e.g. Suri & Vassilvitskii 2011 §3). The kNN prune is the
+    // 100 TB design: absolute co-occurrence thresholds don't transfer
+    // across corpus sizes (measured here: mean pair weight 134 at sf0.01
+    // vs 17 at sf0.1), but top-k-per-node caps degree ≤ 2k at ANY scale,
+    // so the wedge join is ≤ n·(2k)² rows no matter how dense the raw
+    // co-occurrence is. The raw pair aggregate itself is the inverted-
+    // index shape (per-part supplier lists joined to themselves) and
+    // inherits the dedup family's hot-key story: a pathologically popular
+    // part would be df-capped/salted exactly like a hot shingle.
+    QueryDef(
+      "q_graph_triangles",
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+        |cow AS (SELECT a.sk AS u, b.sk AS v, COUNT(*) AS w
+        |        FROM ps a JOIN ps b ON a.p = b.p AND a.sk <> b.sk GROUP BY 1, 2),
+        |knn AS (SELECT u, v FROM (
+        |          SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, v) AS rk
+        |          FROM cow) t
+        |        WHERE rk <= 5),
+        |e AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM knn),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT u FROM
+        |          (SELECT u FROM e UNION ALL SELECT v FROM e) t) x) AS n_nodes,
+        |       (SELECT COUNT(*) FROM e) AS n_edges,
+        |       (SELECT COUNT(*) FROM tri) AS n_triangles""".stripMargin) { (s, d) =>
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+      val cow = ps.as("a").join(ps.as("b"),
+          col("a.p") === col("b.p") && col("a.sk") =!= col("b.sk"))
+        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+        .agg(count(lit(1)).as("w"))
+      val knn = cow
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("u")
+            .orderBy(col("w").desc, col("v"))))
+        .filter(col("rk") <= 5).select("u", "v")
+      val e = knn.select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v")).distinct()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e2.u") === col("e1.v"))
+        .join(e.as("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      val nNodes = e.select(col("u")).unionAll(e.select(col("v"))).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      val nEdges = e.agg(count(lit(1)).as("n_edges"))
+      val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+      nNodes.crossJoin(nEdges).crossJoin(nTri)
     }
   )
 
@@ -119,6 +173,16 @@ object GraphQueries {
       .unionAll(pair.select(
         (col("l_suppkey").cast("long") * 2 + 1).as("src"),
         (col("o_custkey").cast("long") * 2).as("dst"), col("w")))
+      // lazy localCheckpoint: the edge list is referenced by every
+      // iteration's contribution join PLUS outw/nodes/init — purely
+      // declarative lineage re-derived the lineitem⋈orders aggregate ~8×
+      // per execution (measured: 6.6 s at sf0.1; checkpointed: the
+      // aggregate runs once). Lazy (eager=false) so building the DataFrame
+      // (Verify registration, analyzes-only specs) stays free — the
+      // materialization happens at first action and is reused within it.
+      // This is the per-round truncation the Scaladoc above prescribes for
+      // production, applied to the fixed-3-round face.
+      .localCheckpoint(false)
     val outw = edges.groupBy("src").agg(sum("w").as("wout"))
     val e = edges.join(outw, "src") // (src, dst, w, wout)
     val nodes = edges.select(col("src").as("node")).distinct()

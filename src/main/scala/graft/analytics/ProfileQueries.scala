@@ -1,0 +1,354 @@
+package graft.analytics
+
+import graft.QueryDef
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.StringDistanceFunctions
+
+/** Data-profiling / governance operators over the warehouse tables: the
+  * audits a CDC-replicated analytics store runs before anyone trusts it —
+  * privacy risk (k-anonymity, Sweeney 2002), snapshot drift, column
+  * statistics (correlation sufficient stats, discrete quantiles, equi-depth
+  * histograms, Benford digit profiles), weighted sampling (priority
+  * sampling, Duffield, Lund & Thorup 2007) and typo-class string distance
+  * (unrestricted Damerau-Levenshtein, Lowrance & Wagner 1975, as a native
+  * codegen'd expression).
+  *
+  * Repo-wide boundary discipline applies: every cross-engine-compared
+  * number is an integer (cents / epoch seconds / counts / scaled
+  * percentages); the only doubles are intermediate sort keys built from a
+  * single IEEE division of exactly-representable integers, which both
+  * engines round identically, and they never appear in the output.
+  */
+object ProfileQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- k-anonymity audit (Sweeney 2002) -----
+    // Equivalence classes over the quasi-identifier tuple (nation, market
+    // segment, coarse account-balance band); classes smaller than k = 5 are
+    // the re-identification risk a release gate would suppress or
+    // generalize. One map-side-combined aggregate — scales like any
+    // group-count regardless of table size; the class count is bounded by
+    // the quasi-identifier domain, not the row count.
+    QueryDef(
+      "q_kanonymity",
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(FLOOR(c_acctbal/5000) AS BIGINT) AS bal_band,
+        |       COUNT(*) AS class_size
+        |FROM customer
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+        |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 5000).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("class_size"))
+        .filter(col("class_size") < 5)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    },
+
+    // ----- snapshot diff (state drift between two as-of frontiers) -----
+    // The versioned-store audit: reduce the event feed to latest-state-per-
+    // key at two frontiers, then FULL OUTER join on the key and keep only
+    // added / removed / changed rows. Both reductions window on the SAME
+    // (user_id) partitioning the join shuffles on, so the whole diff is one
+    // exchange family; at 100 TB the two snapshots would be bucketed CoW
+    // tables (graft.cdc.BucketedTableStore) and the join co-located.
+    QueryDef(
+      "q_snapshot_diff",
+      """WITH old AS (
+        |  SELECT user_id, event_type AS state, CAST(ROUND(value*100) AS BIGINT) AS value_cents,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+        |new AS (
+        |  SELECT user_id, event_type AS state, CAST(ROUND(value*100) AS BIGINT) AS value_cents,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |o AS (SELECT * FROM old WHERE rn = 1), n AS (SELECT * FROM new WHERE rn = 1)
+        |SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+        |       o.state AS old_state, n.state AS new_state,
+        |       o.value_cents AS old_value_cents, n.value_cents AS new_value_cents,
+        |       CASE WHEN o.user_id IS NULL THEN 'added'
+        |            WHEN n.user_id IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS change
+        |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+        |WHERE o.user_id IS NULL OR n.user_id IS NULL
+        |   OR o.state <> n.state OR o.value_cents <> n.value_cents
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      def snap(upper: Option[String]) = {
+        val base = Tables.events(s, d)
+        upper.fold(base)(u => base.filter(col("ts") < lit(u).cast("timestamp")))
+          .select(col("user_id"), col("event_type").as("state"),
+            round(col("value") * 100).cast("long").as("value_cents"),
+            col("ts"), col("event_id"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("user_id", "state", "value_cents")
+      }
+      val o = snap(Some("2024-01-15")).as("o")
+      val n = snap(None).as("n")
+      o.join(n, col("o.user_id") === col("n.user_id"), "full_outer")
+        .filter(col("o.user_id").isNull || col("n.user_id").isNull ||
+          col("o.state") =!= col("n.state") ||
+          col("o.value_cents") =!= col("n.value_cents"))
+        .select(
+          coalesce(col("o.user_id"), col("n.user_id")).as("user_id"),
+          col("o.state").as("old_state"), col("n.state").as("new_state"),
+          col("o.value_cents").as("old_value_cents"),
+          col("n.value_cents").as("new_value_cents"),
+          when(col("o.user_id").isNull, "added")
+            .when(col("n.user_id").isNull, "removed")
+            .otherwise("changed").as("change"))
+        .orderBy("user_id")
+    },
+
+    // ----- correlation matrix as integer-exact sufficient statistics -----
+    // Pearson r for each measure pair is fully determined by (n, Σx, Σy,
+    // Σx², Σy², Σxy); emitting THOSE as BIGINTs instead of the float r is
+    // what makes a correlation matrix hash-gateable cross-engine (same
+    // fixed-point stance as q_pagerank). Measures are scaled to integers at
+    // the scan (whole dollars / whole units / discount %), the scan is
+    // read ONCE (the oracle's 3-way UNION is re-shaped into one aggregate +
+    // a 3-struct explode of the single output row), and all sums are
+    // map-side combined. Magnitudes: Σx² ≤ 10¹⁰·rows — BIGINT-safe through
+    // ~10⁸ rows per aggregation scope; beyond that the sums promote to
+    // DECIMAL (ANSI mode makes an overflow loud, never silent).
+    QueryDef(
+      "q_corr_matrix",
+      """WITH m AS (SELECT CAST(ROUND(l_extendedprice) AS BIGINT) AS price_usd,
+        |                  CAST(l_quantity AS BIGINT) AS qty,
+        |                  CAST(ROUND(l_discount*100) AS BIGINT) AS disc_pct
+        |           FROM lineitem),
+        |p AS (
+        |  SELECT 'price_qty' AS pair, price_usd AS x, qty AS y FROM m
+        |  UNION ALL SELECT 'price_disc', price_usd, disc_pct FROM m
+        |  UNION ALL SELECT 'qty_disc', qty, disc_pct FROM m)
+        |SELECT pair, COUNT(*) AS n,
+        |       CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+        |       CAST(SUM(x*x) AS BIGINT) AS sum_xx, CAST(SUM(y*y) AS BIGINT) AS sum_yy,
+        |       CAST(SUM(x*y) AS BIGINT) AS sum_xy
+        |FROM p GROUP BY pair ORDER BY pair""".stripMargin) { (s, d) =>
+      val m = Tables.lineitem(s, d).select(
+        round(col("l_extendedprice")).cast("long").as("price_usd"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_discount") * 100).cast("long").as("disc_pct"))
+      val agg1 = m.agg(
+        count(lit(1)).as("n"),
+        sum(col("price_usd")).as("s_p"), sum(col("qty")).as("s_q"),
+        sum(col("disc_pct")).as("s_d"),
+        sum(col("price_usd") * col("price_usd")).as("s_pp"),
+        sum(col("qty") * col("qty")).as("s_qq"),
+        sum(col("disc_pct") * col("disc_pct")).as("s_dd"),
+        sum(col("price_usd") * col("qty")).as("s_pq"),
+        sum(col("price_usd") * col("disc_pct")).as("s_pd"),
+        sum(col("qty") * col("disc_pct")).as("s_qd"))
+      def pairStruct(pair: String, sx: String, sy: String, sxx: String,
+          syy: String, sxy: String) =
+        struct(lit(pair).as("pair"), col("n"),
+          col(sx).as("sum_x"), col(sy).as("sum_y"), col(sxx).as("sum_xx"),
+          col(syy).as("sum_yy"), col(sxy).as("sum_xy"))
+      agg1.select(explode(array(
+          pairStruct("price_qty", "s_p", "s_q", "s_pp", "s_qq", "s_pq"),
+          pairStruct("price_disc", "s_p", "s_d", "s_pp", "s_dd", "s_pd"),
+          pairStruct("qty_disc", "s_q", "s_d", "s_qq", "s_dd", "s_qd"))).as("r"))
+        .select("r.*")
+        .orderBy("pair")
+    },
+
+    // ----- Benford first-digit profile (fraud/anomaly screen) -----
+    // First significant digit of the order totals in cents (integer string,
+    // so digit extraction is exact); observed count + integral permille
+    // share. Scan + 9-group aggregate; the permille window runs over 9 rows.
+    QueryDef(
+      "q_benford",
+      """WITH c AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_totalprice > 0),
+        |d AS (SELECT CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c)
+        |SELECT digit, COUNT(*) AS n_orders,
+        |       CAST(COUNT(*) * 1000 // SUM(COUNT(*)) OVER () AS BIGINT) AS permille
+        |FROM d GROUP BY digit ORDER BY digit""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).filter(col("o_totalprice") > 0)
+        .select(substring(round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+        .withColumn("total", sum(col("n_orders")).over(Window.partitionBy()))
+        .select(col("digit"), col("n_orders"),
+          expr("CAST(n_orders * 1000 DIV total AS BIGINT)").as("permille"))
+        .orderBy("digit")
+    },
+
+    // ----- exact discrete quantiles per group (percentile_disc semantics) -----
+    // p50/p90 of document length per source: smallest element whose rank
+    // reaches ⌈p·n⌉, rank positions computed in INTEGER arithmetic
+    // ((9n+9) DIV 10, not 0.9*n — float multiply would round differently at
+    // exact-boundary group sizes). Both windows share the (source)
+    // partitioning → one exchange; parallelism = number of groups, the
+    // right shape when quantiles are per-stratum (a single global quantile
+    // at 100 TB uses approx_percentile or the q_sample_weighted top-k path).
+    QueryDef(
+      "q_median_disc",
+      """WITH ranked AS (
+        |  SELECT source, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, MAX(n) AS n_docs,
+        |       MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50_chars,
+        |       MAX(CASE WHEN rn = (9*n + 9) // 10 THEN n_chars END) AS p90_chars
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      val cw = Window.partitionBy("source")
+      Tables.documents(s, d).select("source", "n_chars", "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+        .groupBy("source").agg(
+          max(col("n")).as("n_docs"),
+          max(when(col("rn") === expr("(n + 1) DIV 2"), col("n_chars"))).as("p50_chars"),
+          max(when(col("rn") === expr("(9*n + 9) DIV 10"), col("n_chars"))).as("p90_chars"))
+        .orderBy("source")
+    },
+
+    // ----- equi-depth histogram per stratum (NTILE) -----
+    // 8 equal-count buckets of document length per language, deterministic
+    // under ties via the (n_chars, doc_id) total order. Partitioned window:
+    // parallelism = strata count, per-stratum sort bounded by stratum size
+    // (for one giant stratum the production face switches to
+    // approx_percentile boundary estimation + width bucketing — noted, not
+    // needed for per-language strata).
+    QueryDef(
+      "q_hist_equidepth",
+      """WITH b AS (SELECT lang, n_chars,
+        |                  CAST(NTILE(8) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+        |           FROM documents)
+        |SELECT lang, bucket, COUNT(*) AS n_docs, MIN(n_chars) AS lo_chars,
+        |       MAX(n_chars) AS hi_chars, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      Tables.documents(s, d).select("lang", "n_chars", "doc_id")
+        .withColumn("bucket", ntile(8).over(w).cast("long"))
+        .groupBy("lang", "bucket").agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("lo_chars"),
+          max(col("n_chars")).as("hi_chars"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("lang", "bucket")
+    },
+
+    // ----- time-weighted average per key (TWAP) -----
+    // Each observation holds until the key's next event (LEAD over the
+    // per-key timeline); the average weights values by that holding
+    // duration — the metric a plain AVG silently gets wrong on irregular
+    // feeds. Integer-exact end to end: cents × whole seconds, integral
+    // division at the boundary. One exchange: LEAD and the final group
+    // share the (user_id) partitioning.
+    QueryDef(
+      "q_twap",
+      """WITH ev AS (SELECT user_id, event_id, CAST(ROUND(value*100) AS BIGINT) AS v_cents,
+        |                   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec
+        |            FROM events WHERE user_id <= 80),
+        |seg AS (SELECT user_id, v_cents, ts_sec,
+        |               LEAD(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS next_sec
+        |        FROM ev)
+        |SELECT user_id, COUNT(*) AS n_segments,
+        |       CAST(SUM(v_cents * (next_sec - ts_sec)) AS BIGINT) AS weighted_sum,
+        |       CAST(SUM(next_sec - ts_sec) AS BIGINT) AS total_sec,
+        |       CAST(SUM(v_cents * (next_sec - ts_sec)) // NULLIF(SUM(next_sec - ts_sec), 0) AS BIGINT) AS twap_cents
+        |FROM seg WHERE next_sec IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      val ev = Tables.events(s, d).filter(col("user_id") <= 80)
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 100).cast("long").as("v_cents"),
+          col("ts").cast("long").as("ts_sec"))
+      ev.withColumn("next_sec", lead(col("ts_sec"), 1).over(w))
+        .filter(col("next_sec").isNotNull)
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_segments"),
+          sum(col("v_cents") * (col("next_sec") - col("ts_sec"))).as("weighted_sum"),
+          sum(col("next_sec") - col("ts_sec")).as("total_sec"))
+        .select(col("user_id"), col("n_segments"), col("weighted_sum"), col("total_sec"),
+          expr("CAST(weighted_sum DIV NULLIF(total_sec, 0) AS BIGINT)").as("twap_cents"))
+        .orderBy("user_id")
+    },
+
+    // ----- weighted sampling without replacement (priority sampling) -----
+    // Duffield, Lund & Thorup 2007: draw k items with priority u/w (u
+    // uniform, w the weight) and keep the k SMALLEST priorities — an
+    // unbiased weight-proportional sample. u is the repo's oracle-
+    // rebuildable uniform: the first 48 bits of md5(doc_id), exact in a
+    // double, so the ONLY float op is one IEEE division of two integers —
+    // correctly rounded, therefore bit-identical cross-engine; it orders
+    // rows and never reaches the output. Spark plans the k-smallest as
+    // TakeOrderedAndProject (per-partition top-k + merge, no global sort),
+    // the shape that holds at any corpus size; rank is then assigned over
+    // the k survivors only.
+    QueryDef(
+      "q_sample_weighted",
+      """WITH pri AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(('0x' || SUBSTR(MD5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS u48
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT doc_id, n_chars, u48,
+        |             ROW_NUMBER() OVER (ORDER BY CAST(u48 AS DOUBLE) / n_chars, doc_id) AS rk
+        |      FROM pri)
+        |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_chars, u48
+        |FROM r WHERE rk <= 50 ORDER BY rk""".stripMargin) { (s, d) =>
+      val pri = Tables.documents(s, d).filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          expr("CAST(conv(substr(md5(CAST(concat('wsamp:', CAST(doc_id AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
+            .as("u48"))
+        .withColumn("priority", col("u48").cast("double") / col("n_chars"))
+      val top = pri.orderBy(col("priority"), col("doc_id")).limit(50)
+      top.withColumn("rk",
+          row_number().over(Window.orderBy("priority", "doc_id")).cast("long"))
+        .select("rk", "doc_id", "n_chars", "u48")
+        .orderBy("rk")
+    },
+
+    // ----- typo-class string distance (unrestricted Damerau-Levenshtein) -----
+    // The native [[org.apache.spark.sql.graft.DamerauLevenshtein]]
+    // expression gated against DuckDB's damerau_levenshtein on two pair
+    // populations: sequential-key customer names (a co-partitioned
+    // next-key join) and each name against its tail-transposed self (a
+    // map-only derivation that MUST separate dl from plain levenshtein —
+    // a transposition costs 1 vs 2). Output is the (pair_type, dl, lev)
+    // histogram: integer-exact and tiny at any scale.
+    QueryDef(
+      "q_dl_distance",
+      """WITH neigh AS (
+        |  SELECT 'neighbor' AS pair_type,
+        |         CAST(damerau_levenshtein(a.c_name, b.c_name) AS BIGINT) AS dl,
+        |         CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+        |  FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1),
+        |swap AS (
+        |  SELECT 'swap_tail' AS pair_type,
+        |         CAST(damerau_levenshtein(c_name, CONCAT(SUBSTR(c_name, 1, LENGTH(c_name)-2),
+        |                                                 SUBSTR(c_name, LENGTH(c_name), 1),
+        |                                                 SUBSTR(c_name, LENGTH(c_name)-1, 1))) AS BIGINT) AS dl,
+        |         CAST(levenshtein(c_name, CONCAT(SUBSTR(c_name, 1, LENGTH(c_name)-2),
+        |                                         SUBSTR(c_name, LENGTH(c_name), 1),
+        |                                         SUBSTR(c_name, LENGTH(c_name)-1, 1))) AS BIGINT) AS lev
+        |  FROM customer)
+        |SELECT pair_type, dl, lev, COUNT(*) AS n_pairs
+        |FROM (SELECT * FROM neigh UNION ALL SELECT * FROM swap) t
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val neigh = c.as("a").join(c.as("b"), col("b.c_custkey") === col("a.c_custkey") + 1)
+        .select(lit("neighbor").as("pair_type"),
+          StringDistanceFunctions.damerauLevenshtein(col("a.c_name"), col("b.c_name"))
+            .cast("long").as("dl"),
+          levenshtein(col("a.c_name"), col("b.c_name")).cast("long").as("lev"))
+      val sw = c
+        .withColumn("swapped",
+          expr("concat(substr(c_name, 1, length(c_name)-2), " +
+            "substr(c_name, length(c_name), 1), substr(c_name, length(c_name)-1, 1))"))
+        .select(lit("swap_tail").as("pair_type"),
+          StringDistanceFunctions.damerauLevenshtein(col("c_name"), col("swapped"))
+            .cast("long").as("dl"),
+          levenshtein(col("c_name"), col("swapped")).cast("long").as("lev"))
+      neigh.unionAll(sw)
+        .groupBy("pair_type", "dl", "lev").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("pair_type", "dl", "lev")
+    }
+  )
+}

@@ -600,6 +600,80 @@ object CorpusStatsQueries {
         .select(col("tok"), col("exact_c"), col("est_c"),
           (col("est_c") - col("exact_c")).as("overcount"))
         .orderBy(col("exact_c").desc, col("tok"))
+    },
+
+    // ----- corpus-mixture overlap: pairwise source shingle-set Jaccard -----
+    // How much content do two ingestion sources share? Per-source DISTINCT
+    // 3-gram shingle sets (unigrams are useless here — this corpus's
+    // sources share one token vocabulary, measured Jaccard 1.0 for every
+    // pair; 3-grams discriminate at 12-84‰), pairwise |A∩B| via the
+    // inverted index (shingle → its source SET: per-shingle fan-out is
+    // bounded by C(#sources, 2) — the join grows with the shingle
+    // VOCABULARY, never with corpus size², which is what makes
+    // source-level set similarity tractable where doc-level needs
+    // MinHash), |A∪B| by inclusion-exclusion from broadcast per-source
+    // sizes, integral permille at the boundary. Top-20 most-overlapping
+    // pairs via TakeOrdered.
+    //
+    // Shuffle budget: ONE exchange of the shingle instances (groupBy
+    // shingle + collect_set dedups sources in the same aggregation —
+    // the oracle's DISTINCT + self-join shape would shuffle the postings
+    // three times; measured 5.4 s → the single-shuffle form below, with
+    // pair expansion as an in-memory HOF over the ≤ #sources source set).
+    // Per-source set sizes fall out of the same frame (each source counted
+    // once per shingle set), so nothing else touches the corpus.
+    QueryDef(
+      "q_source_overlap",
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |shd AS (SELECT source,
+         |               CASE WHEN len(toks) >= 3
+         |                    THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
+         |                                       i -> array_to_string(toks[i:i+2], ' ')))
+         |                    ELSE [] END AS shingles
+         |        FROM t),
+         |tok AS (SELECT DISTINCT source, unnest(shingles) AS tok FROM shd),
+         |sizes AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source),
+         |inter AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+         |          FROM tok a JOIN tok b ON a.tok = b.tok AND a.source < b.source
+         |          GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_common, sa.n AS n_a, sb.n AS n_b,
+         |       CAST(n_common * 1000 // (sa.n + sb.n - n_common) AS BIGINT) AS jaccard_permille
+         |FROM inter
+         |JOIN sizes sa ON source_a = sa.source
+         |JOIN sizes sb ON source_b = sb.source
+         |ORDER BY jaccard_permille DESC, source_a, source_b
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      // repartition BEFORE the tokenize/shingle explode: the gate corpus is
+      // one parquet split, and a single-partition scan serializes the
+      // CPU-dominant shingle derivation (measured 8 s of the query's 5-9 s
+      // on one core at sf0.1). Shuffling the raw docs is cheap (rows, not
+      // shingles); at 100 TB the scan has thousands of splits and the
+      // round-robin is a no-op-sized safety net against tiny-file skew.
+      val inst = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), explode(graft.functions.TextFunctions.wordShingles(
+          graft.functions.TextFunctions.tokens(col("text")))).as("tok"))
+      // lazy localCheckpoint: both the per-source sizes and the pair
+      // expansion consume the same shingle→source-set frame — truncating
+      // here computes the scan+explode+aggregate once per execution
+      // (same pattern as q_pagerank's edge frame)
+      val bySh = inst.groupBy("tok").agg(collect_set(col("source")).as("srcs"))
+        .localCheckpoint(false)
+      val sizes = bySh.select(explode(col("srcs")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = bySh.filter(size(col("srcs")) >= 2)
+        .select(explode(expr(
+          "filter(flatten(transform(srcs, a -> transform(srcs, b -> " +
+            "struct(a AS source_a, b AS source_b)))), p -> p.source_a < p.source_b)")).as("p"))
+        .select(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_common"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+        .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_common"), col("n_a"), col("n_b"),
+          expr("CAST(n_common * 1000 DIV (n_a + n_b - n_common) AS BIGINT)").as("jaccard_permille"))
+        .orderBy(col("jaccard_permille").desc, col("source_a"), col("source_b"))
+        .limit(20)
     }
   )
 }

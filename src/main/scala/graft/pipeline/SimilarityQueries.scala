@@ -630,6 +630,48 @@ object SimilarityQueries {
           round(dot(col("embedding"), col("qv")) / (col("na") * col("nq")), 9).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
+    },
+
+    // ----- int8 scalar quantization (per-dimension min-max) -----
+    // The storage face of vector search: embeddings compressed 4× by
+    // mapping each dimension's [min, max] onto 0..255 — the standard
+    // scalar-quantization codec (e.g. FAISS SQ8). Cross-engine exactness:
+    // float32 components promote to double identically in both engines and
+    // the code is ONE expression shape — FLOOR(((x−mn)·255)/(mx−mn)) —
+    // evaluated on identical doubles, so every IEEE intermediate is
+    // bit-identical; outputs are integer codes and integer roll-ups.
+    // Scale: per-dim stats are a 64-row aggregate (broadcast back); the
+    // code pass is one explode + map — linear, and at 100 TB the stats
+    // side stays 64 rows no matter the corpus.
+    QueryDef(
+      "q_quantize_int8",
+      """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS xv,
+        |                  CAST(unnest(range(1, len(embedding)+1)) AS BIGINT) AS dim
+        |           FROM embeddings),
+        |st AS (SELECT dim, MIN(xv) AS mn, MAX(xv) AS mx FROM x GROUP BY dim),
+        |c AS (SELECT x.dim,
+        |             LEAST(255, CAST(FLOOR(((xv - mn) * 255) / (mx - mn)) AS BIGINT)) AS code
+        |      FROM x JOIN st ON x.dim = st.dim WHERE mx > mn)
+        |SELECT dim, COUNT(*) AS n_vals, MIN(code) AS code_min, MAX(code) AS code_max,
+        |       CAST(SUM(code) AS BIGINT) AS sum_codes,
+        |       COUNT(DISTINCT code) AS n_codes
+        |FROM c GROUP BY dim ORDER BY dim""".stripMargin) { (s, d) =>
+      val x = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select((col("pos") + 1).cast("long").as("dim"), col("v").cast("double").as("xv"))
+      val st = x.groupBy("dim").agg(min(col("xv")).as("mn"), max(col("xv")).as("mx"))
+      x.join(broadcast(st), "dim")
+        .filter(col("mx") > col("mn"))
+        .select(col("dim"),
+          least(lit(255), floor(((col("xv") - col("mn")) * 255) / (col("mx") - col("mn")))
+            .cast("long")).as("code"))
+        .groupBy("dim").agg(
+          count(lit(1)).as("n_vals"),
+          min(col("code")).as("code_min"),
+          max(col("code")).as("code_max"),
+          sum(col("code")).cast("long").as("sum_codes"),
+          countDistinct(col("code")).as("n_codes"))
+        .orderBy("dim")
     }
   )
 }

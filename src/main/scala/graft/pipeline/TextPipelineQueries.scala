@@ -391,6 +391,41 @@ object TextPipelineQueries {
             .as("masked_tail"),
           length(col("masked")).cast("long").as("masked_len"))
         .orderBy("doc_id")
+    },
+
+    // ----- Unicode NFC normalization (UAX #15) -----
+    // The native [[org.apache.spark.sql.graft.NfcNormalize]] expression
+    // gated byte-for-byte against DuckDB's nfc_normalize (utf8proc): every
+    // customer name gets a canonically-DECOMPOSED accent injected (e +
+    // U+0301 combining acute — the form copy/paste and some OSes produce),
+    // normalization recomposes it to the precomposed é. The multiset
+    // checksum (order-independent SUM of per-row md5 prefixes over the
+    // normalized UTF-8 bytes) gates the exact output strings, not just
+    // their lengths. Map-only expression work, zero shuffles before the
+    // 1-row aggregate. The combining char is a Scala literal on the Spark
+    // side (Spark's chr() wraps codepoints at 256) and chr(769) in DuckDB.
+    QueryDef(
+      "q_unicode_nfc",
+      """WITH raw AS (
+        |  SELECT c_custkey, REPLACE(c_name, 'e', 'e' || chr(769)) AS dec FROM customer),
+        |n AS (SELECT c_custkey, dec, nfc_normalize(dec) AS nfc FROM raw)
+        |SELECT COUNT(*) AS n_names,
+        |       CAST(SUM(LENGTH(dec)) AS BIGINT) AS sum_len_decomposed,
+        |       CAST(SUM(LENGTH(nfc)) AS BIGINT) AS sum_len_nfc,
+        |       COUNT(CASE WHEN nfc <> dec THEN 1 END) AS n_composed,
+        |       CAST(SUM(CAST(('0x' || SUBSTR(MD5(nfc), 1, 8)) AS BIGINT)) AS BIGINT) AS nfc_checksum
+        |FROM n""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graft.UnicodeFunctions.nfcNormalize
+      Tables.customer(s, d)
+        .select(regexp_replace(col("c_name"), "e", "é").as("dec"))
+        .withColumn("nfc", nfcNormalize(col("dec")))
+        .agg(
+          count(lit(1)).as("n_names"),
+          sum(length(col("dec"))).cast("long").as("sum_len_decomposed"),
+          sum(length(col("nfc"))).cast("long").as("sum_len_nfc"),
+          count(when(col("nfc") =!= col("dec"), 1)).as("n_composed"),
+          sum(expr("CAST(conv(substr(md5(CAST(nfc AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
+            .cast("long").as("nfc_checksum"))
     }
   )
 

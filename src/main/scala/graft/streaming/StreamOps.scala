@@ -116,13 +116,22 @@ object StreamOps {
     * project/rename.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      lookback: String, lateness: String = "10 minutes"): DataFrame = {
+      lookback: String, lateness: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = (if (left.isStreaming) left.withWatermark("ts", lateness) else left).alias("l")
     val r = (if (right.isStreaming) right.withWatermark("ts", lateness) else right).alias("r")
+    // "left_outer" is the attribution-with-nulls variant: a left event with
+    // no in-window match is still emitted (click-less purchase). In
+    // streaming mode Spark requires exactly what this join already has —
+    // watermarks on BOTH sides plus the event-time range in the
+    // condition — because the null row for an unmatched left event can only
+    // be emitted once the watermark proves no matching right event can
+    // still arrive; the same watermark bounds the join state.
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col("r.ts") >= col("l.ts") - expr(s"INTERVAL '$lookback'") &&
-        col("r.ts") <= col("l.ts"))
+        col("r.ts") <= col("l.ts"),
+      joinType)
   }
 
   // ----- incremental SCD Type 2 maintenance -----
@@ -172,6 +181,54 @@ object StreamOps {
           open.foreach(st.update)
           out.result().iterator
         })
+  }
+
+  // ----- per-key quota enforcement (rate limiting) -----
+
+  case class QuotaEvent(user_id: Long, day_num: Long, event_id: Long, ts_sec: Long)
+  case class QuotaCount(nSeen: Long)
+  case class QuotaTagged(user_id: Long, day_num: Long, event_id: Long,
+      ts_sec: Long, accepted: Boolean)
+
+  /** Per-(key, day) ingestion quota: the first `cap` events of a key's day
+    * are accepted, the rest tagged rejected — the per-source/per-tenant
+    * rate-limit gate of an ingestion pipeline (events are never DROPPED
+    * here; the rejected channel is preserved for audit, callers filter).
+    *
+    * Batch face: deterministic arrival order = (ts_sec, event_id) per key,
+    * so acceptance is a row_number ≤ cap under the key window — replayable
+    * and oracle-checkable. Streaming face: a per-key running count in
+    * `flatMapGroupsWithState` tags events in arrival order (each
+    * micro-batch sorted the same way, so an in-order feed reproduces the
+    * batch tagging exactly); the day in the key means an idle key's state
+    * is one counter per active day — in production a timeout evicts
+    * yesterday's counters, keeping state proportional to ACTIVE keys, not
+    * lifetime keys.
+    */
+  def rateLimit(events: Dataset[QuotaEvent], cap: Int): Dataset[QuotaTagged] = {
+    implicit val stateEnc: Encoder[QuotaCount] = Encoders.product[QuotaCount]
+    implicit val outEnc: Encoder[QuotaTagged] = Encoders.product[QuotaTagged]
+    import events.sparkSession.implicits._
+    if (events.isStreaming)
+      events
+        .groupByKey(e => (e.user_id, e.day_num))
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+          (key: (Long, Long), batch: Iterator[QuotaEvent], st: GroupState[QuotaCount]) => {
+            var seen = st.getOption.map(_.nSeen).getOrElse(0L)
+            val out = batch.toArray.sortBy(e => (e.ts_sec, e.event_id)).map { e =>
+              seen += 1
+              QuotaTagged(e.user_id, e.day_num, e.event_id, e.ts_sec, seen <= cap)
+            }
+            st.update(QuotaCount(seen))
+            out.iterator
+          })
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "day_num").orderBy("ts_sec", "event_id")
+      events.toDF()
+        .withColumn("accepted", row_number().over(w) <= cap)
+        .as[QuotaTagged]
+    }
   }
 
   // ----- custom state: running per-user aggregates with anomaly flags -----

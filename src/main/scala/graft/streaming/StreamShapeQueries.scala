@@ -193,6 +193,88 @@ object StreamShapeQueries {
         tsCol = "ts_sec", contentCol = "ekey", idCol = "event_id")
         .select("user_id", "event_id", "event_type", "ts_sec")
         .orderBy("event_id")
+    },
+
+    // stream-stream LEFT OUTER interval join: q_stream_interval_join's
+    // attribution shape, but purchases with NO click in the trailing 2 h
+    // window survive with a NULL click — the semantics only an outer
+    // stream-stream join provides (inner silently drops the unattributed
+    // cohort, which is usually the cohort being measured). The streaming
+    // face needs watermarks on both sides + the event-time range so the
+    // null row can be emitted when the watermark closes the window;
+    // StreamOps.intervalJoin carries both already, so the batch run below
+    // is the oracle-checkable face of the identical join condition.
+    // NULLS-FIRST click ordering is pinned explicitly: Spark ASC defaults
+    // nulls-first, DuckDB nulls-last — the one place the engines' defaults
+    // diverge on this query.
+    QueryDef(
+      "q_stream_left_outer",
+      """WITH p AS (SELECT user_id, event_id,
+        |                  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec FROM events
+        |           WHERE event_type = 'purchase' AND user_id <= 100),
+        |c AS (SELECT user_id, event_id,
+        |             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec FROM events
+        |      WHERE event_type = 'click' AND user_id <= 100)
+        |SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |       p.ts_sec AS purchase_ts_sec, c.ts_sec AS click_ts_sec
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |   AND c.ts_sec >= p.ts_sec - 7200 AND c.ts_sec <= p.ts_sec
+        |ORDER BY p.user_id, purchase_id, click_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("user_id") <= 100)
+        .withColumn("ts", date_trunc("second", col("ts")))
+      StreamOps.intervalJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "2 hours", joinType = "left_outer")
+        .select(
+          col("l.user_id").as("user_id"),
+          col("l.event_id").as("purchase_id"), col("r.event_id").as("click_id"),
+          col("l.ts").cast("long").as("purchase_ts_sec"),
+          col("r.ts").cast("long").as("click_ts_sec"))
+        .orderBy(col("user_id"), col("purchase_id"), col("click_id").asc_nulls_first)
+    },
+
+    // per-(user, day) ingestion quota: first 2 events of a user's day are
+    // accepted, the rest tagged rejected — StreamOps.rateLimit's batch face
+    // (row_number ≤ cap under the (user, day) window); the streaming face
+    // (flatMapGroupsWithState running count, cross-micro-batch state) is
+    // driven by StreamOpsSpec. Day boundaries and acceptance both ride
+    // floor-epoch-second integers.
+    QueryDef(
+      "q_rate_limit",
+      """WITH ev0 AS (SELECT user_id, event_id,
+        |                   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec
+        |            FROM events WHERE user_id <= 120),
+        |ev AS (SELECT *, ts_sec // 86400 AS day_num FROM ev0),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day_num
+        |                                   ORDER BY ts_sec, event_id) AS rn
+        |      FROM ev)
+        |SELECT user_id, day_num, COUNT(*) AS n_events,
+        |       COUNT(CASE WHEN rn <= 2 THEN 1 END) AS n_accepted,
+        |       COUNT(CASE WHEN rn > 2 THEN 1 END) AS n_rejected,
+        |       MAX(CASE WHEN rn = 2 THEN ts_sec END) AS quota_hit_sec
+        |FROM r GROUP BY user_id, day_num
+        |ORDER BY user_id, day_num""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d).filter(col("user_id") <= 120)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("ts_sec"))
+        .withColumn("day_num", expr("CAST(ts_sec DIV 86400 AS BIGINT)"))
+        .select("user_id", "day_num", "event_id", "ts_sec")
+        .as[StreamOps.QuotaEvent]
+      val tagged = StreamOps.rateLimit(ev, cap = 2).toDF()
+      // the accepted set is exactly the first ≤2 events, so when the cap
+      // was reached the 2nd event's ts IS the max accepted ts
+      tagged.groupBy("user_id", "day_num")
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when(col("accepted"), 1)).as("n_accepted"),
+          count(when(!col("accepted"), 1)).as("n_rejected"),
+          max(when(col("accepted"), col("ts_sec"))).as("max_acc_sec"))
+        .select(col("user_id"), col("day_num"), col("n_events"),
+          col("n_accepted"), col("n_rejected"),
+          when(col("n_accepted") === 2, col("max_acc_sec")).as("quota_hit_sec"))
+        .orderBy("user_id", "day_num")
     }
   )
 }

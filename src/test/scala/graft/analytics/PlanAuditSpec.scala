@@ -597,4 +597,117 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate(keys=[doc_id#"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("weighted sampling: k-smallest via TakeOrdered; rank window only over the k survivors") {
+    val p = planOf("q_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject(limit=50"), p.take(2000))
+    // the ONLY window sits ABOVE the TakeOrdered — it ranks the ≤ 50
+    // survivors, never the corpus (a global rank-then-filter would be the
+    // single-partition-sort anti-shape)
+    assert(p.indexOf("Window ") < p.indexOf("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,0)]"), p.take(2000))
+  }
+
+  test("snapshot diff: latest-per-key prunes pre-shuffle; keyed full-outer merge; frontier pushed") {
+    val p = planOf("q_snapshot_diff")
+    assert(p.contains("FullOuter"), p.take(3000))
+    // rn=1 plans as WindowGroupLimit partial+final in BOTH snapshot
+    // branches — each side ships at most one candidate row per key per
+    // input partition into the shuffle, not the whole history
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 4, p.take(3000))
+    // the old-frontier predicate reaches the parquet scan
+    assert(p.contains("LessThan(ts,2024-01-15"), p.take(3000))
+  }
+
+  test("TWAP: LEAD window and aggregate share ONE user exchange; sums partial+final") {
+    val p = planOf("q_twap")
+    assert(p.contains("partial_sum((v_cents"), p.take(3000))
+    assert(p.contains("windowspecdefinition(user_id#"), p.take(3000))
+    // AQE's toString prints Final AND Initial plans — count only the final
+    val ep = executedPlanOf("q_twap").split("== Initial Plan ==").head
+    val userExchanges = "Exchange hashpartitioning\\(user_id#".r.findAllIn(ep).size
+    assert(userExchanges == 1, s"expected 1 user_id exchange, got $userExchanges\n${ep.take(3000)}")
+  }
+
+  test("correlation matrix: ONE lineitem scan feeds all nine sufficient statistics") {
+    val p = planOf("q_corr_matrix")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(3000))
+    assert(p.contains("partial_sum((price_usd"), p.take(3000))
+    // the 3-pair reshape explodes the single aggregate output row
+    assert(p.contains("Generate explode(array(struct"), p.take(3000))
+  }
+
+  test("triangles: kNN prune via WindowGroupLimit; part join is keyed; only 1-row cross joins") {
+    val p = planOf("q_graph_triangles")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // top-5-per-node prunes partial+final BEFORE the undirected dedup
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    // co-supply pair generation is an equi-join on the part key
+    assert(p.contains("Join [p#") || p.contains("BroadcastHashJoin [p#"), p.take(3000))
+    // the only nested-loop joins assemble the three 1-ROW aggregate outputs
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p.take(3000))
+  }
+
+  test("DL distance: native expression in-plan; neighbor pairing is a keyed join, never all-pairs") {
+    val p = planOf("q_dl_distance")
+    assert(p.contains("damerau_levenshtein("), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // both pair populations feed one partial+final histogram aggregate
+    assert(p.contains("partial_count(1)"), p.take(3000))
+  }
+
+  test("equi-depth histogram and discrete quantiles: windows are stratum-partitioned") {
+    val ph = planOf("q_hist_equidepth")
+    assert(ph.contains("windowspecdefinition(lang#"), ph.take(2000))
+    val pm = planOf("q_median_disc")
+    assert(pm.contains("windowspecdefinition(source#"), pm.take(2000))
+    // the rank and per-group-count windows share the (source) exchange:
+    // exactly one source-keyed shuffle in the executed plan
+    val ep = executedPlanOf("q_median_disc").split("== Initial Plan ==").head
+    val srcExchanges = "Exchange hashpartitioning\\(source#".r.findAllIn(ep).size
+    assert(srcExchanges == 1, s"expected 1 source exchange, got $srcExchanges\n${ep.take(3000)}")
+  }
+
+  test("k-anonymity: one map-side-combined aggregate over a pruned scan") {
+    val p = planOf("q_kanonymity")
+    assert(p.contains("partial_count(1)"), p.take(2000))
+    assert(p.contains("ReadSchema: struct<c_nationkey:int,c_acctbal:double,c_mktsegment:string"), p.take(2000))
+  }
+
+  test("int8 quantization: per-dim stats broadcast back; one explode pass, no cartesian") {
+    val p = planOf("q_quantize_int8")
+    assert(p.contains("BroadcastHashJoin [dim#"), p.take(3000))
+    assert("Generate posexplode".r.findAllIn(p).size <= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("source overlap: per-source sizes broadcast; top-20 via TakeOrdered, no all-pairs docs") {
+    val p = planOf("q_source_overlap")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("NFC normalization: map-only — native expression, no exchanges before the 1-row aggregate") {
+    val p = planOf("q_unicode_nfc")
+    assert(p.contains("nfc_normalize("), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("rate limit: tagging window and the day aggregate share the (user, day) clustering") {
+    val p = planOf("q_rate_limit")
+    assert(p.contains("windowspecdefinition(user_id#"), p.take(3000))
+    // tag + aggregate run off one hash exchange on (user_id, day_num)
+    val ep = executedPlanOf("q_rate_limit").split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning\\(user_id#".r.findAllIn(ep).size
+    assert(exchanges == 1, s"expected 1 (user, day) exchange, got $exchanges\n${ep.take(3000)}")
+  }
+
+  test("stream left-outer interval join: outer keyed join with the range condition in the plan") {
+    val p = planOf("q_stream_left_outer")
+    assert(p.contains("LeftOuter"), p.take(3000))
+    // the time-range rides the join condition (what bounds streaming state)
+    assert(p.contains("HOUR") && !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("EqualTo(event_type,click)"), p.take(3000))
+  }
 }

@@ -222,4 +222,67 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.length == 6) // one event appears in exactly 6 hourly-sliding 6h windows
     assert(out.forall(_.getAs[Long]("n_events") == 1))
   }
+
+  test("rate limit: quota state persists across micro-batches and matches the batch face") {
+    import graft.streaming.StreamOps.QuotaEvent
+    implicit val sqlCtx = spark.sqlContext
+    // key (1, day 0): 7 events split 3 + 4 across batches — cap 5 must
+    // accept the first 5 ACROSS the boundary (2 from batch 2), which only
+    // per-key state can get right; key (2, day 0) stays under quota
+    val all = Seq(
+      QuotaEvent(1L, 0L, 10L, 100L), QuotaEvent(1L, 0L, 11L, 200L),
+      QuotaEvent(1L, 0L, 12L, 300L), QuotaEvent(2L, 0L, 13L, 150L),
+      QuotaEvent(1L, 0L, 14L, 400L), QuotaEvent(1L, 0L, 15L, 500L),
+      QuotaEvent(1L, 0L, 16L, 600L), QuotaEvent(1L, 0L, 17L, 700L),
+      QuotaEvent(2L, 0L, 18L, 250L))
+    val input = MemoryStream[QuotaEvent]
+    val query = StreamOps.rateLimit(input.toDS(), cap = 5)
+      .writeStream.format("memory").queryName("quota_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(all.take(4): _*)
+      query.processAllAvailable()
+      input.addData(all.drop(4): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("quota_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4))).toSeq.sorted
+      val batch = StreamOps.rateLimit(all.toDS(), cap = 5).collect()
+        .map(t => (t.user_id, t.event_id, t.accepted)).toSeq.sorted
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+      // key 1: exactly 5 accepted (events 10,11,12,14,15), 16/17 rejected
+      assert(streamed.filter(t => t._1 == 1L && t._3).map(_._2) == Seq(10L, 11L, 12L, 14L, 15L))
+      assert(streamed.filter(t => t._1 == 1L && !t._3).map(_._2) == Seq(16L, 17L))
+      assert(streamed.filter(_._1 == 2L).forall(_._3), "under-quota key fully accepted")
+    } finally query.stop()
+  }
+
+  test("left-outer interval join emits the unmatched purchase with NULL once the watermark closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[UserEvent]
+    val clicks = MemoryStream[UserEvent]
+    val joined = StreamOps.intervalJoin(
+      purchases.toDF(), clicks.toDF(), "user_id", "2 hours",
+      lateness = "10 minutes", joinType = "left_outer")
+      .select(col("l.user_id").as("user_id"), col("l.ts").as("p_ts"), col("r.ts").as("c_ts"))
+    val query = joined.writeStream.format("memory").queryName("louter_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: click 30 min before the purchase (inside the window);
+      // user 2: purchase with NO click at all
+      purchases.addData(ev("2024-01-01 10:00:00", 1, "purchase"),
+        ev("2024-01-01 10:00:00", 2, "purchase"))
+      clicks.addData(ev("2024-01-01 09:30:00", 1, "click"))
+      query.processAllAvailable()
+      // advance BOTH watermarks far past window + lateness so the engine
+      // can prove user 2's purchase will never match and emit its null row
+      purchases.addData(ev("2024-01-02 10:00:00", 99, "purchase"))
+      clicks.addData(ev("2024-01-02 10:00:00", 99, "click"))
+      query.processAllAvailable()
+      val rows = spark.table("louter_out")
+        .filter(col("user_id").isin(1L, 2L)).collect()
+        .map(r => (r.getLong(0), r.isNullAt(2))).toSeq.sorted
+      assert(rows.contains((1L, false)), s"matched purchase must pair: $rows")
+      assert(rows.contains((2L, true)), s"unmatched purchase must surface with NULL click: $rows")
+    } finally query.stop()
+  }
 }
