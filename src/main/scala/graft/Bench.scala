@@ -53,7 +53,21 @@ object Bench {
     // (if the same queries are fast when run early, the harness is the
     // suspect, not the plan).
     val order = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "alpha")
-    val sortedNames = SparkEntry.queries.toSeq.sortBy(_._1)
+    // local-iteration filter, mirroring Verify's: comma-separated names →
+    // time only those (the driver never sets this; full runs stay the
+    // default, and BenchArtifactSpec rejects a partial artifact anyway).
+    // Unknown names fail fast — a typo must not silently time nothing.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names no registered query: ${unknown.mkString(", ")}")
+    }
+    val sortedNames = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy(_._1)
     val ordered = order match {
       case "alpha" => sortedNames
       case "reverse" => sortedNames.reverse

@@ -58,6 +58,12 @@ object CorpusPipeline {
     */
   def cleanWithFlags(docs: DataFrame, p: Params = Params()): DataFrame = {
     val toks = tokens(col("text"))
+    // NOT pre-repartitioned: unlike q_source_overlap (whose HOF shingle
+    // derivation measured 8 s on the single scan core), this stats
+    // projection is cheap enough that fanning the scan out was MEASURED to
+    // hurt (corpus_clean 3.7 → 5.3 s at sf0.1) — the added round-robin
+    // exchange costs more than the parallelized tokenize saves across the
+    // stats subtree's several consumers.
     val stats = docs.select(
       col("doc_id"), col("lang"), col("text"),
       size(toks).as("n_tokens"),
