@@ -27,4 +27,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The full 190-query bench generates thousands of whole-stage-codegen
+  // classes in one JVM; the JDK default 240 MB reserved code cache fills,
+  // the JIT stops compiling, and queries whose hot loop lives in GENERATED
+  // bytecode (md5/conv/bin chains) intermittently run interpreted at
+  // 15× the CPU (q_distinct_hll measured 18 vs 290 process-CPU-s on the
+  // SAME plan). Size the cache for the suite and keep flushing on.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
+  // Same pathology, second layer: Spark's generated-class cache holds 100
+  // entries by default — a 190-query suite thrashes it, and every
+  // re-compiled class restarts cold in the interpreter (the 385-CPU-s HLL
+  // rep reproduced WITH the bigger code cache). Size it for the suite.
+  "-Dspark.sql.codegen.cache.maxEntries=5000",
 )

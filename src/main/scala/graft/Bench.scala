@@ -140,9 +140,16 @@ object Bench {
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","reps":$reps,"loadavg_launch":${fmt(loadAtLaunch)},"loadavg_timed":${fmt(load)},"settle_secs":${fmt(settledSecs)},"settle_target":${fmt(settleTarget)},"reps_detail":$repsDetail,"reps_load":$repsLoad,"reps_cpu":$repsCpu}"""
     println(json)
     // the driver's log tail truncates; persist the full per-query list so a
-    // round's numbers are always recoverable from the repo itself
+    // round's numbers are always recoverable from the repo itself.
+    // A SPARK_GRAFT_BENCH_ONLY run defaults to a _partial path: the
+    // committed full-coverage artifact (what BenchArtifactSpec gates and
+    // BASELINE.md quotes) must never be clobbered by a local iteration
+    // loop (it happened once — a 2-query loop overwrote the 184-query
+    // artifact and the suite went red on the next full run).
+    val defaultOut =
+      if (only.isDefined) "bench/last_run_partial.json" else "bench/last_run.json"
     val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/last_run.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
     spark.stop()

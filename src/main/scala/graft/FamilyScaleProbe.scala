@@ -361,7 +361,24 @@ object FamilyScaleProbe {
       "unicode_nfc" -> registered("q_unicode_nfc"),
       "quantize_int8" -> registered("q_quantize_int8"),
       "source_overlap" -> registered("q_source_overlap"),
-      "rate_limit" -> rateLimitUncapped)
+      "rate_limit" -> rateLimitUncapped,
+      // round-10 batch-3 families: the distinct sketches ride the
+      // disjoint-token replicas (vocabulary ×k under a CONSTANT
+      // 256-register/256-slot sketch per source — the claim is that only
+      // the shared distinct exchange grows, the sketch reduction stays
+      // fixed-size); zorder is a map-only key chain + 32-group rollup
+      // over ×k orders; stream_enrich joins ×k events to the ×k broadcast
+      // dim (replica users land on replica customers, per-window groups
+      // ×constant segments).
+      "distinct_hll" -> registered("q_distinct_hll"),
+      "kmv_intersect" -> registered("q_distinct_kmv_intersect"),
+      "zorder_layout" -> registered("q_zorder_layout"),
+      "stream_enrich" -> registered("q_stream_enrich"),
+      // eval family: score+label derivations ride ×k docs (each a
+      // doc-keyed rollup), the AUC prefix-sum window rides the CONSTANT
+      // bin grid — the claim is the histogram formulation keeps the
+      // global-ranking step corpus-size-independent.
+      "classifier_auc" -> registered("q_classifier_auc"))
     familyFilter.foreach { names =>
       val unknown = names.diff(allFamilies.map(_._1).toSet + "incremental")
       require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")

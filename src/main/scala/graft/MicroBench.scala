@@ -43,15 +43,77 @@ object MicroBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
-    e.count() // warm IO
-
     def time(body: => Long): Double = {
       spark.catalog.clearCache(); System.gc()
       val t0 = System.nanoTime()
       body
       (System.nanoTime() - t0) / 1e9
     }
+
+    // subject `shingle`: the shingle-derivation projection shape — a ONE-step
+    // projection whose transform lambda references the tokenizer EXPRESSION
+    // (re-evaluating the regex split per array element — the O(tokens²)
+    // hazard repetitionUnits' comment documents) vs a TWO-step projection
+    // where the lambda references a materialized `toks` attribute
+    // (CollapseProject keeps the boundary because `toks` is referenced more
+    // than once and is non-cheap).
+    if (sys.env.getOrElse("SPARK_GRAFT_MICRO", "banding") == "shingle") {
+      import graft.functions.TextFunctions
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.count() // warm IO
+      def oneStep: DataFrame = docs
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("source"), explode(TextFunctions.wordShingles(
+          TextFunctions.tokens(col("text")))).as("tok"))
+        .groupBy("source").count()
+      def twoStep: DataFrame = docs
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("source"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("source"), explode(TextFunctions.wordShingles(col("toks"))).as("tok"))
+        .groupBy("source").count()
+      def checksumS(df: DataFrame): (Long, Long) = {
+        // bit_xor: order-independent and overflow-free (a SUM of 64-bit
+        // hashes trips ANSI overflow)
+        val r = df.agg(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(source, count))"), lit(0L)).as("h")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      require(checksumS(oneStep) == checksumS(twoStep),
+        "the two projection shapes must produce identical shingle counts")
+      val runs = (1 to reps).map(_ => (time(oneStep.count()), time(twoStep.count())))
+      def fmtS(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      println(s"""{"metric":"micro_shingle","reps":$reps,""" +
+        s""""one_step":[${runs.map(r => fmtS(r._1)).mkString(",")}],""" +
+        s""""two_step":[${runs.map(r => fmtS(r._2)).mkString(",")}]}""")
+      spark.stop()
+      return
+    }
+
+    // subject `hll_parts`: which of q_distinct_hll's two corpus passes is
+    // bimodal (reps flip 18 ↔ 290 process-CPU-s on the same plan) —
+    // register build vs the cube-countDistinct exact face, interleaved.
+    if (sys.env.getOrElse("SPARK_GRAFT_MICRO", "banding") == "hll_parts") {
+      import graft.functions.TextFunctions
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.count()
+      def raw: DataFrame = docs
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("source"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("source"), explode(TextFunctions.wordShingles(col("toks"))).as("tok"))
+      def regs(): Long = pipeline.CorpusStatsQueries.hllRegistersForTest(raw).count()
+      def exact(): Long = raw.cube(col("source"))
+        .agg(countDistinct("tok").as("n_exact")).count()
+      val runs = (1 to reps).map(_ => (time(regs()), time(exact())))
+      def fmtS(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      println(s"""{"metric":"micro_hll_parts","reps":$reps,""" +
+        s""""registers":[${runs.map(r => fmtS(r._1)).mkString(",")}],""" +
+        s""""exact_cube":[${runs.map(r => fmtS(r._2)).mkString(",")}]}""")
+      spark.stop()
+      return
+    }
+
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    e.count() // warm IO
     // identical downstream shape (groupBy over band columns) so only the
     // banding expression differs between the two sides
     def nativeBuckets: DataFrame = e.select(col("vec_id"),

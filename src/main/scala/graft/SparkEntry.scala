@@ -17,6 +17,7 @@ object SparkEntry {
       analytics.SequenceQueries.defs ++
       analytics.GraphQueries.defs ++
       analytics.ProfileQueries.defs ++
+      analytics.LayoutQueries.defs ++
       pipeline.TextPipelineQueries.defs ++
       pipeline.DedupQueries.defs ++
       pipeline.SimilarityQueries.defs ++
@@ -25,6 +26,7 @@ object SparkEntry {
       pipeline.CorpusStatsQueries.defs ++
       pipeline.ChunkingQueries.defs ++
       pipeline.QualityGateQueries.defs ++
+      pipeline.EvalQueries.defs ++
       operators.RangeJoin.defs ++
       streaming.StreamShapeQueries.defs ++
       sources.FormatSources.defs ++

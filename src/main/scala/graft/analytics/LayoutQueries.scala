@@ -1,0 +1,90 @@
+package graft.analytics
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: multi-dimensional clustering keys for scan
+  * pruning. At 100 TB the dominant cost is files READ, not rows computed —
+  * a layout whose per-file min/max zone maps bound EVERY query dimension
+  * lets the scanner skip most of the table for selective predicates
+  * (the technique behind Delta/Iceberg `ZORDER BY` and the classic
+  * Morton-order UB-tree literature, Bayer 1997).
+  *
+  * The driver-gated query below computes the 20-bit Morton interleave of
+  * two 10-bit dimensions (customer bucket × order-day bucket) with the
+  * standard magic-number bit-spread (no loops, 4 codegen'd integer steps),
+  * assigns each row to one of 16 equi-width z-range "files", and emits the
+  * per-file zone map (min/max of BOTH dims) plus the file-skip decision for
+  * one probe range per dimension. The same stats for a 1-D "linear" layout
+  * (bucket by customer only) sit alongside: z-order files bound both dims
+  * to quarter-range tiles (probe hits 4/16 files on either dim), where the
+  * linear layout prunes its sort dim but must read 16/16 files for any
+  * date-only predicate. Everything is integer-exact.
+  *
+  * Scale: the zkey is a map-only expression chain (whole-stage codegen,
+  * no shuffle); the zone-map rollup reduces to n_files rows via map-side
+  * combine. In a real write path the SAME key feeds
+  * `repartitionByRange(n_files, $"zkey")` + `sortWithinPartitions` so each
+  * written file covers one contiguous z-range — the bucket arithmetic here
+  * is the deterministic stand-in for those sampled range boundaries, so the
+  * oracle can rebuild the assignment exactly.
+  */
+object LayoutQueries {
+
+  /** Interleave-ready bit spread: 10-bit value → even bit positions of a
+    * 20-bit word (B(x) in the Morton literature; magic masks are the
+    * 16-bit spread constants, valid for any input < 2^16).
+    */
+  private def spreadSteps(src: String, a: String, b: String, c: String, d: String): Seq[(String, String)] =
+    Seq(
+      a -> s"($src | shiftleft($src, 8)) & 16711935",
+      b -> s"($a | shiftleft($a, 4)) & 252645135",
+      c -> s"($b | shiftleft($b, 2)) & 858993459",
+      d -> s"($c | shiftleft($c, 1)) & 1431655765")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_zorder_layout",
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |         o_custkey % 1024 AS x,
+        |         date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) % 1024 AS y
+        |  FROM orders),
+        |s1 AS (SELECT o_orderkey, x, y,
+        |         (x | (x << 8)) & 16711935 AS xa, (y | (y << 8)) & 16711935 AS ya FROM base),
+        |s2 AS (SELECT *, (xa | (xa << 4)) & 252645135 AS xb, (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+        |s3 AS (SELECT *, (xb | (xb << 2)) & 858993459 AS xc, (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+        |s4 AS (SELECT *, (xc | (xc << 1)) & 1431655765 AS xd, (yc | (yc << 1)) & 1431655765 AS yd FROM s3),
+        |z AS (SELECT o_orderkey, x, y, xd | (yd << 1) AS zkey FROM s4),
+        |layouts AS (
+        |  SELECT 'zorder' AS layout, zkey // 65536 AS bucket, x, y FROM z
+        |  UNION ALL
+        |  SELECT 'linear' AS layout, x // 64 AS bucket, x, y FROM z)
+        |SELECT layout, bucket, COUNT(*) AS n,
+        |       MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max,
+        |       CASE WHEN MAX(x) >= 100 AND MIN(x) <= 150 THEN 1 ELSE 0 END AS probe_x_hit,
+        |       CASE WHEN MAX(y) >= 200 AND MIN(y) <= 250 THEN 1 ELSE 0 END AS probe_y_hit
+        |FROM layouts GROUP BY 1, 2
+        |ORDER BY layout, bucket""".stripMargin) { (s, d) =>
+      var z = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("o_custkey % 1024").as("x"),
+          expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') % 1024").as("y"))
+      for ((name, e) <- spreadSteps("x", "xa", "xb", "xc", "xd") ++
+             spreadSteps("y", "ya", "yb", "yc", "yd"))
+        z = z.withColumn(name, expr(e))
+      val zkey = z.select(col("x"), col("y"), expr("xd | shiftleft(yd, 1)").as("zkey"))
+      val layouts = zkey
+        .select(lit("zorder").as("layout"), expr("zkey DIV 65536").as("bucket"), col("x"), col("y"))
+        .unionByName(zkey
+          .select(lit("linear").as("layout"), expr("x DIV 64").as("bucket"), col("x"), col("y")))
+      layouts.groupBy("layout", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .withColumn("probe_x_hit", expr("IF(x_max >= 100 AND x_min <= 150, 1, 0)"))
+        .withColumn("probe_y_hit", expr("IF(y_max >= 200 AND y_min <= 250, 1, 0)"))
+        .orderBy("layout", "bucket")
+    }
+  )
+}

@@ -33,6 +33,24 @@ object CorpusStatsQueries {
 
   private val toksSql = graft.functions.TextFunctions.toksSql
 
+  /** HLL register build over a (source, tok) frame: md5 computed ONCE per
+    * row, bucket = first 8 hash bits, rho = leading-zeros+1 of the next 32.
+    * `max` absorbs duplicate tokens, so the input needs no distinct and the
+    * reduction map-side-combines to ≤ 256 partial registers per partition
+    * (SketchSpec audits exactly that on this frame's plan).
+    */
+  /** Test/micro-bench access to [[hllRegisters]]. */
+  def hllRegistersForTest(raw: DataFrame): DataFrame = hllRegisters(raw)
+
+  private[pipeline] def hllRegisters(raw: DataFrame): DataFrame =
+    raw.select(col("source"),
+        expr("md5(CAST(concat('hll:', tok) AS BINARY))").as("hx"))
+      .select(col("source"),
+        expr("CAST(conv(substr(hx, 1, 2), 16, 10) AS BIGINT)").as("bucket"),
+        expr("CAST(conv(substr(hx, 3, 8), 16, 10) AS BIGINT)").as("hv"))
+      .groupBy("source", "bucket")
+      .agg(max(expr("IF(hv = 0, 33, 33 - length(bin(hv)))")).as("m"))
+
   /** All counting units for the repetition metrics in ONE exploded stream:
     * (doc_id, kind, unit) where kind ∈ {tok, g2, g3}. Tokenize ONCE,
     * explode, build grams with window `lead` + codegen'd `concat_ws`, fan
@@ -673,6 +691,226 @@ object CorpusStatsQueries {
         .select(col("source_a"), col("source_b"), col("n_common"), col("n_a"), col("n_b"),
           expr("CAST(n_common * 1000 DIV (n_a + n_b - n_common) AS BIGINT)").as("jaccard_permille"))
         .orderBy(col("jaccard_permille").desc, col("source_a"), col("source_b"))
+        .limit(20)
+    },
+
+    // ----- HyperLogLog distinct-count sketch (Flajolet et al. 2007) -----
+    // Per-source distinct-shingle cardinality via the classic m=256
+    // register sketch, PLUS a `__union__` row whose estimate comes from
+    // max-MERGING the per-source registers — the property that makes HLL
+    // the distributed distinct-count workhorse: 256 bytes per shard,
+    // merged by a commutative max, where exact COUNT(DISTINCT) must
+    // shuffle every key. Hashes are md5-derived (bucket = first 8 hash
+    // bits, rho = leading-zeros+1 of the next 32) PRECISELY so the oracle
+    // rebuilds the identical registers: every register, the scaled
+    // harmonic sum, and the estimate are exact BIGINTs in both engines
+    // (rho via `length(bin(v))` — both engines print minimal binary).
+    // Raw-HLL contract, no small-range correction: the HLL++ linear-count
+    // branch needs `ln`, whose last-ulp cross-libm behavior this repo
+    // bans from driver-visible output; the gate corpus sits above the
+    // 2.5·m correction threshold on every row, where raw HLL is the
+    // published estimator (err_permille column shows realized accuracy,
+    // σ ≈ 1.04/√256 ≈ 6.5%).
+    //
+    // Scale: the sketch path needs NO distinct at all — `max(rho)` absorbs
+    // duplicates, so each partition emits ≤ 256 partial registers
+    // (map-side combine) and the reduction is constant-size; the only
+    // other heavy exchange is the exact gate face (a cube countDistinct —
+    // per-source AND union counts in one pass). Both aggregates are
+    // EAGERLY localCheckpoint'ed at their tiny post-aggregation size
+    // (≤ 256·n_sources rows): the first cut of this query shared one lazy
+    // checkpoint of the 10M-row shingle frame across branches, and under
+    // AQE the independent subtrees raced to materialize it — measured
+    // 58 vs 537 process-CPU-seconds across reps of the SAME plan (up to
+    // ~9 redundant tokenize+distinct computations). Checkpointing the
+    // small aggregates instead pins the corpus passes at exactly two
+    // (registers, exact), deterministically. At 100 TB drop the exact
+    // face and the whole plan is a scan plus a fixed-size reduction.
+    QueryDef(
+      "q_distinct_hll",
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |shd AS (SELECT source,
+         |               CASE WHEN len(toks) >= 3
+         |                    THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
+         |                                       i -> array_to_string(toks[i:i+2], ' ')))
+         |                    ELSE [] END AS sh
+         |        FROM t),
+         |tok AS (SELECT DISTINCT source, unnest(sh) AS tok FROM shd),
+         |h AS (SELECT source,
+         |             CAST(('0x' || substr(md5('hll:' || tok), 1, 2)) AS BIGINT) AS bucket,
+         |             CAST(('0x' || substr(md5('hll:' || tok), 3, 8)) AS BIGINT) AS hv
+         |      FROM tok),
+         |rho AS (SELECT source, bucket,
+         |               MAX(CASE WHEN hv = 0 THEN 33 ELSE 33 - length(bin(hv)) END) AS m
+         |        FROM h GROUP BY 1, 2),
+         |grid AS (SELECT s.source, g.bucket
+         |         FROM (SELECT DISTINCT source FROM tok) s,
+         |              (SELECT UNNEST(generate_series(0, 255)) AS bucket) g),
+         |reg AS (SELECT g.source, g.bucket, COALESCE(r.m, 0) AS m
+         |        FROM grid g LEFT JOIN rho r ON g.source = r.source AND g.bucket = r.bucket),
+         |allreg AS (SELECT source, m FROM reg
+         |           UNION ALL
+         |           SELECT '__union__' AS source, MAX(m) AS m FROM reg GROUP BY bucket),
+         |s AS (SELECT source, CAST(SUM(1::BIGINT << (33 - m)) AS BIGINT) AS ssum
+         |      FROM allreg GROUP BY 1),
+         |exact AS (SELECT source, COUNT(*) AS n_exact FROM tok GROUP BY 1
+         |          UNION ALL
+         |          SELECT '__union__', COUNT(DISTINCT tok) FROM tok),
+         |est AS (SELECT source, (47072 * (1::BIGINT << 33)) // ssum AS n_est FROM s)
+         |SELECT e.source, n_exact, n_est,
+         |       ABS(n_est - n_exact) * 1000 // n_exact AS err_permille
+         |FROM exact e JOIN est ON e.source = est.source
+         |ORDER BY e.source""".stripMargin) { (s, d) =>
+      val raw = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), explode(graft.functions.TextFunctions.wordShingles(
+          graft.functions.TextFunctions.tokens(col("text")))).as("tok"))
+      // pass 1: registers (≤ 256·n_sources rows; eager checkpoint so every
+      // downstream consumer reads the tiny result, never the corpus)
+      val rho = hllRegisters(raw).localCheckpoint()
+      // pass 2: exact gate face — per-source AND union distinct counts in
+      // one cube pass (NULL grouping = the union row)
+      val exact = raw.cube(col("source"))
+        .agg(countDistinct("tok").as("n_exact"))
+        .select(coalesce(col("source"), lit("__union__")).as("source"), col("n_exact"))
+        .localCheckpoint()
+      val grid = exact.filter(col("source") =!= "__union__").select("source")
+        .select(col("source"), explode(expr("sequence(0, 255)")).as("b"))
+        .select(col("source"), col("b").cast("long").as("bucket"))
+      val reg = grid.join(rho, Seq("source", "bucket"), "left")
+        .select(col("source"), col("bucket"), coalesce(col("m"), lit(0)).as("m"))
+      val allreg = reg.select("source", "m")
+        .unionByName(reg.groupBy("bucket").agg(max("m").as("m"))
+          .select(lit("__union__").as("source"), col("m")))
+      val ssum = allreg.groupBy("source")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - m)")).as("ssum"))
+      val est = ssum.select(col("source"),
+        expr("(47072 * CAST(8589934592 AS BIGINT)) DIV ssum").as("n_est"))
+      exact.join(est, "source")
+        .select(col("source"), col("n_exact"), col("n_est"),
+          expr("ABS(n_est - n_exact) * 1000 DIV n_exact").as("err_permille"))
+        .orderBy("source")
+    },
+
+    // ----- K-minimum-values sketch: set INTERSECTION estimates -----
+    // (Bar-Yossef et al. 2002; the Theta-sketch family's core idea.) HLL
+    // registers merge by max → unions only; the KMV sketch (the k smallest
+    // md5 hash values of each source's shingle set) additionally estimates
+    // INTERSECTIONS: merge two sketches, keep the k smallest of the union —
+    // a uniform sample of A∪B — and the fraction present in both input
+    // sketches estimates Jaccard directly. Emitted per source pair next to
+    // the exact Jaccard (same ground truth as q_source_overlap), so the
+    // gate pins sketch AND error. Resolution is 1/k ≈ 4‰ at k=256; the
+    // denominator is the realized union-sketch size (= k once both sets
+    // exceed k, the whole set below — the estimator degrades to EXACT on
+    // small inputs instead of diverging, which also keeps the sf0.001
+    // smoke meaningful).
+    //
+    // Scale: the k-min per source is computed in TWO levels — salt-local
+    // k-min via sort_array(collect_set)[1..k] (map-side combinable, each
+    // of the 32 salt buckets sees ~1/32 of the source's distinct hashes),
+    // then a final per-source rank over ≤ 32·k surviving candidates — so
+    // no stage ever ranks a full source partition (the single-window
+    // per-source sort would be the exact-COUNT-DISTINCT shuffle the
+    // sketch exists to avoid). Pair expansion is sketch×sketch:
+    // 256·n_sources rows, broadcast-sized, corpus never touched again.
+    QueryDef(
+      "q_distinct_kmv_intersect",
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |shd AS (SELECT source,
+         |               CASE WHEN len(toks) >= 3
+         |                    THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
+         |                                       i -> array_to_string(toks[i:i+2], ' ')))
+         |                    ELSE [] END AS sh
+         |        FROM t),
+         |tok AS (SELECT DISTINCT source, unnest(sh) AS tok FROM shd),
+         |h AS (SELECT source, tok,
+         |             CAST(('0x' || substr(md5('kmv:' || tok), 1, 12)) AS BIGINT) AS hv
+         |      FROM tok),
+         |rk AS (SELECT source, hv, ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS r FROM h),
+         |sk AS (SELECT source, hv FROM rk WHERE r <= 256),
+         |srcs AS (SELECT DISTINCT source FROM tok),
+         |pairs AS (SELECT a.source AS sa, b.source AS sb FROM srcs a, srcs b WHERE a.source < b.source),
+         |member AS (
+         |  SELECT p.sa, p.sb, s.hv,
+         |         MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+         |         MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+         |  FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+         |  GROUP BY 1, 2, 3),
+         |mrk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY hv) AS r FROM member),
+         |est AS (SELECT sa, sb,
+         |               CAST(SUM(in_a * in_b) * 1000 // COUNT(*) AS BIGINT) AS est_jaccard_permille
+         |        FROM mrk WHERE r <= 256 GROUP BY 1, 2),
+         |sizes AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY 1),
+         |inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS c
+         |          FROM tok a JOIN tok b ON a.tok = b.tok AND a.source < b.source
+         |          GROUP BY 1, 2),
+         |exact AS (SELECT i.sa, i.sb,
+         |                 CAST(i.c * 1000 // (za.n + zb.n - i.c) AS BIGINT) AS exact_jaccard_permille
+         |          FROM inter i
+         |          JOIN sizes za ON i.sa = za.source
+         |          JOIN sizes zb ON i.sb = zb.source)
+         |SELECT e.sa AS source_a, e.sb AS source_b,
+         |       exact_jaccard_permille, est_jaccard_permille,
+         |       ABS(est_jaccard_permille - exact_jaccard_permille) AS abs_err_permille
+         |FROM exact e JOIN est ON e.sa = est.sa AND e.sb = est.sb
+         |ORDER BY exact_jaccard_permille DESC, source_a, source_b
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val k = 256
+      // EAGER checkpoint: five branches consume this frame (hash, sizes,
+      // both sides of the exact self-join, the source list) — lazy
+      // materialization lets AQE's independent subtrees race and recompute
+      // the tokenize+distinct redundantly (see q_distinct_hll's comment);
+      // eager pins it at one computation before any consumer starts
+      val tok = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), explode(graft.functions.TextFunctions.wordShingles(
+          graft.functions.TextFunctions.tokens(col("text")))).as("tok"))
+        .distinct()
+        .localCheckpoint()
+      val h = tok.select(col("source"), col("tok"),
+        expr("CAST(conv(substr(md5(CAST(concat('kmv:', tok) AS BINARY)), 1, 12), 16, 10) AS BIGINT)").as("hv"))
+      // level 1: salt-local k-min (32 buckets/source, map-side combinable)
+      val partial = h
+        .groupBy(col("source"), expr(s"pmod(hv, 32)").as("salt"))
+        .agg(expr(s"slice(array_sort(collect_set(hv)), 1, $k)").as("mins"))
+        .select(col("source"), explode(col("mins")).as("hv"))
+      // level 2: final per-source rank over ≤ 32·k candidates
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("hv")
+      val sk = partial
+        .withColumn("r", row_number().over(w)).filter(col("r") <= k)
+        .select("source", "hv")
+      val pairs = tok.select("source").distinct().as("a")
+        .crossJoin(tok.select(col("source").as("sb")).distinct())
+        .filter(col("source") < col("sb"))
+        .select(col("source").as("sa"), col("sb"))
+      val member = pairs
+        .select(col("sa"), col("sb"), explode(array(col("sa"), col("sb"))).as("source"))
+        .join(sk, "source")
+        .groupBy("sa", "sb", "hv")
+        .agg(
+          max(when(col("source") === col("sa"), 1).otherwise(0)).as("in_a"),
+          max(when(col("source") === col("sb"), 1).otherwise(0)).as("in_b"))
+      val wp = org.apache.spark.sql.expressions.Window.partitionBy("sa", "sb").orderBy("hv")
+      val est = member
+        .withColumn("r", row_number().over(wp)).filter(col("r") <= k)
+        .groupBy("sa", "sb")
+        .agg(expr("CAST(SUM(in_a * in_b) * 1000 DIV COUNT(*) AS BIGINT)").as("est_jaccard_permille"))
+      val sizes = tok.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = tok.as("x").join(tok.as("y"),
+          col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+        .agg(count(lit(1)).as("c"))
+      val exact = inter
+        .join(broadcast(sizes.select(col("source").as("sa"), col("n").as("n_a"))), "sa")
+        .join(broadcast(sizes.select(col("source").as("sb"), col("n").as("n_b"))), "sb")
+        .select(col("sa"), col("sb"),
+          expr("CAST(c * 1000 DIV (n_a + n_b - c) AS BIGINT)").as("exact_jaccard_permille"))
+      exact.join(est, Seq("sa", "sb"))
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("exact_jaccard_permille"), col("est_jaccard_permille"),
+          abs(col("est_jaccard_permille") - col("exact_jaccard_permille")).as("abs_err_permille"))
+        .orderBy(col("exact_jaccard_permille").desc, col("source_a"), col("source_b"))
         .limit(20)
     }
   )

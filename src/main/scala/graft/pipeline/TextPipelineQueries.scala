@@ -36,7 +36,8 @@ object TextPipelineQueries {
       .select("doc_id", "pos", "fp")
   }
 
-  private val stopwordsSql = stopwords.map(s => s"'$s'").mkString(", ")
+  // shared with EvalQueries: its oracle restates the classifier features
+  private[pipeline] val stopwordsSql = stopwords.map(s => s"'$s'").mkString(", ")
 
   private val toksSql = graft.functions.TextFunctions.toksSql
 

@@ -231,6 +231,31 @@ object StreamOps {
     }
   }
 
+  /** Stream-static enrichment: the unbounded event stream joined to a
+    * bounded dimension table, then window-aggregated per dimension
+    * attribute. The static side is explicitly `broadcast` — a stream-static
+    * join must NEVER shuffle the stream on the join key (that would
+    * re-key every micro-batch); with the dim broadcast, enrichment is
+    * map-side and the only stateful stage is the windowed aggregate, whose
+    * state the watermark bounds. At 100 TB/day the dim is the thing that
+    * fits in memory (customers), the stream is the thing that doesn't —
+    * exactly the CDC-maintained-table × event-stream join the reference's
+    * pipeline feeds (sql/4.analytics_queries.sql joins the replicated
+    * dimension tables the same way).
+    */
+  def enrichedSegmentWindows(events: DataFrame, dim: DataFrame, width: String,
+      lateness: String = "10 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", lateness) else events
+    withWm
+      .join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), width).as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("seg_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("c_mktsegment"), col("n_events"), col("seg_value"))
+  }
+
   // ----- custom state: running per-user aggregates with anomaly flags -----
 
   case class UserEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)

@@ -88,6 +88,30 @@ object StreamShapeQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // stream-static enrichment: event stream ⋈ broadcast customer dim →
+    // per-window per-segment rollup. The batch face below is the exact
+    // oracle (same window expression, same DECIMAL-routed value sum);
+    // StreamOpsSpec drives the same function through MemoryStream where the
+    // static side joins every micro-batch.
+    QueryDef(
+      "q_stream_enrich",
+      """SELECT DATE_TRUNC('hour', ts) AS window_start,
+        |       DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |       c_mktsegment,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS seg_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY window_start, c_mktsegment""".stripMargin) { (s, d) =>
+      StreamOps.enrichedSegmentWindows(
+        Tables.events(s, d).filter(col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"))
+          .withColumn("value", col("value").cast("decimal(18,6)")),
+        Tables.customer(s, d), "1 hour")
+        .withColumn("seg_value", col("seg_value").cast("double"))
+        .orderBy("window_start", "c_mktsegment")
+    },
+
     // incremental SCD2 maintenance: the flatMapGroupsWithState kernel run
     // in batch mode (each group sees all events at once, empty initial
     // state) emits exactly the closed-version set of the q_cdc_scd2 batch

@@ -710,4 +710,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HOUR") && !p.contains("CartesianProduct"), p.take(3000))
     assert(p.contains("EqualTo(event_type,click)"), p.take(3000))
   }
+
+  test("HLL sketch: downstream of the checkpointed aggregates — broadcast grid join, no cartesian") {
+    // the register build's own partial+final shape is audited in SketchSpec
+    // (the final plan reads the eager checkpoints, so it isn't visible here)
+    val p = planOf("q_distinct_hll")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("KMV sketch: salt-local partial k-min before the per-source rank; pairs side is bounded") {
+    val p = planOf("q_distinct_kmv_intersect")
+    // level-1 reduction keyed by (source, salt) — no full per-source sort
+    assert(p.contains("pmod(hv#"), p.take(4000))
+    assert(p.contains("partial_collect_set"), p.take(4000))
+    // the per-source rank window runs AFTER the salt-local k-min prune
+    assert(p.contains("row_number()"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("z-order layout: map-only key chain, one combined rollup, no joins, codegen'd") {
+    val p = planOf("q_zorder_layout")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("partial_min") && p.contains("partial_max"), p.take(3000))
+    val ep = executedPlanOf("q_zorder_layout").split("== Initial Plan ==").head
+    assert(ep.contains("*(1) "), ep.take(3000))
+  }
+
+  test("stream enrichment: static dim broadcasts — the stream side is never re-keyed") {
+    val p = planOf("q_stream_enrich")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("AUC: per-bin rollup map-side combined; the prefix-sum window consumes BINS, not docs") {
+    val p = planOf("q_classifier_auc")
+    assert(p.contains("partial_sum"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    // the global-order window's child must be the binned aggregate (bin
+    // cardinality), never the raw doc frame: plans print top-down, so the
+    // feeding HashAggregate(keys=[bin…]) appears right AFTER the Window
+    val win = p.indexOf("Window ")
+    val aggUnderWin = p.indexOf("HashAggregate(keys=[bin", win)
+    assert(win >= 0 && aggUnderWin > win, p.take(4000))
+  }
 }

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.analytics.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Statistical properties of the distinct-count sketches beyond the oracle
+  * hash-gate: the gate pins determinism, these pin the MATH — mergeability
+  * (the property that makes the sketches distributed operators at all) and
+  * realized error against the published bounds.
+  */
+class SketchSpec extends SparkSpec {
+
+  private def shingleFrame(dir: String) =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(TextFunctions.wordShingles(
+        TextFunctions.tokens(col("text")))).as("tok"))
+      .distinct()
+
+  test("HLL mergeability: max-merged per-source registers == whole-corpus registers") {
+    val tok = shingleFrame(sf("sf0.01"))
+    val perSourceMerged = CorpusStatsQueries.hllRegisters(tok)
+      .groupBy("bucket").agg(max("m").as("m"))
+    val global = CorpusStatsQueries.hllRegisters(tok.withColumn("source", lit("all")))
+      .select(col("bucket"), col("m"))
+    val diff = perSourceMerged.as("a").join(global.as("b"), Seq("bucket"), "full")
+      .filter(coalesce(col("a.m"), lit(-1)) =!= coalesce(col("b.m"), lit(-1)))
+      .count()
+    assert(diff == 0, "merging shard registers must equal the registers of the union")
+  }
+
+  test("HLL register build map-side combines (partial_max before the exchange)") {
+    val p = CorpusStatsQueries.hllRegisters(shingleFrame(sf()))
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("partial_max"), p.take(3000))
+  }
+
+  test("HLL realized error stays inside 3σ of the m=256 bound on every gate row") {
+    // σ = 1.04/√256 = 6.5% → 3σ = 19.5%. Raw-HLL contract (no small-range
+    // correction) holds on the gate corpus because every row's cardinality
+    // is above the 2.5·m correction threshold — assert that precondition
+    // too, so a corpus regen that breaks it is caught HERE, not as a
+    // mysterious error blow-up.
+    val rows = graft.SparkEntry.queries("q_distinct_hll")(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val err = r.getAs[Long]("err_permille")
+      assert(exact > (2.5 * 256).toLong,
+        s"${r.getAs[String]("source")}: cardinality $exact inside the linear-counting region")
+      assert(err <= 195, s"${r.getAs[String]("source")}: err ${err}‰ beyond 3σ of 65‰")
+    }
+  }
+
+  test("KMV pair estimates stay within a 3-resolution band of exact Jaccard") {
+    // k=256 → estimate resolution ~4‰ and binomial σ ≈ √(J(1−J)/k); the
+    // gate rows all have J ≤ ~90‰ → σ ≤ ~18‰. 3σ + resolution ≈ 60‰ is a
+    // generous-but-meaningful band (observed max 47‰ at sf0.01).
+    val rows = graft.SparkEntry.queries("q_distinct_kmv_intersect")(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val err = r.getAs[Long]("abs_err_permille")
+      assert(err <= 60,
+        s"${r.getAs[String]("source_a")}/${r.getAs[String]("source_b")}: err ${err}‰")
+    }
+  }
+}

@@ -41,6 +41,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dim on every micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "AUTO"), (2L, "RETAIL")).toDF("c_custkey", "c_mktsegment")
+    val input = MemoryStream[UserEvent]
+    val query = StreamOps.enrichedSegmentWindows(input.toDF(), dim, "1 hour")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        ev("2024-01-01 10:05:00", 1, v = 2.0), ev("2024-01-01 10:15:00", 2, v = 3.0),
+        ev("2024-01-01 10:25:00", 9, v = 99.0)) // user 9 not in dim → dropped
+      query.processAllAvailable()
+      // second micro-batch: the static side must join again (same window)
+      input.addData(ev("2024-01-01 10:45:00", 1, v = 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .groupBy("c_mktsegment")
+        .agg(max("n_events").as("n"), max("seg_value").as("v"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(rows("AUTO") == ((2L, 7.0)), s"got $rows")
+      assert(rows("RETAIL") == ((1L, 3.0)), s"got $rows")
+      assert(!rows.contains(null), "unmatched user must not survive the inner join")
+    } finally query.stop()
+  }
+
   test("streaming dedup drops same-digest docs across micro-batches, state watermark-bounded") {
     implicit val sqlCtx = spark.sqlContext
     case class Doc(doc_id: Long, ts: Timestamp, text: String)
