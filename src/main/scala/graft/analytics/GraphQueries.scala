@@ -173,16 +173,20 @@ object GraphQueries {
       .unionAll(pair.select(
         (col("l_suppkey").cast("long") * 2 + 1).as("src"),
         (col("o_custkey").cast("long") * 2).as("dst"), col("w")))
-      // lazy localCheckpoint: the edge list is referenced by every
+      // EAGER localCheckpoint: the edge list is referenced by every
       // iteration's contribution join PLUS outw/nodes/init — purely
       // declarative lineage re-derived the lineitem⋈orders aggregate ~8×
       // per execution (measured: 6.6 s at sf0.1; checkpointed: the
-      // aggregate runs once). Lazy (eager=false) so building the DataFrame
-      // (Verify registration, analyzes-only specs) stays free — the
-      // materialization happens at first action and is reused within it.
-      // This is the per-round truncation the Scaladoc above prescribes for
-      // production, applied to the fixed-3-round face.
-      .localCheckpoint(false)
+      // aggregate runs once). Originally lazy so DataFrame BUILD stayed
+      // action-free, but a lazy checkpoint with multiple consumers lets
+      // AQE's independent subtrees race into redundant materialization
+      // (the q_distinct_hll pathology — this query's reps showed the same
+      // decaying 34→16 CPU-s signature); eager pins the edge aggregate at
+      // one computation, and the build-time job is bench-billed anyway
+      // (Bench times build+action together). This is the per-round
+      // truncation the Scaladoc above prescribes for production, applied
+      // to the fixed-3-round face.
+      .localCheckpoint()
     val outw = edges.groupBy("src").agg(sum("w").as("wout"))
     val e = edges.join(outw, "src") // (src, dst, w, wout)
     val nodes = edges.select(col("src").as("node")).distinct()

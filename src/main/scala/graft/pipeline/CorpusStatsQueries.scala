@@ -669,14 +669,17 @@ object CorpusStatsQueries {
       // round-robin is a no-op-sized safety net against tiny-file skew.
       val inst = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("source"), explode(graft.functions.TextFunctions.wordShingles(
-          graft.functions.TextFunctions.tokens(col("text")))).as("tok"))
-      // lazy localCheckpoint: both the per-source sizes and the pair
-      // expansion consume the same shingle→source-set frame — truncating
-      // here computes the scan+explode+aggregate once per execution
-      // (same pattern as q_pagerank's edge frame)
+        .select(col("source"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("source"), explode(graft.functions.TextFunctions.wordShingles(col("toks"))).as("tok"))
+      // EAGER localCheckpoint (vocab-sized frame, ~27k rows at sf0.1): both
+      // the per-source sizes and the pair expansion consume this
+      // shingle→source-set frame, and a LAZY checkpoint lets AQE's
+      // independent subtrees race into recomputing the whole
+      // scan+explode+aggregate (the q_distinct_hll pathology — this query
+      // measured 39 vs 149 process-CPU-s across reps of the same plan
+      // before the switch)
       val bySh = inst.groupBy("tok").agg(collect_set(col("source")).as("srcs"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       val sizes = bySh.select(explode(col("srcs")).as("source"))
         .groupBy("source").agg(count(lit(1)).as("n"))
       val inter = bySh.filter(size(col("srcs")) >= 2)
@@ -712,20 +715,23 @@ object CorpusStatsQueries {
     // published estimator (err_permille column shows realized accuracy,
     // σ ≈ 1.04/√256 ≈ 6.5%).
     //
-    // Scale: the sketch path needs NO distinct at all — `max(rho)` absorbs
-    // duplicates, so each partition emits ≤ 256 partial registers
-    // (map-side combine) and the reduction is constant-size; the only
-    // other heavy exchange is the exact gate face (a cube countDistinct —
-    // per-source AND union counts in one pass). Both aggregates are
-    // EAGERLY localCheckpoint'ed at their tiny post-aggregation size
-    // (≤ 256·n_sources rows): the first cut of this query shared one lazy
-    // checkpoint of the 10M-row shingle frame across branches, and under
-    // AQE the independent subtrees raced to materialize it — measured
-    // 58 vs 537 process-CPU-seconds across reps of the SAME plan (up to
-    // ~9 redundant tokenize+distinct computations). Checkpointing the
-    // small aggregates instead pins the corpus passes at exactly two
-    // (registers, exact), deterministically. At 100 TB drop the exact
-    // face and the whole plan is a scan plus a fixed-size reduction.
+    // Scale: ONE corpus pass — a map-side-combined (source, shingle)
+    // distinct (the exchange the exact gate face needs anyway), eagerly
+    // localCheckpoint'ed at its post-distinct size (~200k rows at sf0.1,
+    // 50× smaller than the 10M raw instances). The md5→conv→bin register
+    // chain then hashes only the DISTINCT values — this matters doubly:
+    // (a) 50× less hash work, and (b) that chain is the suite's most
+    // interpreted-mode-sensitive generated code (measured 18 vs 290
+    // process-CPU-s bimodal when the codegen class cache thrashes,
+    // BASELINE.md batch 3), so shrinking its input bounds the worst case,
+    // not just the average. Two earlier shapes are documented failures:
+    // a LAZY shared checkpoint of the raw frame (AQE raced branches into
+    // ~9× redundant recomputation, 58 vs 537 CPU-s) and a no-distinct
+    // two-pass form (register max absorbs duplicates but hashes every
+    // instance — the interpreted-mode exposure). At a true 100 TB where
+    // even the distinct is unwanted, drop the exact face and aggregate
+    // partial registers directly: max(rho) absorbs duplicates and each
+    // partition emits ≤ 256 partial rows.
     QueryDef(
       "q_distinct_hll",
       s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
@@ -761,16 +767,20 @@ object CorpusStatsQueries {
          |       ABS(n_est - n_exact) * 1000 // n_exact AS err_permille
          |FROM exact e JOIN est ON e.source = est.source
          |ORDER BY e.source""".stripMargin) { (s, d) =>
-      val raw = Tables.documents(s, d)
+      // the one corpus pass: tokenize → shingle → map-side-combined
+      // distinct, pinned to a single computation by the eager checkpoint
+      val tok = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("source"), explode(graft.functions.TextFunctions.wordShingles(
-          graft.functions.TextFunctions.tokens(col("text")))).as("tok"))
-      // pass 1: registers (≤ 256·n_sources rows; eager checkpoint so every
-      // downstream consumer reads the tiny result, never the corpus)
-      val rho = hllRegisters(raw).localCheckpoint()
-      // pass 2: exact gate face — per-source AND union distinct counts in
-      // one cube pass (NULL grouping = the union row)
-      val exact = raw.cube(col("source"))
+        .select(col("source"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("source"), explode(graft.functions.TextFunctions.wordShingles(col("toks"))).as("tok"))
+        .distinct()
+        .localCheckpoint()
+      // registers over DISTINCT values only (≤ 256·n_sources output rows)
+      val rho = hllRegisters(tok)
+      // exact gate face — per-source AND union distinct counts in one cube
+      // pass (NULL grouping = the union row); countDistinct because the
+      // union row must dedup the same shingle across sources
+      val exact = tok.cube(col("source"))
         .agg(countDistinct("tok").as("n_exact"))
         .select(coalesce(col("source"), lit("__union__")).as("source"), col("n_exact"))
         .localCheckpoint()
@@ -864,8 +874,8 @@ object CorpusStatsQueries {
       // eager pins it at one computation before any consumer starts
       val tok = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("source"), explode(graft.functions.TextFunctions.wordShingles(
-          graft.functions.TextFunctions.tokens(col("text")))).as("tok"))
+        .select(col("source"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("source"), explode(graft.functions.TextFunctions.wordShingles(col("toks"))).as("tok"))
         .distinct()
         .localCheckpoint()
       val h = tok.select(col("source"), col("tok"),
