@@ -378,7 +378,13 @@ object FamilyScaleProbe {
       // doc-keyed rollup), the AUC prefix-sum window rides the CONSTANT
       // bin grid — the claim is the histogram formulation keeps the
       // global-ranking step corpus-size-independent.
-      "classifier_auc" -> registered("q_classifier_auc"))
+      "classifier_auc" -> registered("q_classifier_auc"),
+      // rolling-distinct sketch: ×k events (shifted users) grow the
+      // register-build input linearly while the rolling merge stays
+      // days×128 rows — the decomposable-sliding-distinct claim. (The
+      // exact gate face's 7× fan-out join also rides along; at 100 TB it
+      // wouldn't exist.)
+      "rolling_hll" -> registered("q_distinct_rolling_hll"))
     familyFilter.foreach { names =>
       val unknown = names.diff(allFamilies.map(_._1).toSet + "incremental")
       require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")

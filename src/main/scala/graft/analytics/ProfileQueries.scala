@@ -349,6 +349,92 @@ object ProfileQueries {
       neigh.unionAll(sw)
         .groupBy("pair_type", "dl", "lev").agg(count(lit(1)).as("n_pairs"))
         .orderBy("pair_type", "dl", "lev")
+    },
+
+    // ----- rolling-window distinct via mergeable HLL registers -----
+    // 7-day rolling distinct active user-hours per day — the telemetry
+    // metric that is notoriously UNscalable exactly: COUNT(DISTINCT) does
+    // not decompose over sliding windows, so the exact form re-scans every
+    // window (the oracle's 7× fan-out join). The sketch form does
+    // decompose: per-(day, bucket) HLL registers (m = 128, md5-derived as
+    // in q_distinct_hll so the oracle rebuilds them exactly), then each
+    // day's window merge is a rolling MAX per bucket over a RANGE 6
+    // PRECEDING frame — constant 128 rows per day regardless of corpus
+    // size, each day's register set built ONCE and reused by all 7 windows
+    // it participates in. Raw-HLL contract as before; the gate corpus's
+    // smallest window (347) clears the 2.5·m = 320 correction threshold —
+    // SketchSpec asserts that precondition so a testdata regen that breaks
+    // it fails loudly. σ = 1.04/√128 ≈ 9.2%.
+    //
+    // Scale: the register build is one map-side-combined aggregate keyed
+    // (day, bucket); the rolling merge partitions by bucket (128 ways)
+    // and orders by day — days × 128 rows total, corpus-size-independent.
+    // The exact face exists only as the gate's ground truth; at 100 TB
+    // you ship the sketch column and drop it.
+    QueryDef(
+      "q_distinct_rolling_hll",
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day,
+        |                  CAST(user_id AS VARCHAR) || ':' || CAST(date_trunc('hour', ts) AS VARCHAR) AS uh
+        |           FROM events),
+        |h AS (SELECT day, uh,
+        |        CAST(('0x' || substr(md5('rh:' || uh), 1, 2)) AS BIGINT) % 128 AS bucket,
+        |        CAST(('0x' || substr(md5('rh:' || uh), 3, 8)) AS BIGINT) AS hv
+        |      FROM e),
+        |rho AS (SELECT day, bucket,
+        |               MAX(CASE WHEN hv = 0 THEN 33 ELSE 33 - length(bin(hv)) END) AS m
+        |        FROM h GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM e),
+        |grid AS (SELECT d.day, g.bucket
+        |         FROM days d, (SELECT UNNEST(generate_series(0, 127)) AS bucket) g),
+        |reg AS (SELECT g.day, g.bucket, COALESCE(r.m, 0) AS m,
+        |               date_diff('day', DATE '1970-01-01', g.day) AS day_num
+        |        FROM grid g LEFT JOIN rho r ON g.day = r.day AND g.bucket = r.bucket),
+        |roll AS (SELECT day, bucket,
+        |                MAX(m) OVER (PARTITION BY bucket ORDER BY day_num
+        |                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS m
+        |         FROM reg),
+        |s AS (SELECT day, CAST(SUM(1::BIGINT << (33 - m)) AS BIGINT) AS ssum FROM roll GROUP BY 1),
+        |est AS (SELECT day, (11719 * (1::BIGINT << 33)) // ssum AS n_est_7d FROM s),
+        |exact AS (SELECT d.day, COUNT(DISTINCT e.uh) AS n_exact_7d
+        |          FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day GROUP BY 1)
+        |SELECT x.day, n_exact_7d, n_est_7d,
+        |       ABS(n_est_7d - n_exact_7d) * 1000 // n_exact_7d AS err_permille
+        |FROM exact x JOIN est ON x.day = est.day
+        |ORDER BY x.day""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(
+        col("ts").cast("date").as("day"),
+        concat(col("user_id").cast("string"), lit(":"),
+          date_trunc("hour", col("ts")).cast("string")).as("uh"))
+      val rho = e
+        .select(col("day"), expr("md5(CAST(concat('rh:', uh) AS BINARY))").as("hx"))
+        .select(col("day"),
+          expr("CAST(conv(substr(hx, 1, 2), 16, 10) AS BIGINT) % 128").as("bucket"),
+          expr("CAST(conv(substr(hx, 3, 8), 16, 10) AS BIGINT)").as("hv"))
+        .groupBy("day", "bucket")
+        .agg(max(expr("IF(hv = 0, 33, 33 - length(bin(hv)))")).as("m"))
+        .localCheckpoint() // eager, ≤ days×128 rows; two consumers below
+      val days = rho.select("day").distinct()
+      val grid = days
+        .select(col("day"), explode(expr("sequence(0, 127)")).as("b"))
+        .select(col("day"), col("b").cast("long").as("bucket"))
+      val reg = grid.join(rho, Seq("day", "bucket"), "left")
+        .select(col("day"), col("bucket"), coalesce(col("m"), lit(0)).as("m"),
+          datediff(col("day"), lit("1970-01-01").cast("date")).as("day_num"))
+      val w = Window.partitionBy("bucket").orderBy("day_num").rangeBetween(-6, 0)
+      val est = reg.withColumn("m", max("m").over(w))
+        .groupBy("day")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - m)")).as("ssum"))
+        .select(col("day"),
+          expr("(11719 * CAST(8589934592 AS BIGINT)) DIV ssum").as("n_est_7d"))
+      val exact = e
+        .join(broadcast(days.select(col("day").as("d0"))),
+          datediff(col("d0"), col("day")).between(0, 6))
+        .groupBy(col("d0").as("day"))
+        .agg(countDistinct("uh").as("n_exact_7d"))
+      exact.join(est, "day")
+        .select(col("day"), col("n_exact_7d"), col("n_est_7d"),
+          expr("ABS(n_est_7d - n_exact_7d) * 1000 DIV n_exact_7d").as("err_permille"))
+        .orderBy("day")
     }
   )
 }

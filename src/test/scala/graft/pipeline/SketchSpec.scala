@@ -53,6 +53,28 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("rolling HLL: every gate window clears the 2.5·m threshold and errors stay in 3σ") {
+    // σ = 1.04/√128 ≈ 9.2% → 3σ ≈ 276‰ (observed max at sf0.01: 100‰).
+    // The precondition assert is the real guard: the raw-HLL contract is
+    // only honest above 2.5·m = 320 distinct per window — a testdata regen
+    // that shrinks the event stream must fail HERE, not as silent bias.
+    val rows = graft.SparkEntry.queries("q_distinct_rolling_hll")(spark, sf("sf0.01")).collect()
+    assert(rows.length >= 7, "expected at least a week of windows")
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact_7d")
+      assert(exact > 320, s"${r.get(0)}: window cardinality $exact inside linear-counting region")
+      assert(r.getAs[Long]("err_permille") <= 276,
+        s"${r.get(0)}: err ${r.getAs[Long]("err_permille")}‰ beyond 3σ")
+    }
+  }
+
+  test("rolling HLL merge window partitions by bucket — never a global sort") {
+    val p = graft.SparkEntry.queries("q_distinct_rolling_hll")(spark, sf())
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("windowspecdefinition(bucket#"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("KMV pair estimates stay within a 3-resolution band of exact Jaccard") {
     // k=256 → estimate resolution ~4‰ and binomial σ ≈ √(J(1−J)/k); the
     // gate rows all have J ≤ ~90‰ → σ ≤ ~18‰. 3σ + resolution ≈ 60‰ is a
