@@ -384,7 +384,12 @@ object FamilyScaleProbe {
       // days×128 rows — the decomposable-sliding-distinct claim. (The
       // exact gate face's 7× fan-out join also rides along; at 100 TB it
       // wouldn't exist.)
-      "rolling_hll" -> registered("q_distinct_rolling_hll"))
+      "rolling_hll" -> registered("q_distinct_rolling_hll"),
+      // rollup rewrite: the probe times maintenance (full overwrite, grows
+      // with ×k orders) + the rewritten serve (a rollup scan whose size
+      // grows only with the DATE grain). The serving claim proper —
+      // base parquet absent from the executed plan — is PlanAuditSpec's.
+      "rollup_serve" -> registered("q_rollup_serve"))
     familyFilter.foreach { names =>
       val unknown = names.diff(allFamilies.map(_._1).toSet + "incremental")
       require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")

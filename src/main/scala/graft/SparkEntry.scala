@@ -28,6 +28,7 @@ object SparkEntry {
       pipeline.QualityGateQueries.defs ++
       pipeline.EvalQueries.defs ++
       operators.RangeJoin.defs ++
+      plans.RollupRewrite.defs ++
       streaming.StreamShapeQueries.defs ++
       sources.FormatSources.defs ++
       analytics.HealthcareEntry.defs ++

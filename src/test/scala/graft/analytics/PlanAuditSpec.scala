@@ -2,6 +2,7 @@ package graft.analytics
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Physical-plan audits: the scale properties the engine claims are
   * asserted against the actual plans, not just documented —
@@ -741,6 +742,27 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q_stream_enrich")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("rollup rewrite: the base-table aggregate is served from the rollup scan") {
+    val ep = executedPlanOf("q_rollup_serve")
+    assert(ep.contains("rollup_store"), ep.take(3000))
+    // the base parquet must be ABSENT from the executed plan — the whole
+    // point of the rewrite is that 100 TB of orders is never scanned
+    assert(!ep.contains("orders.parquet"), ep.take(3000))
+    // and the Aggregate itself is gone (the rollup rows are pre-aggregated)
+    assert(!ep.contains("HashAggregate"), ep.take(3000))
+  }
+
+  test("rollup rewrite does NOT fire for a non-matching aggregate over the same base") {
+    // same base table, different grouping — must scan the base and aggregate
+    graft.SparkEntry.queries("q_rollup_serve")(spark, sf()) // ensure rule installed
+    val other = graft.analytics.Tables.orders(spark, sf())
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    other.collect()
+    val ep = other.queryExecution.executedPlan.toString
+    assert(ep.contains("orders.parquet"), ep.take(3000))
+    assert(ep.contains("HashAggregate"), ep.take(3000))
   }
 
   test("AUC: per-bin rollup map-side combined; the prefix-sum window consumes BINS, not docs") {
