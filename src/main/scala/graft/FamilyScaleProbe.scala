@@ -389,7 +389,11 @@ object FamilyScaleProbe {
       // with ×k orders) + the rewritten serve (a rollup scan whose size
       // grows only with the DATE grain). The serving claim proper —
       // base parquet absent from the executed plan — is PlanAuditSpec's.
-      "rollup_serve" -> registered("q_rollup_serve"))
+      "rollup_serve" -> registered("q_rollup_serve"),
+      // A-not-B churn: ×k events (shifted users) grow the per-day distinct
+      // and the exact face linearly; the sketch pipeline stays k-bounded
+      // per day after the salt-local k-min.
+      "anotb_kmv" -> registered("q_distinct_anotb_kmv"))
     familyFilter.foreach { names =>
       val unknown = names.diff(allFamilies.map(_._1).toSet + "incremental")
       require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")

@@ -435,6 +435,123 @@ object ProfileQueries {
         .select(col("day"), col("n_exact_7d"), col("n_est_7d"),
           expr("ABS(n_est_7d - n_exact_7d) * 1000 DIV n_exact_7d").as("err_permille"))
         .orderBy("day")
+    },
+
+    // ----- KMV set DIFFERENCE (theta-sketch A-not-B): daily churn -----
+    // "How much of today's activity pattern is NEW vs yesterday?" — the
+    // behavioral-churn metric over (user, hour-of-day) activity cells,
+    // estimated from per-day KMV sketches alone: the A-not-B operation of
+    // the DataSketches theta family. |A\B| = |A| − J·|A∪B| where J and
+    // |A∪B| come from the merged k-min sketch (q_distinct_kmv_intersect's
+    // machinery) and |A| from A's own sketch. KMV cardinality uses the
+    // standard saturation rule: an unsaturated sketch (fewer than k
+    // members) IS its set, so the estimator degrades to exact — both
+    // branches integer-exact in both engines (48-bit md5 hashes,
+    // (k−1)·2⁴⁸ // h_k). Estimates clamp at 0: a difference of two
+    // estimates can cross zero on sketch noise, and a negative "new
+    // users" row is a lie.
+    //
+    // Scale: per-day sketches are k=256 rows each, built by the salt-local
+    // two-level k-min (never a full per-day sort); yesterday's sketch
+    // meets today's by SHIFTING its day key forward one day — a keyed
+    // union + rank over ≤ 2k rows per day. History never rescans: the
+    // sketches are the state you keep.
+    QueryDef(
+      "q_distinct_anotb_kmv",
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day,
+        |                  CAST(user_id AS VARCHAR) || ':' || CAST(EXTRACT(hour FROM ts) AS VARCHAR) AS uh
+        |           FROM events),
+        |du AS (SELECT DISTINCT day, uh FROM e),
+        |h AS (SELECT day, uh,
+        |        CAST(('0x' || substr(md5('ab:' || uh), 1, 12)) AS BIGINT) AS hv
+        |      FROM du),
+        |rk AS (SELECT day, hv, ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS r FROM h),
+        |sk AS (SELECT day, hv FROM rk WHERE r <= 256),
+        |own AS (SELECT day, COUNT(*) AS c, MAX(hv) AS hk FROM sk GROUP BY 1),
+        |member AS (
+        |  SELECT day, hv, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        |    SELECT day, hv, 1 AS in_a, 0 AS in_b FROM sk
+        |    UNION ALL
+        |    SELECT day + 1 AS day, hv, 0 AS in_a, 1 AS in_b FROM sk)
+        |  GROUP BY 1, 2),
+        |mrk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS r FROM member),
+        |mstat AS (SELECT day, COUNT(*) AS rr, MAX(hv) AS hr,
+        |                 CAST(SUM(in_a * in_b) AS BIGINT) AS ovl
+        |          FROM mrk WHERE r <= 256 GROUP BY 1),
+        |est AS (
+        |  SELECT m.day,
+        |         CASE WHEN o.c < 256 THEN o.c
+        |              ELSE (255 * (1::BIGINT << 48)) // o.hk END AS n_a_est,
+        |         CASE WHEN m.rr < 256 THEN m.rr
+        |              ELSE (255 * (1::BIGINT << 48)) // m.hr END AS n_union_est,
+        |         m.ovl, m.rr
+        |  FROM mstat m JOIN own o ON m.day = o.day
+        |  WHERE m.day > (SELECT MIN(day) FROM du)
+        |    AND m.day <= (SELECT MAX(day) FROM du)),
+        |exact AS (
+        |  SELECT a.day, COUNT(*) AS n_today,
+        |         CAST(SUM(CASE WHEN b.uh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new_exact
+        |  FROM du a LEFT JOIN du b ON b.day = a.day - 1 AND b.uh = a.uh
+        |  WHERE a.day > (SELECT MIN(day) FROM du)
+        |  GROUP BY 1)
+        |SELECT x.day, n_today, n_new_exact,
+        |       GREATEST(CAST(0 AS BIGINT),
+        |                n_a_est - (ovl * n_union_est) // rr) AS n_new_est,
+        |       ABS(GREATEST(CAST(0 AS BIGINT), n_a_est - (ovl * n_union_est) // rr)
+        |           - n_new_exact) * 1000 // n_new_exact AS err_permille
+        |FROM exact x JOIN est ON x.day = est.day
+        |ORDER BY x.day""".stripMargin) { (s, d) =>
+      val k = 256
+      val du = Tables.events(s, d).select(
+          col("ts").cast("date").as("day"),
+          concat(col("user_id").cast("string"), lit(":"),
+            hour(col("ts")).cast("string")).as("uh"))
+        .distinct()
+        .localCheckpoint() // eager: feeds the sketch AND both exact sides
+      val h = du.select(col("day"),
+        expr("CAST(conv(substr(md5(CAST(concat('ab:', uh) AS BINARY)), 1, 12), 16, 10) AS BIGINT)").as("hv"))
+      // salt-local k-min then a final per-day rank over ≤ 32·k candidates
+      val partial = h
+        .groupBy(col("day"), expr("pmod(hv, 32)").as("salt"))
+        .agg(expr(s"slice(array_sort(collect_set(hv)), 1, $k)").as("mins"))
+        .select(col("day"), explode(col("mins")).as("hv"))
+      val wd = Window.partitionBy("day").orderBy("hv")
+      val sk = partial.withColumn("r", row_number().over(wd)).filter(col("r") <= k)
+        .select("day", "hv")
+        .localCheckpoint() // eager: consumed by own stats + both member arms
+      val own = sk.groupBy("day").agg(count(lit(1)).as("c"), max("hv").as("hk"))
+      val member = sk.select(col("day"), col("hv"), lit(1).as("in_a"), lit(0).as("in_b"))
+        .unionByName(sk.select(date_add(col("day"), 1).as("day"), col("hv"),
+          lit(0).as("in_a"), lit(1).as("in_b")))
+        .groupBy("day", "hv")
+        .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      val mstat = member.withColumn("r", row_number().over(wd)).filter(col("r") <= k)
+        .groupBy("day")
+        .agg(count(lit(1)).as("rr"), max("hv").as("hr"),
+          sum(expr("in_a * in_b")).as("ovl"))
+      val bounds = du.agg(min("day").as("d_min"), max("day").as("d_max"))
+      val est = mstat.join(own, "day")
+        .crossJoin(broadcast(bounds))
+        .filter(col("day") > col("d_min") && col("day") <= col("d_max"))
+        .select(col("day"),
+          expr(s"IF(c < $k, c, (${k - 1} * shiftleft(CAST(1 AS BIGINT), 48)) DIV hk)").as("n_a_est"),
+          expr(s"IF(rr < $k, rr, (${k - 1} * shiftleft(CAST(1 AS BIGINT), 48)) DIV hr)").as("n_union_est"),
+          col("ovl"), col("rr"))
+      val exact = du.as("a")
+        .join(du.as("b"),
+          datediff(col("a.day"), col("b.day")) === 1 && col("a.uh") === col("b.uh"),
+          "left")
+        .crossJoin(broadcast(bounds))
+        .filter(col("a.day") > col("d_min"))
+        .groupBy(col("a.day").as("day"))
+        .agg(count(lit(1)).as("n_today"),
+          sum(when(col("b.uh").isNull, 1L).otherwise(0L)).as("n_new_exact"))
+      exact.join(est, "day")
+        .withColumn("n_new_est",
+          greatest(lit(0L), expr("n_a_est - (ovl * n_union_est) DIV rr")))
+        .select(col("day"), col("n_today"), col("n_new_exact"), col("n_new_est"),
+          expr("ABS(n_new_est - n_new_exact) * 1000 DIV n_new_exact").as("err_permille"))
+        .orderBy("day")
     }
   )
 }

@@ -75,6 +75,21 @@ class SketchSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("KMV A-not-B churn estimates track exact within a 20% band, never negative") {
+    // at the gate scale the daily sketches are barely saturated
+    // (n ≈ 320 vs k = 256) so realized error is tight (observed ≤ 66‰);
+    // 200‰ leaves room for the saturated regime without letting a
+    // broken estimator pass
+    val rows = graft.SparkEntry.queries("q_distinct_anotb_kmv")(spark, sf("sf0.01")).collect()
+    assert(rows.length >= 7)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_new_exact") > 0)
+      assert(r.getAs[Long]("n_new_est") >= 0, "difference estimates must clamp at zero")
+      assert(r.getAs[Long]("err_permille") <= 200,
+        s"${r.get(0)}: err ${r.getAs[Long]("err_permille")}‰")
+    }
+  }
+
   test("KMV pair estimates stay within a 3-resolution band of exact Jaccard") {
     // k=256 → estimate resolution ~4‰ and binomial σ ≈ √(J(1−J)/k); the
     // gate rows all have J ≤ ~90‰ → σ ≤ ~18‰. 3σ + resolution ≈ 60‰ is a
