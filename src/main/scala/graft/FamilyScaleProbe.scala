@@ -393,7 +393,10 @@ object FamilyScaleProbe {
       // A-not-B churn: ×k events (shifted users) grow the per-day distinct
       // and the exact face linearly; the sketch pipeline stays k-bounded
       // per day after the salt-local k-min.
-      "anotb_kmv" -> registered("q_distinct_anotb_kmv"))
+      "anotb_kmv" -> registered("q_distinct_anotb_kmv"),
+      // chi-square readout: one map-side-combined 4-cell aggregate over
+      // ×k events — the flat-cost shape class.
+      "ab_chisq" -> registered("q_ab_chisq"))
     familyFilter.foreach { names =>
       val unknown = names.diff(allFamilies.map(_._1).toSet + "incremental")
       require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")

@@ -552,6 +552,55 @@ object ProfileQueries {
         .select(col("day"), col("n_today"), col("n_new_exact"), col("n_new_est"),
           expr("ABS(n_new_est - n_new_exact) * 1000 DIV n_new_exact").as("err_permille"))
         .orderBy("day")
+    },
+
+    // ----- A/B experiment readout: 2×2 chi-square, integer arithmetic -----
+    // The experimentation workload: users split by id parity, conversion =
+    // purchase event; per-variant conversion rates plus Pearson's
+    // chi-square χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) as a ×10⁶ integer.
+    // The naive product N·det²·10⁶ overflows BIGINT at bench scale, so the
+    // statistic is computed with pre-scaled integer divisions
+    // (N·(det/10³)² / (D/10¹²) — same ×10⁶ units, each truncation applied
+    // identically by both engines, headroom to N ≈ 10⁸ events). One scan,
+    // one 4-cell aggregate — the whole test is map-side combined; at
+    // 100 TB per-experiment cells come from the same single pass keyed by
+    // experiment id.
+    QueryDef(
+      "q_ab_chisq",
+      """WITH e AS (SELECT user_id % 2 AS variant,
+        |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        |           FROM events),
+        |c AS (SELECT CAST(SUM(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |             CAST(SUM(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |             CAST(SUM(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |             CAST(SUM(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+        |      FROM e)
+        |SELECT a AS conv_a, b AS nonconv_a, c2 AS conv_b, d2 AS nonconv_b,
+        |       a * 1000 // (a + b) AS rate_a_permille,
+        |       c2 * 1000 // (c2 + d2) AS rate_b_permille,
+        |       CAST(((a + b + c2 + d2)
+        |             * ((a * d2 - b * c2) // 1000)
+        |             * ((a * d2 - b * c2) // 1000))
+        |            // (((a + b) * (c2 + d2) // 1000000)
+        |               * ((a + c2) * (b + d2) // 1000000)) AS BIGINT) AS chi2_x1e6
+        |FROM c""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select((col("user_id") % 2).as("variant"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("conv"))
+        .agg(
+          sum(expr("CAST(IF(variant = 0 AND conv = 1, 1, 0) AS BIGINT)")).as("conv_a"),
+          sum(expr("CAST(IF(variant = 0 AND conv = 0, 1, 0) AS BIGINT)")).as("nonconv_a"),
+          sum(expr("CAST(IF(variant = 1 AND conv = 1, 1, 0) AS BIGINT)")).as("conv_b"),
+          sum(expr("CAST(IF(variant = 1 AND conv = 0, 1, 0) AS BIGINT)")).as("nonconv_b"))
+        .select(col("conv_a"), col("nonconv_a"), col("conv_b"), col("nonconv_b"),
+          expr("conv_a * 1000 DIV (conv_a + nonconv_a)").as("rate_a_permille"),
+          expr("conv_b * 1000 DIV (conv_b + nonconv_b)").as("rate_b_permille"),
+          expr("""CAST(((conv_a + nonconv_a + conv_b + nonconv_b)
+                 * ((conv_a * nonconv_b - nonconv_a * conv_b) DIV 1000)
+                 * ((conv_a * nonconv_b - nonconv_a * conv_b) DIV 1000))
+                DIV (((conv_a + nonconv_a) * (conv_b + nonconv_b) DIV 1000000)
+                   * ((conv_a + conv_b) * (nonconv_a + nonconv_b) DIV 1000000)) AS BIGINT)""")
+            .as("chi2_x1e6"))
     }
   )
 }

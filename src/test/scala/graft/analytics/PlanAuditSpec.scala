@@ -744,6 +744,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("A/B chi-square: one map-side-combined aggregate, no joins") {
+    val p = planOf("q_ab_chisq")
+    assert(p.contains("partial_sum"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("rollup rewrite: the base-table aggregate is served from the rollup scan") {
     val ep = executedPlanOf("q_rollup_serve")
     assert(ep.contains("rollup_store"), ep.take(3000))
