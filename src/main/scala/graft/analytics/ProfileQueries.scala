@@ -3,7 +3,7 @@ package graft.analytics
 import graft.QueryDef
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.StringDistanceFunctions
+import org.apache.spark.sql.graft.{SketchExpressions, StringDistanceFunctions}
 
 /** Data-profiling / governance operators over the warehouse tables: the
   * audits a CDC-replicated analytics store runs before anyone trusts it —
@@ -295,8 +295,9 @@ object ProfileQueries {
         |FROM r WHERE rk <= 50 ORDER BY rk""".stripMargin) { (s, d) =>
       val pri = Tables.documents(s, d).filter(col("n_chars") > 0)
         .select(col("doc_id"), col("n_chars"),
-          expr("CAST(conv(substr(md5(CAST(concat('wsamp:', CAST(doc_id AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
-            .as("u48"))
+          SketchExpressions.md5Hi64(concat(lit("wsamp:"), col("doc_id").cast("string"))).as("h8"))
+        .select(col("doc_id"), col("n_chars"),
+          expr("shiftrightunsigned(h8, 16)").as("u48"))
         .withColumn("priority", col("u48").cast("double") / col("n_chars"))
       val top = pri.orderBy(col("priority"), col("doc_id")).limit(50)
       top.withColumn("rk",
@@ -406,12 +407,12 @@ object ProfileQueries {
         concat(col("user_id").cast("string"), lit(":"),
           date_trunc("hour", col("ts")).cast("string")).as("uh"))
       val rho = e
-        .select(col("day"), expr("md5(CAST(concat('rh:', uh) AS BINARY))").as("hx"))
+        .select(col("day"), SketchExpressions.md5Hi64(concat(lit("rh:"), col("uh"))).as("h8"))
         .select(col("day"),
-          expr("CAST(conv(substr(hx, 1, 2), 16, 10) AS BIGINT) % 128").as("bucket"),
-          expr("CAST(conv(substr(hx, 3, 8), 16, 10) AS BIGINT)").as("hv"))
+          expr("shiftrightunsigned(h8, 56) % 128").as("bucket"),
+          expr("shiftrightunsigned(h8, 24) & 4294967295").as("hv"))
         .groupBy("day", "bucket")
-        .agg(max(expr("IF(hv = 0, 33, 33 - length(bin(hv)))")).as("m"))
+        .agg(max(SketchExpressions.hllRho32(col("hv"))).as("m"))
         .localCheckpoint() // eager, ≤ days×128 rows; two consumers below
       val days = rho.select("day").distinct()
       val grid = days
@@ -509,7 +510,8 @@ object ProfileQueries {
         .distinct()
         .localCheckpoint() // eager: feeds the sketch AND both exact sides
       val h = du.select(col("day"),
-        expr("CAST(conv(substr(md5(CAST(concat('ab:', uh) AS BINARY)), 1, 12), 16, 10) AS BIGINT)").as("hv"))
+          SketchExpressions.md5Hi64(concat(lit("ab:"), col("uh"))).as("h8"))
+        .select(col("day"), expr("shiftrightunsigned(h8, 16)").as("hv"))
       // salt-local k-min then a final per-day rank over ≤ 32·k candidates
       val partial = h
         .groupBy(col("day"), expr("pmod(hv, 32)").as("salt"))

@@ -6,6 +6,7 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SketchExpressions
 
 /** Corpus-statistics operators for the training-data pipeline, beyond the
   * per-document stats in [[TextPipelineQueries]]: repetition-based quality
@@ -37,19 +38,23 @@ object CorpusStatsQueries {
     * row, bucket = first 8 hash bits, rho = leading-zeros+1 of the next 32.
     * `max` absorbs duplicate tokens, so the input needs no distinct and the
     * reduction map-side-combines to ≤ 256 partial registers per partition
-    * (SketchSpec audits exactly that on this frame's plan).
+    * (SketchSpec audits exactly that on this frame's plan). Hashing is the
+    * native [[org.apache.spark.sql.graft.Md5Hi64]] (one digest + shifts;
+    * the old md5→hex→conv chain was the suite's interpreted-mode worst
+    * case) — the DuckDB oracle keeps the hex chain, so the gates prove the
+    * derivations equal bit-for-bit.
     */
   /** Test/micro-bench access to [[hllRegisters]]. */
   def hllRegistersForTest(raw: DataFrame): DataFrame = hllRegisters(raw)
 
   private[pipeline] def hllRegisters(raw: DataFrame): DataFrame =
     raw.select(col("source"),
-        expr("md5(CAST(concat('hll:', tok) AS BINARY))").as("hx"))
+        SketchExpressions.md5Hi64(concat(lit("hll:"), col("tok"))).as("h8"))
       .select(col("source"),
-        expr("CAST(conv(substr(hx, 1, 2), 16, 10) AS BIGINT)").as("bucket"),
-        expr("CAST(conv(substr(hx, 3, 8), 16, 10) AS BIGINT)").as("hv"))
+        expr("shiftrightunsigned(h8, 56)").as("bucket"),
+        expr("shiftrightunsigned(h8, 24) & 4294967295").as("hv"))
       .groupBy("source", "bucket")
-      .agg(max(expr("IF(hv = 0, 33, 33 - length(bin(hv)))")).as("m"))
+      .agg(max(SketchExpressions.hllRho32(col("hv"))).as("m"))
 
   /** All counting units for the repetition metrics in ONE exploded stream:
     * (doc_id, kind, unit) where kind ∈ {tok, g2, g3}. Tokenize ONCE,
@@ -607,8 +612,10 @@ object CorpusStatsQueries {
         .groupBy("tok").agg(count(lit(1)).as("exact_c"))
       val entries = exact
         .select(col("tok"), col("exact_c"), explode(expr("sequence(0, 3)")).as("r"))
-        .withColumn("bucket",
-          expr("CAST(conv(substr(md5(CAST(concat('cms', CAST(r AS STRING), ':', tok) AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 256"))
+        .withColumn("h8", SketchExpressions.md5Hi64(
+          concat(lit("cms"), col("r").cast("string"), lit(":"), col("tok"))))
+        .withColumn("bucket", expr("shiftrightunsigned(h8, 48) % 256"))
+        .drop("h8")
       val sketch = entries.groupBy("r", "bucket").agg(sum("exact_c").as("bc"))
       val top = exact.orderBy(col("exact_c").desc, col("tok")).limit(10)
       val est = entries.join(broadcast(top.select("tok")), "tok")
@@ -879,7 +886,8 @@ object CorpusStatsQueries {
         .distinct()
         .localCheckpoint()
       val h = tok.select(col("source"), col("tok"),
-        expr("CAST(conv(substr(md5(CAST(concat('kmv:', tok) AS BINARY)), 1, 12), 16, 10) AS BIGINT)").as("hv"))
+          SketchExpressions.md5Hi64(concat(lit("kmv:"), col("tok"))).as("h8"))
+        .select(col("source"), col("tok"), expr("shiftrightunsigned(h8, 16)").as("hv"))
       // level 1: salt-local k-min (32 buckets/source, map-side combinable)
       val partial = h
         .groupBy(col("source"), expr(s"pmod(hv, 32)").as("salt"))

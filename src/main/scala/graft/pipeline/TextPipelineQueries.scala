@@ -420,13 +420,14 @@ object TextPipelineQueries {
       Tables.customer(s, d)
         .select(regexp_replace(col("c_name"), "e", "é").as("dec"))
         .withColumn("nfc", nfcNormalize(col("dec")))
+        .withColumn("h8",
+          org.apache.spark.sql.graft.SketchExpressions.md5Hi64(col("nfc")))
         .agg(
           count(lit(1)).as("n_names"),
           sum(length(col("dec"))).cast("long").as("sum_len_decomposed"),
           sum(length(col("nfc"))).cast("long").as("sum_len_nfc"),
           count(when(col("nfc") =!= col("dec"), 1)).as("n_composed"),
-          sum(expr("CAST(conv(substr(md5(CAST(nfc AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
-            .cast("long").as("nfc_checksum"))
+          sum(expr("shiftrightunsigned(h8, 32)")).cast("long").as("nfc_checksum"))
     }
   )
 
