@@ -3,8 +3,8 @@ package graft.plans
 import graft.QueryDef
 import graft.analytics.Tables
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -84,29 +84,70 @@ object RollupRewrite {
     override def apply(plan: LogicalPlan): LogicalPlan =
       if (suspended.get() || specs.isEmpty) plan
       else plan.transformUp {
-        case agg: Aggregate =>
-          val hit = specs.values.stream.filter { s =>
-            baseRelation(agg.child, s.basePathSuffix).isDefined && {
-              val (g, a) = signatureOf(agg)
-              g == s.groupSig && a == s.aggSig
-            }
-          }.findFirst()
-          if (!hit.isPresent) agg
-          else {
-            val spec = hit.get
-            // read the rollup with the rule suspended (it could otherwise
-            // recurse through this very optimization)
-            suspended.set(true)
-            val rollup =
-              try spark.read.parquet(spec.rollupPath).queryExecution.analyzed
-              finally suspended.set(false)
-            val byName = rollup.output.map(a => a.name -> a).toMap
-            val projectList: Seq[NamedExpression] = agg.output.map { o =>
-              Alias(byName(o.name), o.name)(exprId = o.exprId, qualifier = o.qualifier)
-            }
-            Project(projectList, rollup)
-          }
+        case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
       }
+
+    /** A grain-level filter — deterministic, referencing ONLY bare grouping
+      * columns — commutes with the aggregate (`agg(σ_g(base)) =
+      * σ_g(agg(base))`), so the dashboard's date-range shape
+      * (`WHERE o_orderdate BETWEEN …` over the daily rollup grain) serves
+      * from the rollup with the filter re-applied above the rollup scan
+      * (where it then pushes into the rollup's parquet scan as usual). Any
+      * predicate touching a non-grouping column still blocks the rewrite:
+      * it would have filtered rows WITHIN a group, which the
+      * pre-aggregated rollup can no longer distinguish.
+      */
+    private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+      val (cond, scanChild) = agg.child match {
+        case Filter(c, child) => (Some(c), child)
+        case Project(pl, Filter(c, child))
+            if pl.forall(_.isInstanceOf[AttributeReference]) => (Some(c), child)
+        case other => (None, other)
+      }
+      val groupAttrs = agg.groupingExpressions.collect { case a: AttributeReference => a }
+      val filterSound = cond.forall(c => c.deterministic &&
+        c.references.forall(r => groupAttrs.exists(_.exprId == r.exprId)))
+      if (!filterSound) return None
+      val spec = {
+        import scala.jdk.CollectionConverters._
+        specs.values.asScala.find { s =>
+          baseRelation(scanChild, s.basePathSuffix).isDefined && {
+            val (g, a) = signatureOf(agg)
+            g == s.groupSig && a == s.aggSig
+          }
+        }
+      }
+      spec.flatMap { s =>
+        // read the rollup with the rule suspended (it could otherwise
+        // recurse through this very optimization)
+        suspended.set(true)
+        val rollup =
+          try spark.read.parquet(s.rollupPath).queryExecution.analyzed
+          finally suspended.set(false)
+        val byName = rollup.output.map(a => a.name -> a).toMap
+        // signature match makes the name remap total in practice (the
+        // grouping columns appear in the rollup under the agg's output
+        // names) — but an unresolvable name means we cannot PROVE the
+        // rewrite, so it must block it, never throw mid-optimizer
+        val remapTotal = agg.output.forall(o => byName.contains(o.name)) &&
+          cond.forall(_.references.forall(r => byName.contains(r.name)))
+        if (!remapTotal) None
+        else {
+          val scan: LogicalPlan = cond match {
+            case Some(c) =>
+              val remapped = c.transform {
+                case a: AttributeReference => byName(a.name)
+              }
+              Filter(remapped, rollup)
+            case None => rollup
+          }
+          val projectList: Seq[NamedExpression] = agg.output.map { o =>
+            Alias(byName(o.name), o.name)(exprId = o.exprId, qualifier = o.qualifier)
+          }
+          Some(Project(projectList, scan))
+        }
+      }
+    }
   }
 
   /** Maintain (full overwrite) + register the rollup for `canonical`, an
@@ -158,6 +199,34 @@ object RollupRewrite {
       // is absent from the executed plan; the oracle aggregates the base
       // directly, proving result identity)
       dailyOrders(s, d).orderBy("o_orderdate")
+    },
+
+    // the reference's dashboard shape: the same aggregate UNDER a
+    // date-range predicate at the rollup grain (sql/4.analytics_queries.sql
+    // filters its daily aggregates exactly like this). The grain-level
+    // filter commutes with the aggregate, so the rule serves it from the
+    // rollup with the range re-applied above (and pushed into) the rollup
+    // scan; the oracle filters and aggregates the BASE table, so the hash
+    // gate proves the commuted plan result-identical.
+    QueryDef(
+      "q_rollup_serve_window",
+      s"""SELECT o_orderdate, COUNT(*) AS n_orders,
+         |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY o_orderdate
+         |ORDER BY o_orderdate""".stripMargin) { (s, d) =>
+      val rollupPath = "target/rollup_store/orders_daily_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      materializeAndRegister(s, dailyOrders(s, d), "/orders.parquet", rollupPath)
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .groupBy(col("o_orderdate"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr(centsSql)).as("sum_cents"))
+        .orderBy("o_orderdate")
     }
   )
 }

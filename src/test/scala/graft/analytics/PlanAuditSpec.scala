@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
 
 /** Physical-plan audits: the scale properties the engine claims are
   * asserted against the actual plans, not just documented —
@@ -758,6 +758,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!ep.contains("orders.parquet"), ep.take(3000))
     // and the Aggregate itself is gone (the rollup rows are pre-aggregated)
     assert(!ep.contains("HashAggregate"), ep.take(3000))
+  }
+
+  test("rollup rewrite fires under a grain-level date-range filter (dashboard shape)") {
+    val ep = executedPlanOf("q_rollup_serve_window")
+    assert(ep.contains("rollup_store"), ep.take(3000))
+    // base orders parquet absent AND no re-aggregation — the range filter
+    // commuted above the rollup scan instead
+    assert(!ep.contains("orders.parquet"), ep.take(3000))
+    assert(!ep.contains("HashAggregate"), ep.take(3000))
+    // and the range pushed into the ROLLUP scan (partition/row-group
+    // pruning at 100 TB rides the normal pushdown machinery)
+    assert(ep.contains("PushedFilters: [IsNotNull(o_orderdate)"), ep.take(3000))
+  }
+
+  test("rollup rewrite does NOT fire when the filter touches a non-grouping column") {
+    // a predicate WITHIN the group (o_orderpriority is not in the grain)
+    // cannot be answered from pre-aggregated rows — must scan the base
+    graft.SparkEntry.queries("q_rollup_serve")(spark, sf()) // ensure rule installed
+    val q = graft.analytics.Tables.orders(spark, sf())
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_orderdate")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("sum_cents"))
+    q.collect()
+    val ep = q.queryExecution.executedPlan.toString
+    assert(ep.contains("orders.parquet"), ep.take(3000))
+    assert(ep.contains("HashAggregate"), ep.take(3000))
   }
 
   test("rollup rewrite does NOT fire for a non-matching aggregate over the same base") {
