@@ -231,6 +231,93 @@ object StreamOps {
     }
   }
 
+  // ----- streaming distinct sketch: mergeable per-day HLL registers -----
+
+  case class HllIn(day_num: Long, uh: String)
+  case class HllRegs(regs: Array[Int], nSeen: Long)
+  case class HllSnap(day_num: Long, n_seen: Long, ssum: Long, n_est: Long)
+
+  /** Per-day distinct-count HLL maintained ACROSS micro-batches: the state
+    * is the m=128 register array — 128 ints per active day, merged with
+    * each batch's contribution by register max (the same merge law the
+    * rolling-HLL batch face decomposes over; see q_distinct_rolling_hll).
+    * Each micro-batch emits an updated snapshot per touched key carrying
+    * the cumulative event count `n_seen`, so a consumer (and the
+    * equivalence spec) identifies the latest snapshot without relying on
+    * sink ordering. This is the sketch-as-STATE face the batch aggregates
+    * lack: at 100 TB/day the per-day register set never grows with the
+    * corpus, an idle day's state is 512 bytes until a timeout evicts it,
+    * and the emitted estimate is serving-ready after every trigger.
+    *
+    * Hashing and estimate arithmetic are IDENTICAL to the batch face
+    * (native [[org.apache.spark.sql.graft.Md5Util]] hi64 → bucket/rho
+    * shifts, raw-HLL integer estimate (11719·2³³)//ssum), so the final
+    * streaming snapshot per day equals the batch face row for row —
+    * StreamOpsSpec drives both over a multi-chunk feed and asserts
+    * exactly that, q_rate_limit-style.
+    */
+  def dailyDistinctHll(events: Dataset[HllIn], prefix: String = "sdh:"): Dataset[HllSnap] = {
+    val m = 128
+    val estNumerator = 11719L * (1L << 33) // alpha_128 · m² · 2³³, pre-folded
+    implicit val stateEnc: Encoder[HllRegs] = Encoders.product[HllRegs]
+    implicit val outEnc: Encoder[HllSnap] = Encoders.product[HllSnap]
+    import events.sparkSession.implicits._
+    if (events.isStreaming)
+      events
+        .groupByKey(_.day_num)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+          (day: Long, batch: Iterator[HllIn], st: GroupState[HllRegs]) => {
+            val prev = st.getOption.getOrElse(HllRegs(new Array[Int](m), 0L))
+            val regs = prev.regs.clone() // never mutate the store's object
+            var nSeen = prev.nSeen
+            batch.foreach { e =>
+              val h = graft.streaming.StreamOps.hllHash(prefix, e.uh)
+              val bucket = (h >>> 56).toInt % m
+              val hv = (h >>> 24) & 0xFFFFFFFFL
+              val rho = if (hv == 0L) 33 else java.lang.Long.numberOfLeadingZeros(hv) - 31
+              if (rho > regs(bucket)) regs(bucket) = rho
+              nSeen += 1
+            }
+            st.update(HllRegs(regs, nSeen))
+            var ssum = 0L
+            var i = 0
+            while (i < m) { ssum += 1L << (33 - regs(i)); i += 1 }
+            Iterator.single(HllSnap(day, nSeen, ssum, estNumerator / ssum))
+          })
+    else {
+      import org.apache.spark.sql.graft.SketchExpressions
+      val h = events.toDF()
+        .select(col("day_num"),
+          SketchExpressions.md5Hi64(concat(lit(prefix), col("uh"))).as("h8"))
+        .select(col("day_num"),
+          expr(s"shiftrightunsigned(h8, 56) % $m").as("bucket"),
+          expr("shiftrightunsigned(h8, 24) & 4294967295").as("hv"))
+      val rho = h.groupBy("day_num", "bucket")
+        .agg(max(SketchExpressions.hllRho32(col("hv"))).as("r"),
+          count(lit(1)).as("n_part"))
+        .localCheckpoint() // eager: days×≤128 rows; feeds grid + counts
+      val counts = rho.groupBy("day_num").agg(sum("n_part").as("n_seen"))
+      val grid = rho.select("day_num").distinct()
+        .select(col("day_num"), explode(expr(s"sequence(0, ${m - 1})")).as("b"))
+        .select(col("day_num"), col("b").cast("long").as("bucket"))
+      val est = grid.join(rho.select("day_num", "bucket", "r"), Seq("day_num", "bucket"), "left")
+        .select(col("day_num"), coalesce(col("r"), lit(0)).as("r"))
+        .groupBy("day_num")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - r)")).as("ssum"))
+        .select(col("day_num"),
+          expr(s"$estNumerator DIV ssum").as("n_est"), col("ssum"))
+      counts.join(est, "day_num")
+        .select(col("day_num"), col("n_seen"), col("ssum"), col("n_est"))
+        .as[HllSnap]
+    }
+  }
+
+  /** Driver/executor-side hash shared by the streaming state function —
+    * same digest+fold as the native expression ([[org.apache.spark.sql.graft.Md5Util]]).
+    */
+  def hllHash(prefix: String, v: String): Long =
+    org.apache.spark.sql.graft.Md5Util.hi64((prefix + v).getBytes("UTF-8"))
+
   /** Stream-static enrichment: the unbounded event stream joined to a
     * bounded dimension table, then window-aggregated per dimension
     * attribute. The static side is explicitly `broadcast` — a stream-static

@@ -299,6 +299,53 @@ object StreamShapeQueries {
           col("n_accepted"), col("n_rejected"),
           when(col("n_accepted") === 2, col("max_acc_sec")).as("quota_hit_sec"))
         .orderBy("user_id", "day_num")
+    },
+
+    // per-day distinct active user-hours as STREAMING STATE: the batch face
+    // of StreamOps.dailyDistinctHll (native md5 registers, m = 128, raw-HLL
+    // integer estimate) joined to its exact ground truth; the streaming
+    // face maintains the same registers across micro-batches in
+    // flatMapGroupsWithState and is proven snapshot-equal to this batch
+    // face by StreamOpsSpec (q_rate_limit's proof pattern). The oracle
+    // rebuilds the registers from the hex md5 chain, so the gate also
+    // re-proves the native hash derivation end to end.
+    QueryDef(
+      "q_stream_distinct_hll",
+      """WITH e AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day_num,
+        |                  CAST(user_id AS VARCHAR) || ':' || CAST(EXTRACT(hour FROM ts) AS VARCHAR) AS uh
+        |           FROM events),
+        |h AS (SELECT day_num,
+        |        CAST(('0x' || substr(md5('sdh:' || uh), 1, 2)) AS BIGINT) % 128 AS bucket,
+        |        CAST(('0x' || substr(md5('sdh:' || uh), 3, 8)) AS BIGINT) AS hv
+        |      FROM e),
+        |rho AS (SELECT day_num, bucket,
+        |               MAX(CASE WHEN hv = 0 THEN 33 ELSE 33 - length(bin(hv)) END) AS r
+        |        FROM h GROUP BY 1, 2),
+        |grid AS (SELECT d.day_num, g.bucket
+        |         FROM (SELECT DISTINCT day_num FROM e) d,
+        |              (SELECT UNNEST(generate_series(0, 127)) AS bucket) g),
+        |reg AS (SELECT g.day_num, g.bucket, COALESCE(r.r, 0) AS r
+        |        FROM grid g LEFT JOIN rho r ON g.day_num = r.day_num AND g.bucket = r.bucket),
+        |s AS (SELECT day_num, CAST(SUM(1::BIGINT << (33 - r)) AS BIGINT) AS ssum
+        |      FROM reg GROUP BY 1),
+        |cnt AS (SELECT day_num, COUNT(*) AS n_seen, COUNT(DISTINCT uh) AS n_exact
+        |        FROM e GROUP BY 1)
+        |SELECT c.day_num, n_seen, n_exact,
+        |       (11719 * (1::BIGINT << 33)) // ssum AS n_est,
+        |       ABS((11719 * (1::BIGINT << 33)) // ssum - n_exact) * 1000 // n_exact AS err_permille
+        |FROM cnt c JOIN s ON c.day_num = s.day_num
+        |ORDER BY c.day_num""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val e = Tables.events(s, d).select(
+        expr("CAST(CAST(ts AS LONG) DIV 86400 AS BIGINT)").as("day_num"),
+        concat(col("user_id").cast("string"), lit(":"),
+          hour(col("ts")).cast("string")).as("uh"))
+      val snaps = StreamOps.dailyDistinctHll(e.as[StreamOps.HllIn]).toDF()
+      val exact = e.groupBy("day_num").agg(countDistinct("uh").as("n_exact"))
+      snaps.join(exact, "day_num")
+        .select(col("day_num"), col("n_seen"), col("n_exact"), col("n_est"),
+          expr("ABS(n_est - n_exact) * 1000 DIV n_exact").as("err_permille"))
+        .orderBy("day_num")
     }
   )
 }

@@ -310,4 +310,42 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows.contains((2L, true)), s"unmatched purchase must surface with NULL click: $rows")
     } finally query.stop()
   }
+
+  test("streaming daily HLL state converges to the batch face across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // three days of synthetic user-hours with duplicates; chunked so the
+    // register state MUST merge across micro-batches (day 100 appears in
+    // all three chunks, day 101 in two, day 102 in one)
+    val rng = new scala.util.Random(1123)
+    val all = (0 until 900).map { i =>
+      val day = 100L + (i % 3 match { case 0 => 0; case 1 => i % 2; case _ => i % 3 })
+      StreamOps.HllIn(day, s"${rng.nextInt(120)}:${rng.nextInt(24)}")
+    }
+    val chunks = all.grouped(300).toSeq
+
+    val input = MemoryStream[StreamOps.HllIn]
+    val query = StreamOps.dailyDistinctHll(input.toDS())
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+      // latest snapshot per day = the one with the max cumulative n_seen
+      val stream = spark.table("hll_out")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("day_num").orderBy(col("n_seen").desc)))
+        .filter(col("rk") === 1).drop("rk")
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+      val batch = StreamOps.dailyDistinctHll(all.toDS()).collect()
+        .map(s => (s.day_num, (s.n_seen, s.ssum, s.n_est))).toMap
+
+      assert(stream.keySet == batch.keySet, s"day sets differ: $stream vs $batch")
+      batch.foreach { case (day, b) =>
+        assert(stream(day) == b,
+          s"day $day: streaming snapshot ${stream(day)} != batch face $b")
+      }
+    } finally query.stop()
+  }
 }
