@@ -70,25 +70,33 @@ object DedupQueries {
   /** Levenshtein-≤1 name pairs via the FastSS deletion-neighborhood
     * blocking (full recall at the threshold; levenshtein only verifies
     * candidates). Shared by the pair face and the ER-cluster face.
+    *
+    * The variant self-join rides [[LshBlocking.saltedBucketPairs]] — the
+    * recall-PRESERVING skew guard: real-world name-frequency skew (a
+    * thousand "J SMITH"s share deletion variants) makes one variant bucket
+    * quadratic on one reducer, and the star guard the shingle side uses
+    * would silently drop candidate pairs that no other band recovers
+    * (FastSS has exactly one index). The salt spreads a hot bucket's pairs
+    * across (B/cell)² bounded cells instead; with ≤ cell members per
+    * bucket (every current corpus) it degenerates to the plain self-join.
+    * Pairs come back BARE (id_a, id_b) — names rejoin afterward, so the
+    * skew-managed exchange never carries wide rows.
     */
   private def fuzzyNamePairs(s: SparkSession, d: String): DataFrame = {
-    val variants = Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_name"),
+    val names = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    val variants = names
+      .select(col("c_custkey"),
         explode(expr(
           """concat(
             |  transform(sequence(1, length(c_name)),
             |    i -> concat(substr(c_name, 1, i-1), substr(c_name, i+1))),
             |  array(c_name))""".stripMargin)).as("variant"))
       .distinct()
-    val a = variants.select(col("c_custkey").as("id_a"),
-      col("c_name").as("name_a"), col("variant"))
-    val b = variants.select(col("c_custkey").as("id_b"),
-      col("c_name").as("name_b"), col("variant"))
-    a.join(b, Seq("variant"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "name_a", "name_b")
-      .distinct()
+    LshBlocking.saltedBucketPairs(variants, Seq("variant"), "c_custkey")
+      .join(names.select(col("c_custkey").as("id_a"), col("c_name").as("name_a")), "id_a")
+      .join(names.select(col("c_custkey").as("id_b"), col("c_name").as("name_b")), "id_b")
       .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select("id_a", "id_b", "name_a", "name_b")
   }
 
   /** Distinct (doc_id, sh) 3-word-shingle postings, built with

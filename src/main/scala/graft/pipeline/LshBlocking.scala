@@ -88,6 +88,53 @@ object LshBlocking {
     smallPairs.union(hotPairs).distinct()
   }
 
+  /** EXACT all-pairs bucket self-join with per-reducer work bounded by
+    * `cell`²: each bucket's members are row_number-partitioned into groups
+    * of `cell`, and pair-cell (p ≤ q) joins group p against group q, so a
+    * hot bucket of B members spreads its B²/2 pairs across G² ≈ (B/cell)²
+    * reducer cells of ≤ cell² work each instead of landing them on ONE
+    * reducer. Replication cost is G rows per member per side — linear
+    * until a bucket actually exceeds `cell`, and for buckets with ≤ cell
+    * members G = 1, where the plan degenerates to the plain self-join:
+    * the guard is INERT until skew appears (DedupSpec asserts output
+    * identity on both regimes).
+    *
+    * Unlike [[boundedBucketPairs]] this NEVER drops a candidate — use it
+    * where the blocking's recall contract is exactness and every collision
+    * must be verified (the FastSS deletion-variant index: a name-frequency
+    * hot spot must not flatten to a star, because no other band exists to
+    * recover the lost pairs and the lev-≤1 promise is FULL recall).
+    * The quadratic pair count itself is irreducible (those pairs exist);
+    * what the salt fixes is WHERE they are computed.
+    */
+  def saltedBucketPairs(banded: DataFrame, keyCols: Seq[String], idCol: String,
+      cell: Int = 256): DataFrame = {
+    require(cell >= 2, s"cell=$cell: need ≥ 2 members per group")
+    val keys = keyCols.map(col)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    val grouped = banded
+      .withColumn("_idx", row_number().over(wOrd) - 1)
+      .withColumn("_bsz", count(lit(1)).over(wAll))
+      .withColumn("_g", floor(col("_idx") / cell))
+      .withColumn("_gmax", floor((col("_bsz") - 1) / cell))
+    // member of group g participates in cells (g, q) for q ≥ g as the
+    // A-side and (p, g) for p ≤ g as the B-side — every pair (x, y) with
+    // gx ≤ gy meets in exactly cell (gx, gy)
+    val aSide = grouped.withColumn("_q", explode(expr("sequence(_g, _gmax)")))
+      .select(keys :+ col(idCol).as("_ida") :+ col("_g").as("_p") :+ col("_q"): _*)
+    val bSide = grouped.withColumn("_p", explode(expr("sequence(0, _g)")))
+      .select(keys :+ col(idCol).as("_idb") :+ col("_p") :+ col("_g").as("_q"): _*)
+    val joinCond = (keyCols.map(k => col(s"x.$k") === col(s"y.$k")) ++
+      Seq(col("x._p") === col("y._p"), col("x._q") === col("y._q"))).reduce(_ && _)
+    aSide.as("x").join(bSide.as("y"), joinCond)
+      .filter(col("x._ida") =!= col("y._idb"))
+      .select(least(col("x._ida"), col("y._idb")).as("id_a"),
+        greatest(col("x._ida"), col("y._idb")).as("id_b"))
+      .distinct()
+  }
+
   /** Hot buckets with their sizes and bounded-vs-unguarded pair costs — the
     * observability companion to [[boundedBucketPairs]] (same threshold
     * logic). Run it when you want skew stats logged/persisted; it is not

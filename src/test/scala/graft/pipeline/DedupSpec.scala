@@ -89,6 +89,29 @@ class DedupSpec extends SparkSpec {
     assert(starEdges == (2L to 150L).toSet, "hot-bucket star must connect the whole cluster")
   }
 
+  test("salted bucket pairs are EXACT: hot bucket loses nothing, small buckets unchanged") {
+    // one hot bucket (13 members, cell = 4 → G = 4 groups / 10 pair-cells),
+    // one mid bucket at the cell boundary, singletons, and members sharing
+    // several buckets (dedup across buckets must still hold)
+    val rows = ((1L to 13L).map(i => (i, "hot")) ++
+      (20L to 23L).map(i => (i, "edge")) ++
+      Seq((30L, "solo"), (1L, "edge"), (21L, "hot"))).toDF("id", "bucket")
+    val plain = rows.as("x").join(rows.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = LshBlocking.saltedBucketPairs(rows, Seq("bucket"), "id", cell = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == plain,
+      s"salted pair set differs: missing=${plain -- salted} extra=${salted -- plain}")
+
+    // inert regime: every bucket ≤ cell → still identical (the default-cell
+    // path the gate corpora take)
+    val saltedBig = LshBlocking.saltedBucketPairs(rows, Seq("bucket"), "id", cell = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(saltedBig == plain)
+  }
+
   test("df-prune + size-ratio prune preserve the exact near-dup pair set") {
     // naive formulation: plain inverted-index join, no prunes — the pruned
     // production plan must return identical rows (values included)
