@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.QueryDef
+import graft.operators.Checkpoints.StableOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -186,7 +187,7 @@ object GraphQueries {
       // (Bench times build+action together). This is the per-round
       // truncation the Scaladoc above prescribes for production, applied
       // to the fixed-3-round face.
-      .localCheckpoint()
+      .stableCheckpoint()
     val outw = edges.groupBy("src").agg(sum("w").as("wout"))
     val e = edges.join(outw, "src") // (src, dst, w, wout)
     val nodes = edges.select(col("src").as("node")).distinct()

@@ -4,6 +4,7 @@ import java.nio.file.Paths
 import graft.cdc._
 import graft.fixtures.HealthcareFixtures
 import graft.model.HealthcareSchema
+import graft.operators.Checkpoints.StableOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -92,7 +93,7 @@ object HealthcareData {
     val live = col(CdcApplier.MetaDeleted) === false
     val schema = graft.model.HealthcareSchema.all("visits")
     var state = spark.read.parquet(s"$Root/visits")
-    var rollup = IncrementalRollup.full(state.filter(live), spec).localCheckpoint()
+    var rollup = IncrementalRollup.full(state.filter(live), spec).stableCheckpoint()
     batches.foreach { case (at, evs) =>
       val vEvents = evs.filter(_.table == "visits")
       if (vEvents.nonEmpty) {
@@ -106,10 +107,10 @@ object HealthcareData {
         // the table store anyway; here it keeps the 8-batch replay's plan
         // from nesting eight merges deep
         val after = CdcApplier.applyBatch(state, typed, "visit_id",
-          lit(at).cast("timestamp_ntz")).localCheckpoint()
+          lit(at).cast("timestamp_ntz")).stableCheckpoint()
         val delta = IncrementalRollup.batchDelta(
           state, after, touched, "visit_id", live, spec)
-        rollup = IncrementalRollup.merge(rollup, delta, spec).localCheckpoint()
+        rollup = IncrementalRollup.merge(rollup, delta, spec).stableCheckpoint()
         state = after
       }
     }

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.QueryDef
+import graft.operators.Checkpoints.StableOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{SketchExpressions, StringDistanceFunctions}
@@ -413,7 +414,7 @@ object ProfileQueries {
           expr("shiftrightunsigned(h8, 24) & 4294967295").as("hv"))
         .groupBy("day", "bucket")
         .agg(max(SketchExpressions.hllRho32(col("hv"))).as("m"))
-        .localCheckpoint() // eager, ≤ days×128 rows; two consumers below
+        .stableCheckpoint() // eager, ≤ days×128 rows; two consumers below
       val days = rho.select("day").distinct()
       val grid = days
         .select(col("day"), explode(expr("sequence(0, 127)")).as("b"))
@@ -508,7 +509,7 @@ object ProfileQueries {
           concat(col("user_id").cast("string"), lit(":"),
             hour(col("ts")).cast("string")).as("uh"))
         .distinct()
-        .localCheckpoint() // eager: feeds the sketch AND both exact sides
+        .stableCheckpoint() // eager: feeds the sketch AND both exact sides
       val h = du.select(col("day"),
           SketchExpressions.md5Hi64(concat(lit("ab:"), col("uh"))).as("h8"))
         .select(col("day"), expr("shiftrightunsigned(h8, 16)").as("hv"))
@@ -520,7 +521,7 @@ object ProfileQueries {
       val wd = Window.partitionBy("day").orderBy("hv")
       val sk = partial.withColumn("r", row_number().over(wd)).filter(col("r") <= k)
         .select("day", "hv")
-        .localCheckpoint() // eager: consumed by own stats + both member arms
+        .stableCheckpoint() // eager: consumed by own stats + both member arms
       val own = sk.groupBy("day").agg(count(lit(1)).as("c"), max("hv").as("hk"))
       val member = sk.select(col("day"), col("hv"), lit(1).as("in_a"), lit(0).as("in_b"))
         .unionByName(sk.select(date_add(col("day"), 1).as("day"), col("hv"),

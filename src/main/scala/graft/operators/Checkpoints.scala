@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** One switch for every lineage-truncation point in the engine (r10
+  * verdict item 3).
+  *
+  * Iterative and fan-in shapes (connected components, PageRank rounds,
+  * the sketch queries' small shared frames) checkpoint EAGERLY at their
+  * smallest reusable frame — always eager, because a lazy checkpoint
+  * shared by multiple consumers is raced by AQE into redundant
+  * recomputation (measured ~9×; see SourceDisciplineSpec).
+  *
+  * The FLAVOR is deployment-dependent:
+  *
+  *  - `localCheckpoint()` (the default) writes executor-local block
+  *    shuffle files — right for local[n] and cheapest, but on a real
+  *    cluster an executor loss destroys the only copy and kills an
+  *    iterative job mid-round;
+  *  - `SPARK_GRAFT_CHECKPOINT_DIR=<path>` switches every site to RELIABLE
+  *    `checkpoint()` against that directory (HDFS/object store on a
+  *    cluster) — blocks survive executor loss, at the cost of a
+  *    write-through per checkpoint.
+  *
+  * Both flavors truncate lineage identically, so results are invariant
+  * under the switch — CheckpointFaceSpec runs a CC query and a sketch
+  * query under both and asserts row-identical output (and that the
+  * reliable path actually materialized files under the directory).
+  */
+object Checkpoints {
+
+  /** Test seam: takes precedence over the environment variable. */
+  @volatile private[graft] var dirOverride: Option[String] = None
+
+  private def configuredDir: Option[String] =
+    dirOverride.orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty))
+
+  /** Eager checkpoint of `df` in the configured flavor (see class doc). */
+  def stable(df: DataFrame): DataFrame = configuredDir match {
+    case Some(dir) =>
+      val sc = df.sparkSession.sparkContext
+      // setCheckpointDir is sticky per context; honor a new override (the
+      // test seam) but never clobber an operator-set dir with itself
+      if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+      df.checkpoint()
+    case None => df.localCheckpoint()
+  }
+
+  /** `.stableCheckpoint()` postfix syntax, drop-in for `.localCheckpoint()`. */
+  implicit class StableOps(private val df: DataFrame) extends AnyVal {
+    def stableCheckpoint(): DataFrame = stable(df)
+  }
+}

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.StableOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -116,7 +117,7 @@ object ConnectedComponents {
             val updated = labels.as("l").join(nbr.as("n"), Seq("id"), "left")
               .select(col("id"), col("l.rep").as("old_rep"),
                 least(col("l.rep"), coalesce(col("n.nbr_rep"), col("l.rep"))).as("rep"))
-              .localCheckpoint()
+              .stableCheckpoint()
             changed = updated.filter(col("rep") =!= col("old_rep")).count()
             labels = updated.select("id", "rep")
             i += 1

@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.QueryDef
 import graft.analytics.Tables
 import graft.functions.TextFunctions._
+import graft.operators.Checkpoints.StableOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -686,7 +687,7 @@ object CorpusStatsQueries {
       // measured 39 vs 149 process-CPU-s across reps of the same plan
       // before the switch)
       val bySh = inst.groupBy("tok").agg(collect_set(col("source")).as("srcs"))
-        .localCheckpoint()
+        .stableCheckpoint()
       val sizes = bySh.select(explode(col("srcs")).as("source"))
         .groupBy("source").agg(count(lit(1)).as("n"))
       val inter = bySh.filter(size(col("srcs")) >= 2)
@@ -781,7 +782,7 @@ object CorpusStatsQueries {
         .select(col("source"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
         .select(col("source"), explode(graft.functions.TextFunctions.wordShingles(col("toks"))).as("tok"))
         .distinct()
-        .localCheckpoint()
+        .stableCheckpoint()
       // registers over DISTINCT values only (≤ 256·n_sources output rows)
       val rho = hllRegisters(tok)
       // exact gate face — per-source AND union distinct counts in one cube
@@ -790,7 +791,7 @@ object CorpusStatsQueries {
       val exact = tok.cube(col("source"))
         .agg(countDistinct("tok").as("n_exact"))
         .select(coalesce(col("source"), lit("__union__")).as("source"), col("n_exact"))
-        .localCheckpoint()
+        .stableCheckpoint()
       val grid = exact.filter(col("source") =!= "__union__").select("source")
         .select(col("source"), explode(expr("sequence(0, 255)")).as("b"))
         .select(col("source"), col("b").cast("long").as("bucket"))
@@ -884,7 +885,7 @@ object CorpusStatsQueries {
         .select(col("source"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
         .select(col("source"), explode(graft.functions.TextFunctions.wordShingles(col("toks"))).as("tok"))
         .distinct()
-        .localCheckpoint()
+        .stableCheckpoint()
       val h = tok.select(col("source"), col("tok"),
           SketchExpressions.md5Hi64(concat(lit("kmv:"), col("tok"))).as("h8"))
         .select(col("source"), col("tok"), expr("shiftrightunsigned(h8, 16)").as("hv"))

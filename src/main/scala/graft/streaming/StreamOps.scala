@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
+import graft.operators.Checkpoints.StableOps
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -295,7 +296,7 @@ object StreamOps {
       val rho = h.groupBy("day_num", "bucket")
         .agg(max(SketchExpressions.hllRho32(col("hv"))).as("r"),
           count(lit(1)).as("n_part"))
-        .localCheckpoint() // eager: days×≤128 rows; feeds grid + counts
+        .stableCheckpoint() // eager: days×≤128 rows; feeds grid + counts
       val counts = rho.groupBy("day_num").agg(sum("n_part").as("n_seen"))
       val grid = rho.select("day_num").distinct()
         .select(col("day_num"), explode(expr(s"sequence(0, ${m - 1})")).as("b"))
