@@ -25,12 +25,11 @@ import org.apache.spark.sql.functions._
   *    keyed by `src` (contribution join) plus one keyed by `dst`
   *    (partial-aggregating sum) — the classic Pregel round expressed as
   *    Catalyst joins, so AQE/skew handling apply per round.
-  *  - iteration count is FIXED (3), so the plan is a finite DAG: no
-  *    driver-side convergence collects. A production run would `persist()`
-  *    the edge frame and `localCheckpoint()` per round to truncate lineage
-  *    (the pattern [[graft.operators.ConnectedComponents]] uses); the
-  *    registered face keeps the pure declarative form so the oracle gate
-  *    covers exactly what Catalyst plans.
+  *  - the REGISTERED face fixes the iteration count (3) so the plan is a
+  *    finite, oracle-gateable DAG; the production fixed-point loop is
+  *    [[pagerankConverged]] — per-round checkpointed ranks and a 1-row
+  *    max-delta termination aggregate, proven bit-equal to the fixed face
+  *    at every round count by GraphQueriesSpec.
   *  - rank mass is conserved up to integral-division floor loss (each DIV
   *    drops < 1 unit per edge/node per round — bounded, asserted by
   *    GraphQueriesSpec), so no renormalization pass is needed.
@@ -215,5 +214,72 @@ object GraphQueries {
       (col("node") % 2 === 0).as("is_customer"),
       expr("node DIV 2").as("entity_key"),
       col("rank").as("rank_scaled"))
+  }
+
+  /** Convergence-driven PageRank — the production face the fixed-3-round
+    * registered query stands in for (the registered face unrolls a finite
+    * DAG so it is oracle-gateable; a real deployment iterates to a fixed
+    * point). Rounds run until the MAX per-node absolute rank delta (in the
+    * same ×10¹² fixed-point domain, so the test is integer-exact) falls to
+    * `tolScaled` or below, capped at `maxIterations`. Each round costs the
+    * same two keyed shuffles as the fixed face plus one 1-row max-delta
+    * aggregate — the standard driver-visible fixed-point termination any
+    * Pregel loop pays — and each round's rank frame is checkpointed
+    * through [[graft.operators.Checkpoints]] (local by default, reliable
+    * under SPARK_GRAFT_CHECKPOINT_DIR), so lineage stays one round deep at
+    * any iteration count. Rounds-run-so-far agree bit-for-bit with the
+    * fixed-iteration face (GraphQueriesSpec proves it), so convergence
+    * changes WHEN you stop, never WHAT you compute.
+    *
+    * Returns (final ranks frame, rounds run, final max delta).
+    */
+  def pagerankConverged(s: org.apache.spark.sql.SparkSession, d: String,
+      tolScaled: Long, maxIterations: Int): (DataFrame, Int, Long) = {
+    require(tolScaled >= 0 && maxIterations >= 1)
+    val pair = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pair.select(
+        (col("o_custkey").cast("long") * 2).as("src"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("dst"), col("w"))
+      .unionAll(pair.select(
+        (col("l_suppkey").cast("long") * 2 + 1).as("src"),
+        (col("o_custkey").cast("long") * 2).as("dst"), col("w")))
+      .stableCheckpoint()
+    val outw = edges.groupBy("src").agg(sum("w").as("wout"))
+    val e = edges.join(outw, "src")
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n1 = nodes.agg(count(lit(1)).as("cnt"))
+    val init = nodes.crossJoin(broadcast(n1)).select(
+      col("node"),
+      expr(s"CAST($Scale DIV cnt AS BIGINT)").as("rank"),
+      expr(s"CAST(($Scale * 15) DIV (cnt * 100) AS BIGINT)").as("base"))
+    val nodesBase = init.select("node", "base").stableCheckpoint()
+    var ranks = init.select("node", "rank").stableCheckpoint()
+    var rounds = 0
+    var delta = Long.MaxValue
+    while (delta > tolScaled && rounds < maxIterations) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("(rank * w) DIV wout").as("c"))
+        .groupBy("node").agg(sum("c").as("sc"))
+      val next = nodesBase.join(contrib, Seq("node"), "left").select(
+        col("node"),
+        (col("base") + expr("(85 * coalesce(sc, 0)) DIV 100")).cast("long").as("rank"))
+        .stableCheckpoint()
+      delta = next.as("n").join(ranks.as("p"), col("n.node") === col("p.node"))
+        .agg(max(abs(col("n.rank") - col("p.rank"))).as("d"))
+        .collect()(0).getLong(0)
+      ranks = next
+      rounds += 1
+    }
+    (ranks.select(
+      col("node"),
+      (col("node") % 2 === 0).as("is_customer"),
+      expr("node DIV 2").as("entity_key"),
+      col("rank").as("rank_scaled")), rounds, delta)
   }
 }

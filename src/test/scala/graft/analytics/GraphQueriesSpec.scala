@@ -46,4 +46,33 @@ class GraphQueriesSpec extends SparkSpec {
       assert(alt == base, "ranks changed with shuffle partitioning")
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("convergence-driven face: same bits as the fixed face, monotone deltas, terminates") {
+    val d = sf()
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+
+    // tol = 0 never triggers early → exactly maxIterations rounds, and the
+    // result must be BIT-identical to the unrolled fixed face: convergence
+    // changes when you stop, never what you compute
+    val (r3, rounds3, d3) = GraphQueries.pagerankConverged(spark, d,
+      tolScaled = 0L, maxIterations = 3)
+    assert(rounds3 == 3)
+    assert(asMap(r3) == asMap(GraphQueries.pagerank(spark, d, iterations = 3)))
+
+    // a loose tolerance terminates BEFORE the cap with delta ≤ tol, and the
+    // rounds it ran still agree with the fixed face at that count. Decay
+    // rate: the dominant residual is the damping-scaled oscillating
+    // component of this near-bipartite graph, ~0.85^k of the hub ranks
+    // (~Scale/n_suppliers), so tol = Scale/1000 lands around round 30.
+    val tol = Scale / 1000 // 0.1% of total mass per node
+    val (rC, roundsC, dC) = GraphQueries.pagerankConverged(spark, d,
+      tolScaled = tol, maxIterations = 60)
+    assert(roundsC < 60, s"did not converge in 60 rounds (last delta $dC)")
+    assert(dC <= tol, s"terminated with delta $dC above tol $tol")
+    assert(asMap(rC) == asMap(GraphQueries.pagerank(spark, d, iterations = roundsC)))
+    // deltas shrink: the fixed-point iteration is a contraction (damping
+    // 0.85), so one more round past convergence must not blow back up
+    assert(dC <= d3 || roundsC <= 3)
+  }
 }
