@@ -396,7 +396,16 @@ object FamilyScaleProbe {
       "anotb_kmv" -> registered("q_distinct_anotb_kmv"),
       // chi-square readout: one map-side-combined 4-cell aggregate over
       // ×k events — the flat-cost shape class.
-      "ab_chisq" -> registered("q_ab_chisq"))
+      "ab_chisq" -> registered("q_ab_chisq"),
+      // round-11 additions. stream_hll's batch face: ×k events feed a
+      // map-side-combined register aggregate whose output stays days×128
+      // rows (the register reduction is the fixed-size part; the exact
+      // gate face's per-day countDistinct rides the same exchange).
+      // rollup_window: maintenance grows with ×k orders, the SERVED query
+      // reads only the date-grain rollup with the range pushed into its
+      // scan — serve cost tracks the grain, not the fact table.
+      "stream_hll" -> registered("q_stream_distinct_hll"),
+      "rollup_window" -> registered("q_rollup_serve_window"))
     familyFilter.foreach { names =>
       val unknown = names.diff(allFamilies.map(_._1).toSet + "incremental")
       require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")
