@@ -53,10 +53,11 @@ object CorpusPipeline {
       survivorPolicy: SurvivorPolicy = Greedy,
       ccMaxIter: Int = 25)
 
-  /** Cleaned corpus with per-stage survival flags (so one pass computes both
-    * the output and the funnel stats).
+  /** Per-doc stats + quality/exact-survivor flags — the frame both the
+    * cleaner and the leakage-free split assigner start from (one
+    * definition, so the two can never disagree on eligibility).
     */
-  def cleanWithFlags(docs: DataFrame, p: Params = Params()): DataFrame = {
+  private def statsWithFlags(docs: DataFrame, p: Params): DataFrame = {
     val toks = tokens(col("text"))
     // NOT pre-repartitioned: unlike q_source_overlap (whose HOF shingle
     // derivation measured 8 s on the single scan core), this stats
@@ -81,11 +82,18 @@ object CorpusPipeline {
     // Spark's ReuseExchange already dedupes the identical shuffle subtrees.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("digest").orderBy("doc_id")
-    val withExact = stats
+    stats
       .withColumn("exact_rank", row_number().over(w))
       .withColumn("exact_survivor", col("exact_rank") === 1)
       .drop("exact_rank")
       .withColumn("quality_ok", qualityOk)
+  }
+
+  /** Cleaned corpus with per-stage survival flags (so one pass computes both
+    * the output and the funnel stats).
+    */
+  def cleanWithFlags(docs: DataFrame, p: Params = Params()): DataFrame = {
+    val withExact = statsWithFlags(docs, p)
 
     // near-dup pairs over the quality-passing exact-survivors ONLY: if a
     // pair's lower-id member was already dropped upstream, its partner must
@@ -261,5 +269,70 @@ object CorpusPipeline {
       ChunkingQueries.packSequences(
           docs.join(survivorIds, "doc_id"), budget = 128, nGroups = 8)
         .orderBy("doc_id")
+    },
+
+    // ----- leakage-free train/val/test split (cluster-level assignment) --
+    // The eval-hygiene step a per-doc hash split gets WRONG: near-duplicate
+    // documents hashed independently land in different splits, and the
+    // model is then evaluated on paraphrases of its own training data. The
+    // fix assigns whole NEAR-DUP CLUSTERS (the cleaner's connected
+    // components over the Jaccard-0.8 pair graph; singletons are their own
+    // cluster) to a split by hashing the CLUSTER id — members inherit it,
+    // so no qualifying pair can ever straddle splits (SplitSpec asserts
+    // exactly that over every pair). 80/10/10 via the 16-bit md5 prefix of
+    // 'split:<cluster_id>' bucketed (h·10) DIV 65536 — integer-exact in
+    // both engines. Scale: clustering is the cleaner's bounded CC; the
+    // assignment itself is a map-side hash of a value already on the row —
+    // no shuffle beyond the cleaner's own, at any corpus size.
+    QueryDef(
+      "q_split_leakfree",
+      pairsSql +
+        """,edges AS (SELECT doc_a AS a, doc_b AS b FROM qpairs
+          |           UNION ALL SELECT doc_b, doc_a FROM qpairs),
+          |closure(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a),
+          |mn AS (SELECT a AS doc_id, MIN(b) AS mn FROM closure GROUP BY a),
+          |clu AS (SELECT e.doc_id, e.lang, e.n_tokens,
+          |               LEAST(e.doc_id, COALESCE(m.mn, e.doc_id)) AS cluster_id
+          |        FROM eligible e LEFT JOIN mn m ON e.doc_id = m.doc_id),
+          |lab AS (SELECT *,
+          |               (CAST(('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 4)) AS BIGINT) * 10) // 65536 AS b
+          |        FROM clu)
+          |SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+          |       lang, COUNT(*) AS n_docs,
+          |       COUNT(DISTINCT cluster_id) AS n_clusters,
+          |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+          |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      splitLeakfree(Tables.documents(s, d))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("cluster_id").as("n_clusters"),
+          sum("n_tokens").cast("long").as("sum_tokens"))
+        .orderBy("split", "lang")
     })
+
+  /** Per-doc split assignment (doc_id, lang, n_tokens, cluster_id, split)
+    * over the ELIGIBLE corpus — see q_split_leakfree. Exposed so SplitSpec
+    * can assert the no-straddling invariant at pair granularity.
+    */
+  def splitLeakfree(docs: DataFrame, p: Params = Params()): DataFrame = {
+    import org.apache.spark.sql.graft.SketchExpressions
+    val withExact = statsWithFlags(docs, p)
+    val eligible = withExact.filter(col("quality_ok") && col("exact_survivor"))
+    val pairs = DedupQueries.nearDupPairs(
+      eligible.select("doc_id", "text"), p.nearDupJaccard)
+    val cc = graft.operators.ConnectedComponents
+      .minLabel(pairs.select("doc_a", "doc_b"), maxIter = p.ccMaxIter)
+    eligible.select("doc_id", "lang", "n_tokens")
+      .join(cc.select(col("id").as("doc_id"), col("rep")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("rep"), col("doc_id")))
+      .withColumn("h8", SketchExpressions.md5Hi64(
+        concat(lit("split:"), col("cluster_id").cast("string"))))
+      .withColumn("b", expr("(shiftrightunsigned(h8, 48) * 10) DIV 65536"))
+      .withColumn("split",
+        when(col("b") < 8, "train").when(col("b") === 8, "val").otherwise("test"))
+      .select("doc_id", "lang", "n_tokens", "cluster_id", "split")
+  }
 }
