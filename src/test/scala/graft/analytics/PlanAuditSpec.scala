@@ -432,19 +432,22 @@ class PlanAuditSpec extends SparkSpec {
       "argmin aggregate missing: " + finalPlan.take(4000))
   }
 
-  test("fuzzy match: variant-keyed equi-join over ONE customer scan, never all-pairs") {
+  test("fuzzy match: variant-keyed equi-join, salted cells, bare pairs — never all-pairs") {
     // FastSS blocking's whole value is replacing the O(n²) name comparison
-    // with an inverted-index join — the plan must show a variant-keyed
-    // equi-join (levenshtein only rides the condition as a post-filter)
-    // and the deletion-variant pipeline computed once (ReusedExchange on
-    // the self-join's b side).
+    // with an inverted-index join — the plan must show the variant-keyed
+    // equi-join carrying the salt-cell coordinates (the r11 skew guard:
+    // (variant, _p, _q) keys spread a hot bucket's exact pair set across
+    // bounded reducer cells), with levenshtein as a post-filter. The pairs
+    // travel BARE (id_a, id_b) and names rejoin from a second customer
+    // scan — two scans total is the contract (variant derivation + name
+    // lookup; the two name sides dedupe via ReusedExchange).
     val finalPlan = executedPlanOf("q_fuzzy_match_name").split("== Initial Plan ==")(0)
     assert(!finalPlan.contains("CartesianProduct"), finalPlan)
     assert(!finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan)
     assert(raw"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[variant#".r
       .findFirstIn(finalPlan).isDefined, finalPlan.take(4000))
-    assert("FileScan parquet".r.findAllIn(finalPlan).size == 1,
-      "customer must be scanned once: " + finalPlan.take(4000))
+    assert("FileScan parquet".r.findAllIn(finalPlan).size <= 2,
+      "customer scanned more than twice (variants + name rejoin): " + finalPlan.take(4000))
     assert(finalPlan.contains("levenshtein"), finalPlan.take(4000))
   }
 
