@@ -112,6 +112,73 @@ object MicroBench {
       return
     }
 
+    // subject `md5chain`: the sketch register derivation — old
+    // md5→hex→substr→conv chain vs native Md5Hi64+Rho32 — interleaved,
+    // under BOTH execution modes: normal whole-stage codegen AND forced
+    // interpreted expression evaluation (wholeStage off +
+    // codegen.factoryMode=NO_CODEGEN — the state the codegen-cache-thrash
+    // pathology degrades hot queries into). The native expression's claim
+    // is precisely that its worst case is bounded REGARDLESS of mode; this
+    // prints the measured wall + process-CPU for all four cells.
+    if (sys.env.getOrElse("SPARK_GRAFT_MICRO", "banding") == "md5chain") {
+      import graft.functions.TextFunctions
+      val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      def timedCpu(body: => Long): (Double, Double) = {
+        spark.catalog.clearCache(); System.gc()
+        val c0 = osBean.getProcessCpuTime
+        val t0 = System.nanoTime()
+        body
+        ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+      }
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.count()
+      // one materialized distinct-shingle frame — both sides hash the SAME
+      // rows, so only the derivation differs
+      val tok = docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(col("source"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("source"), explode(TextFunctions.wordShingles(col("toks"))).as("tok"))
+        .distinct().localCheckpoint()
+      def hexRegs: DataFrame = tok
+        .select(col("source"), expr("md5(CAST(concat('hll:', tok) AS BINARY))").as("hx"))
+        .select(col("source"),
+          expr("CAST(conv(substr(hx, 1, 2), 16, 10) AS BIGINT)").as("bucket"),
+          expr("CAST(conv(substr(hx, 3, 8), 16, 10) AS BIGINT)").as("hv"))
+        .groupBy("source", "bucket")
+        .agg(max(expr("IF(hv = 0, 33, 33 - length(bin(hv)))")).as("m"))
+      def nativeRegs: DataFrame = pipeline.CorpusStatsQueries.hllRegistersForTest(tok)
+      def sig(df: DataFrame) = df
+        .agg(count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(source, bucket, m))"), lit(0L)))
+        .head().toString
+      require(sig(hexRegs) == sig(nativeRegs),
+        "hex chain and native derivation must build identical registers")
+      val cells = for (mode <- Seq("codegen", "interpreted")) yield {
+        if (mode == "interpreted") {
+          spark.conf.set("spark.sql.codegen.wholeStage", "false")
+          spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        } else {
+          spark.conf.set("spark.sql.codegen.wholeStage", "true")
+          spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+        }
+        hexRegs.count(); nativeRegs.count() // warm this mode's plans
+        val runs = (1 to reps).map(_ => (timedCpu(nativeRegs.count()), timedCpu(hexRegs.count())))
+        (mode, runs)
+      }
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      def fmtS(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      val cellJson = cells.map { case (mode, runs) =>
+        s""""$mode":{"native_wall":[${runs.map(r => fmtS(r._1._1)).mkString(",")}],""" +
+          s""""native_cpu":[${runs.map(r => fmtS(r._1._2)).mkString(",")}],""" +
+          s""""hex_wall":[${runs.map(r => fmtS(r._2._1)).mkString(",")}],""" +
+          s""""hex_cpu":[${runs.map(r => fmtS(r._2._2)).mkString(",")}]}"""
+      }.mkString(",")
+      println(s"""{"metric":"micro_md5chain","reps":$reps,$cellJson}""")
+      spark.stop()
+      return
+    }
+
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     e.count() // warm IO
     // identical downstream shape (groupBy over band columns) so only the
