@@ -405,7 +405,12 @@ object FamilyScaleProbe {
       // reads only the date-grain rollup with the range pushed into its
       // scan — serve cost tracks the grain, not the fact table.
       "stream_hll" -> registered("q_stream_distinct_hll"),
-      "rollup_window" -> registered("q_rollup_serve_window"))
+      "rollup_window" -> registered("q_rollup_serve_window"),
+      // split_leakfree rides the disjoint-token document replicas: the
+      // cleaner's pair graph grows linearly (no cross-replica pairs), CC
+      // stays bounded, and the split assignment is a map-side hash — the
+      // whole composite should track corpus_clean_cc's growth.
+      "split_leakfree" -> registered("q_split_leakfree"))
     familyFilter.foreach { names =>
       val unknown = names.diff(allFamilies.map(_._1).toSet + "incremental")
       require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")
