@@ -85,6 +85,58 @@ object LayoutQueries {
         .withColumn("probe_x_hit", expr("IF(x_max >= 100 AND x_min <= 150, 1, 0)"))
         .withColumn("probe_y_hit", expr("IF(y_max >= 200 AND y_min <= 250, 1, 0)"))
         .orderBy("layout", "bucket")
+    },
+
+    // ----- co-located bucketed join (shuffle-free fact-to-fact join) ----
+    // The 100 TB join story the brief names outright: two fact tables
+    // bucketed on their join key with the SAME bucket count join WITHOUT
+    // shuffling either side — the scan itself delivers the partitioning,
+    // so the biggest exchange of the warehouse's hottest join (orders ⋈
+    // lineitem) disappears from every downstream run. Setup materializes
+    // both tables ONCE per (session, sf) via `bucketBy(8, key)` +
+    // `sortBy` `saveAsTable` (Spark's persistent-bucket metadata is what
+    // the planner trusts); the query then joins the BUCKETED tables and
+    // rolls up — PlanAuditSpec asserts the executed plan has NO exchange
+    // on the join key (only the rollup's), and the oracle computes the
+    // identical aggregate from the RAW parquet, proving the layout
+    // changed the plan, not the result. This is the managed-table
+    // counterpart of cdc.BucketedTableStore's directory buckets (which
+    // bound WRITE amplification; these bound JOIN shuffles).
+    QueryDef(
+      "q_bucketed_join",
+      """SELECT o_orderpriority,
+        |       COUNT(*) AS n_lines,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val key = d.replaceAll("[^A-Za-z0-9]", "_")
+      val wh = new java.io.File(s"target/bucketed_tables/$key").getAbsolutePath
+      def ensure(name: String, df: org.apache.spark.sql.DataFrame, bucketCol: String): String = {
+        val table = s"graft_bkt_${name}_$key"
+        if (!s.catalog.tableExists(table)) {
+          // path-scoped external table: re-register is cheap, re-write only
+          // when the parquet is absent (one materialization per sf dir)
+          df.write.format("parquet")
+            .bucketBy(8, bucketCol).sortBy(bucketCol)
+            .option("path", s"$wh/$name")
+            .mode("overwrite")
+            .saveAsTable(table)
+        }
+        table
+      }
+      val ordT = ensure("orders", Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority"), "o_orderkey")
+      val liT = ensure("lineitem", Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice"), "l_orderkey")
+      s.table(ordT)
+        .join(s.table(liT), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"))
+        .orderBy("o_orderpriority")
     }
   )
 }

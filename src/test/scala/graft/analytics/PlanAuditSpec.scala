@@ -763,6 +763,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!ep.contains("HashAggregate"), ep.take(3000))
   }
 
+  test("bucketed join: both fact scans deliver the partitioning — no exchange on the join key") {
+    // at the gate corpus size Catalyst rightly broadcasts the tiny orders
+    // side (also exchange-free); the claim under audit is the AT-SCALE
+    // path — both sides too big to broadcast — so force it off and the
+    // bucket metadata must carry the join alone
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.SparkEntry.queries("q_bucketed_join")(spark, sf())
+      df.collect()
+      val ep = df.queryExecution.executedPlan.toString
+      assert(ep.contains("SortMergeJoin") || ep.contains("ShuffledHashJoin"), ep.take(4000))
+      assert(ep.contains("Bucketed: true"), "scans must report bucket metadata: " + ep.take(4000))
+      // no shuffle on either join key — the whole point; the only exchange
+      // allowed is the rollup's (o_orderpriority)
+      assert(raw"Exchange hashpartitioning\((o_orderkey|l_orderkey)".r.findFirstIn(ep).isEmpty,
+        "join key was shuffled despite bucketing: " + ep.take(4000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
   test("rollup rewrite fires under a grain-level date-range filter (dashboard shape)") {
     val ep = executedPlanOf("q_rollup_serve_window")
     assert(ep.contains("rollup_store"), ep.take(3000))
