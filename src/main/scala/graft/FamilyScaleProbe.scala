@@ -410,7 +410,12 @@ object FamilyScaleProbe {
       // cleaner's pair graph grows linearly (no cross-replica pairs), CC
       // stays bounded, and the split assignment is a map-side hash — the
       // whole composite should track corpus_clean_cc's growth.
-      "split_leakfree" -> registered("q_split_leakfree"))
+      "split_leakfree" -> registered("q_split_leakfree"),
+      // bucketed_join times table materialization (rep 1 of each corpus —
+      // bucketBy write, linear in the fact rows) + the co-located serve;
+      // the PROBE's timed rep is the serve (warm rep materializes), whose
+      // scan grows linearly with zero shuffle on the key at any size.
+      "bucketed_join" -> registered("q_bucketed_join"))
     familyFilter.foreach { names =>
       val unknown = names.diff(allFamilies.map(_._1).toSet + "incremental")
       require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")
