@@ -311,6 +311,62 @@ object SimilarityQueries {
         .orderBy("cluster", "vec_a", "vec_b")
     },
 
+    // ----- hard-negative mining for contrastive training ----------------
+    // The training-pair op embedding models need next to dedup: for each
+    // anchor, the most-similar vectors that are NOT near-duplicates — high
+    // enough cosine to be informative (the model currently confuses them),
+    // below the dup threshold so they are true negatives. Mining band
+    // [0.30, 0.42): the same k-means clusters as SemDeDup serve as the
+    // blocking structure (a hard negative is by definition similar, so
+    // in-cluster mining loses little), pairs are scored with the same
+    // exact cosine, and each anchor keeps its top-2 hardest by a
+    // per-anchor rank. Both DIRECTIONS are mined (a is an anchor for b and
+    // vice versa) — contrastive batches are per-anchor, not per-pair.
+    //
+    // Scale: candidate volume is SemDeDup's Σ|c|² (the clustering is the
+    // blocking); the band filter cuts the rank window's input to the
+    // boundary population, and the window keys on anchor — fully
+    // partitioned, nothing global. At 100 TB the same shape rides the IVF
+    // lists (q_ann_ivf_topk) instead of flat clusters.
+    QueryDef(
+      "q_hard_negatives",
+      s"""WITH $kmeansCtes,
+         |p AS (
+         |  SELECT a.vec_id AS anchor, b.vec_id AS neg,
+         |         ROUND(${cosSql("ea.embedding", "eb.embedding")}, 9) AS cosine
+         |  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE ROUND(${cosSql("ea.embedding", "eb.embedding")}, 9) >= 0.30
+         |    AND ROUND(${cosSql("ea.embedding", "eb.embedding")}, 9) < 0.42),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+         |                                   ORDER BY cosine DESC, neg) AS rk
+         |      FROM p)
+         |SELECT anchor, CAST(rk AS BIGINT) AS rk, neg, cosine
+         |FROM r WHERE rk <= 2
+         |ORDER BY anchor, rk""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val asg = kmeansAssignments(e, k = 8).select("vec_id", "cluster")
+      val vecs = e.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      val withVec = asg.join(vecs, "vec_id")
+      val pairs = withVec
+        .select(col("cluster"), col("vec_id").as("anchor"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        .join(withVec.select(col("cluster"), col("vec_id").as("neg"),
+          col("embedding").as("eb"), col("nrm").as("nb")), Seq("cluster"))
+        .filter(col("anchor") =!= col("neg"))
+        .withColumn("cosine", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 9))
+        .filter(col("cosine") >= 0.30 && col("cosine") < 0.42)
+        .select("anchor", "neg", "cosine")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("anchor").orderBy(col("cosine").desc, col("neg"))
+      pairs.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 2)
+        .select("anchor", "rk", "neg", "cosine")
+        .orderBy("anchor", "rk")
+    },
+
     // ----- Product quantization: PQ codes + ADC top-k (Jégou et al. 2011,
     // "Product Quantization for Nearest Neighbor Search") -----
     // The compressed-ANN path that makes 100 TB of embeddings scannable:
