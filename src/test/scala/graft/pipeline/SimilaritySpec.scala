@@ -7,6 +7,32 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("hard negatives: below the dup threshold, in the anchor's cluster, correctly ranked") {
+    val e = graft.analytics.Tables.embeddings(spark, sf("sf0.01"))
+    val hn = graft.SparkEntry.queries("q_hard_negatives")(spark, sf("sf0.01"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(hn.nonEmpty, "gate corpus must produce hard negatives")
+    // every mined negative sits in the band — never a near-dup, never easy
+    assert(hn.forall { case (_, _, _, c) => c >= 0.30 && c < 0.42 }, "cosine outside band")
+    // per anchor: at most 2, ranked by descending cosine
+    hn.groupBy(_._1).foreach { case (a, rows) =>
+      assert(rows.length <= 2, s"anchor $a has ${rows.length} negatives")
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.reverse.sorted.sameElements(byRank.sorted) &&
+        byRank.zip(byRank.drop(1)).forall { case (hi, lo) => hi >= lo },
+        s"anchor $a ranks out of order: ${rows.toSeq}")
+    }
+    // no mined pair may also be a SemDeDup near-dup pair (disjoint bands)
+    val dups = graft.SparkEntry.queries("q_semdedup_pairs")(spark, sf("sf0.01"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val mined = hn.map { case (a, _, n, _) => (math.min(a, n), math.max(a, n)) }.toSet
+    assert(mined.intersect(dups).isEmpty, "a hard negative duplicated a near-dup pair")
+    // anchor and negative share a k-means cluster (the blocking contract)
+    val asg = SimilarityQueries.kmeansAssignments(e, k = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hn.forall { case (a, _, n, _) => asg(a) == asg(n) }, "cross-cluster negative")
+  }
+
   test("cosine matches a hand-computed value and self-similarity is 1") {
     val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
     val c = df.select(cosine($"a", $"b").as("c")).collect()(0).getDouble(0)
