@@ -176,6 +176,47 @@ object HealthcareData {
       s.read("appointments"), s.read("visits"))
   }
 
+  /** Post-live-demo tables reached through the DEBEZIUM CONNECTOR face
+    * ([[graft.cdc.DebeziumSource]]): the recorded demo batches encoded as
+    * public Debezium change-event JSON (c/u/d ops, before/after images,
+    * source.lsn), fed as a file stream standing in for the Kafka topic,
+    * parsed back into events by the adapter, and applied by the same
+    * pipeline. The change-volume oracle over this state reuses the flat
+    * path's DuckDB expectation — a green gate proves the full connector
+    * boundary (encode → wire JSON → parse → merge) converges to the
+    * identical state as the in-process feed.
+    */
+  def debeziumLiveTables(spark: SparkSession): HealthcareTables = {
+    ensure(spark)
+    synchronized { if (!dbzBuilt) { buildDebezium(spark); dbzBuilt = true } }
+    val s = new TableStore(spark, s"$Root/dbz_store", outputFiles = 1)
+    HealthcareTables(s.read("patients"), s.read("doctors"),
+      s.read("appointments"), s.read("visits"))
+  }
+
+  private var dbzBuilt = false
+
+  private def buildDebezium(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val feedDir = s"$Root/dbz_feed"
+    Seq("dbz_feed", "dbz_ckpt", "dbz_store").foreach(d =>
+      graft.cdc.FsUtils.deleteRecursively(Paths.get(s"$Root/$d")))
+    recordedBatches.foreach { case (_, evs) =>
+      DebeziumSource.encode(spark.createDataset(evs), HealthcareSchema.keyColumns)
+        .coalesce(1).write.mode("append").text(feedDir)
+    }
+    val store = new TableStore(spark, s"$Root/dbz_store", outputFiles = 1)
+    val pipeline = new CdcPipeline(spark, store, HealthcareSchema.all,
+      HealthcareSchema.keyColumns,
+      clock = () => lit(NowTs).cast("timestamp_ntz"))
+    pipeline.loadSnapshot(HealthcareFixtures.all(spark, Now))
+    val q = pipeline.start(
+      DebeziumSource.fileStream(spark, feedDir, HealthcareSchema.keyColumns),
+      s"$Root/dbz_ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    require(q.awaitTermination(300000), "Debezium-face CDC replay did not drain in 300 s")
+  }
+
   private def buildStreamed(spark: SparkSession): Unit = {
     import spark.implicits._
     val feedDir = s"$Root/stream_feed"

@@ -500,6 +500,15 @@ object HealthcareEntry {
     QueryDef("hc_cdc_stream", changeVolumeSql)((s, _) =>
       HealthcareQueries.changeVolume(HealthcareData.streamedLiveTables(s))),
 
+    /** Same final check through the DEBEZIUM CONNECTOR boundary: the demo
+      * batches encoded as public Debezium change-event JSON, streamed as the
+      * stand-in topic, decoded by [[graft.cdc.DebeziumSource.parse]], merged
+      * by the same pipeline. Reuses the flat-path oracle, so a green row
+      * proves wire-format round-trip + merge convergence in one gate.
+      */
+    QueryDef("hc_cdc_debezium", changeVolumeSql)((s, _) =>
+      HealthcareQueries.changeVolume(HealthcareData.debeziumLiveTables(s))),
+
     /** The 60 s sync-cadence SLA as an oracle-gated fact: per-batch apply
       * latencies recorded from the REAL streamed replay's progress
       * (CdcMetrics), aggregated against the budget in both engines.
