@@ -247,8 +247,20 @@ object StreamOps {
     * equivalence spec) identifies the latest snapshot without relying on
     * sink ordering. This is the sketch-as-STATE face the batch aggregates
     * lack: at 100 TB/day the per-day register set never grows with the
-    * corpus, an idle day's state is 512 bytes until a timeout evicts it,
-    * and the emitted estimate is serving-ready after every trigger.
+    * corpus, an idle day's state is 512 bytes, and the emitted estimate is
+    * serving-ready after every trigger.
+    *
+    * Idle-day retention: pass `idleTtl = Some("48 hours")` to arm a
+    * ProcessingTimeTimeout that drops a day's registers once it has gone
+    * untouched that long (the day's last-emitted snapshot downstream stays
+    * the final answer — eviction only forgets state a closed day will
+    * never update again). The default is `None` = keep state until the
+    * query ends, because an armed processing-time timeout makes the
+    * micro-batch engine schedule a batch after EVERY trigger to evaluate
+    * deadlines — correct under a production 60 s trigger (one empty batch
+    * per minute), but a tight empty-batch spin under the default 0 ms
+    * trigger. Deployments that arm the TTL must also set a real trigger
+    * interval; StreamOpsSpec's eviction test does exactly that.
     *
     * Hashing and estimate arithmetic are IDENTICAL to the batch face
     * (native [[org.apache.spark.sql.graft.Md5Util]] hi64 → bucket/rho
@@ -257,7 +269,8 @@ object StreamOps {
     * StreamOpsSpec drives both over a multi-chunk feed and asserts
     * exactly that, q_rate_limit-style.
     */
-  def dailyDistinctHll(events: Dataset[HllIn], prefix: String = "sdh:"): Dataset[HllSnap] = {
+  def dailyDistinctHll(events: Dataset[HllIn], prefix: String = "sdh:",
+      idleTtl: Option[String] = None): Dataset[HllSnap] = {
     val m = 128
     val estNumerator = 11719L * (1L << 33) // alpha_128 · m² · 2³³, pre-folded
     implicit val stateEnc: Encoder[HllRegs] = Encoders.product[HllRegs]
@@ -266,24 +279,32 @@ object StreamOps {
     if (events.isStreaming)
       events
         .groupByKey(_.day_num)
-        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        .flatMapGroupsWithState(OutputMode.Update(), timeoutConf(idleTtl))(
           (day: Long, batch: Iterator[HllIn], st: GroupState[HllRegs]) => {
-            val prev = st.getOption.getOrElse(HllRegs(new Array[Int](m), 0L))
-            val regs = prev.regs.clone() // never mutate the store's object
-            var nSeen = prev.nSeen
-            batch.foreach { e =>
-              val h = graft.streaming.StreamOps.hllHash(prefix, e.uh)
-              val bucket = (h >>> 56).toInt % m
-              val hv = (h >>> 24) & 0xFFFFFFFFL
-              val rho = if (hv == 0L) 33 else java.lang.Long.numberOfLeadingZeros(hv) - 31
-              if (rho > regs(bucket)) regs(bucket) = rho
-              nSeen += 1
+            if (st.hasTimedOut) {
+              // idle-day eviction: the day's last snapshot already left the
+              // operator; dropping registers emits nothing new
+              st.remove()
+              Iterator.empty
+            } else {
+              val prev = st.getOption.getOrElse(HllRegs(new Array[Int](m), 0L))
+              val regs = prev.regs.clone() // never mutate the store's object
+              var nSeen = prev.nSeen
+              batch.foreach { e =>
+                val h = graft.streaming.StreamOps.hllHash(prefix, e.uh)
+                val bucket = (h >>> 56).toInt % m
+                val hv = (h >>> 24) & 0xFFFFFFFFL
+                val rho = if (hv == 0L) 33 else java.lang.Long.numberOfLeadingZeros(hv) - 31
+                if (rho > regs(bucket)) regs(bucket) = rho
+                nSeen += 1
+              }
+              st.update(HllRegs(regs, nSeen))
+              idleTtl.foreach(st.setTimeoutDuration)
+              var ssum = 0L
+              var i = 0
+              while (i < m) { ssum += 1L << (33 - regs(i)); i += 1 }
+              Iterator.single(HllSnap(day, nSeen, ssum, estNumerator / ssum))
             }
-            st.update(HllRegs(regs, nSeen))
-            var ssum = 0L
-            var i = 0
-            while (i < m) { ssum += 1L << (33 - regs(i)); i += 1 }
-            Iterator.single(HllSnap(day, nSeen, ssum, estNumerator / ssum))
           })
     else {
       import org.apache.spark.sql.graft.SketchExpressions
@@ -318,6 +339,177 @@ object StreamOps {
     */
   def hllHash(prefix: String, v: String): Long =
     org.apache.spark.sql.graft.Md5Util.hi64((prefix + v).getBytes("UTF-8"))
+
+  /** Timeout mode for the sketch-state operators: a TTL arms
+    * ProcessingTimeTimeout (deployment must pair it with a real trigger
+    * interval — see [[dailyDistinctHll]]'s retention note); None keeps
+    * NoTimeout so the micro-batch engine never schedules timeout-evaluation
+    * batches.
+    */
+  private def timeoutConf(idleTtl: Option[String]): GroupStateTimeout =
+    if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+    else GroupStateTimeout.NoTimeout()
+
+  // ----- streaming KMV sketch state: per-day distinct via k-min hashes -----
+
+  case class KmvState(mins: Array[Long], nSeen: Long)
+  case class KmvSnap(day_num: Long, n_seen: Long, n_members: Long, n_est: Long)
+
+  /** Per-day distinct-count KMV sketch maintained across micro-batches —
+    * the intersection-capable sibling of [[dailyDistinctHll]] (same state
+    * pattern, different merge law: k smallest distinct hashes instead of
+    * register max; Bar-Yossef et al. 2002). State per active day is ≤ k
+    * longs (2 KiB at k=256) regardless of volume; the merge (union → keep
+    * k smallest) is associative and commutative, so the final snapshot is
+    * batch-split-invariant — StreamOpsSpec proves the streaming face equals
+    * this batch face row for row over a chunked feed. Estimate contract
+    * (shared with q_distinct_kmv_intersect): an unsaturated sketch IS its
+    * set (exact); saturated, (k−1)·2⁴⁸ // h_k — both branches
+    * integer-exact in DuckDB. Idle-day retention follows
+    * [[dailyDistinctHll]]'s `idleTtl` contract (opt-in TTL eviction;
+    * arming it requires a real trigger interval).
+    *
+    * Batch face scale shape: salt-local two-level k-min (map-side
+    * combinable 32-way, then a rank over ≤ 32·k survivors per day) — never
+    * a full per-day sort.
+    */
+  def dailyDistinctKmv(events: Dataset[HllIn], k: Int = 256,
+      prefix: String = "sdk:", idleTtl: Option[String] = None): Dataset[KmvSnap] = {
+    val kNumerator = (k - 1).toLong << 48 // (k−1)·2⁴⁸, the KMV estimator
+    implicit val stateEnc: Encoder[KmvState] = Encoders.product[KmvState]
+    implicit val outEnc: Encoder[KmvSnap] = Encoders.product[KmvSnap]
+    import events.sparkSession.implicits._
+    if (events.isStreaming)
+      events
+        .groupByKey(_.day_num)
+        .flatMapGroupsWithState(OutputMode.Update(), timeoutConf(idleTtl))(
+          (day: Long, batch: Iterator[HllIn], st: GroupState[KmvState]) => {
+            if (st.hasTimedOut) { st.remove(); Iterator.empty }
+            else {
+              val prev = st.getOption.getOrElse(KmvState(Array.empty[Long], 0L))
+              var nSeen = prev.nSeen
+              val set = scala.collection.mutable.TreeSet.empty[Long]
+              prev.mins.foreach(set += _)
+              batch.foreach { e =>
+                nSeen += 1
+                set += (graft.streaming.StreamOps.hllHash(prefix, e.uh) >>> 16)
+                if (set.size > k) set -= set.last // keep the k smallest
+              }
+              val mins = set.toArray // TreeSet iterates ascending
+              st.update(KmvState(mins, nSeen))
+              idleTtl.foreach(st.setTimeoutDuration)
+              val est =
+                if (mins.length < k) mins.length.toLong
+                else kNumerator / mins.last
+              Iterator.single(KmvSnap(day, nSeen, mins.length.toLong, est))
+            }
+          })
+    else {
+      import org.apache.spark.sql.graft.SketchExpressions
+      val h = events.toDF()
+        .select(col("day_num"),
+          SketchExpressions.md5Hi64(concat(lit(prefix), col("uh"))).as("h8"))
+        .select(col("day_num"), expr("shiftrightunsigned(h8, 16)").as("hv"))
+      val counts = h.groupBy("day_num").agg(count(lit(1)).as("n_seen"))
+      // level 1: salt-local k-min (collect_set dedups; map-side combinable)
+      val partial = h
+        .groupBy(col("day_num"), expr("pmod(hv, 32)").as("salt"))
+        .agg(expr(s"slice(array_sort(collect_set(hv)), 1, $k)").as("mins"))
+        .select(col("day_num"), explode(col("mins")).as("hv"))
+      // level 2: final per-day rank over ≤ 32·k candidates
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("day_num").orderBy("hv")
+      val sk = partial.withColumn("r", row_number().over(w)).filter(col("r") <= k)
+      val agg = sk.groupBy("day_num")
+        .agg(count(lit(1)).as("n_members"), max("hv").as("kth"))
+        .select(col("day_num"), col("n_members"),
+          when(col("n_members") < k, col("n_members"))
+            .otherwise(expr(s"CAST($kNumerator DIV kth AS BIGINT)")).as("n_est"))
+      counts.join(agg, "day_num")
+        .select(col("day_num"), col("n_seen"), col("n_members"), col("n_est"))
+        .as[KmvSnap]
+    }
+  }
+
+  // ----- streaming CMS state: per-day heavy-hitter counters -----
+
+  case class CmsIn(day_num: Long, key: String)
+  case class CmsState(counters: Array[Long], nSeen: Long)
+  case class CmsCell(day_num: Long, i: Int, slot: Long, cnt: Long, n_seen: Long)
+
+  val CmsDepth = 4
+  val CmsWidth = 512 // 9 bits of the md5 hi-64 per row
+
+  /** Per-day count-min-sketch counters maintained across micro-batches
+    * (Cormode & Muthukrishnan 2005): depth 4 × width 512 longs = 16 KiB
+    * per active day at ANY event volume; counters are purely additive, so
+    * the streaming merge is `+=` and the final state equals the batch
+    * face's (day, row, slot) counter rows exactly — order- and
+    * batch-split-invariant (StreamOpsSpec). A consumer estimates any key's
+    * daily count as min_i counters[i][h_i(key)] — the gated
+    * q_stream_heavy_cms does exactly that for the day's candidates and
+    * takes the top heavy hitters; at 100 TB the candidate set comes from
+    * the bounded entity dimension (or a tracked top-K heap), never from
+    * re-scanning events. Row hashes are the same native md5-hi64 chain as
+    * every other sketch here ("cms<i>:" domains), so DuckDB re-derives the
+    * counters bit-identically. Output rows carry the day's cumulative
+    * `n_seen` so the latest snapshot per cell is self-identifying; only
+    * touched cells are re-emitted each trigger. Idle-day state evicts
+    * follows [[dailyDistinctHll]]'s `idleTtl` contract (opt-in TTL
+    * eviction; arming it requires a real trigger interval).
+    */
+  def dailyCmsCounters(events: Dataset[CmsIn],
+      idleTtl: Option[String] = None): Dataset[CmsCell] = {
+    implicit val stateEnc: Encoder[CmsState] = Encoders.product[CmsState]
+    implicit val outEnc: Encoder[CmsCell] = Encoders.product[CmsCell]
+    import events.sparkSession.implicits._
+    if (events.isStreaming)
+      events
+        .groupByKey(_.day_num)
+        .flatMapGroupsWithState(OutputMode.Update(), timeoutConf(idleTtl))(
+          (day: Long, batch: Iterator[CmsIn], st: GroupState[CmsState]) => {
+            if (st.hasTimedOut) { st.remove(); Iterator.empty }
+            else {
+              val prev = st.getOption.getOrElse(
+                CmsState(new Array[Long](CmsDepth * CmsWidth), 0L))
+              val counters = prev.counters.clone()
+              var nSeen = prev.nSeen
+              val touched = scala.collection.mutable.LinkedHashSet.empty[Int]
+              batch.foreach { e =>
+                nSeen += 1
+                var i = 0
+                while (i < CmsDepth) {
+                  val slot = (graft.streaming.StreamOps.hllHash(s"cms$i:", e.key) >>> 55).toInt
+                  val idx = i * CmsWidth + slot
+                  counters(idx) += 1
+                  touched += idx
+                  i += 1
+                }
+              }
+              st.update(CmsState(counters, nSeen))
+              idleTtl.foreach(st.setTimeoutDuration)
+              touched.iterator.map(idx =>
+                CmsCell(day, idx / CmsWidth, (idx % CmsWidth).toLong, counters(idx), nSeen))
+            }
+          })
+    else {
+      import org.apache.spark.sql.graft.SketchExpressions
+      val hashed = events.toDF().select(
+        Seq(col("day_num")) ++ (0 until CmsDepth).map { i =>
+          SketchExpressions.md5Hi64(concat(lit(s"cms$i:"), col("key"))).as(s"h$i")
+        }: _*)
+      val expanded = hashed.select(col("day_num"),
+          explode(array((0 until CmsDepth).map { i =>
+            struct(lit(i).as("i"), expr(s"shiftrightunsigned(h$i, 55)").as("slot"))
+          }: _*)).as("c"))
+        .select(col("day_num"), col("c.i").as("i"), col("c.slot").as("slot"))
+      val nSeen = events.toDF().groupBy("day_num").agg(count(lit(1)).as("n_seen"))
+      expanded.groupBy("day_num", "i", "slot").agg(count(lit(1)).as("cnt"))
+        .join(nSeen, "day_num")
+        .select(col("day_num"), col("i"), col("slot"), col("cnt"), col("n_seen"))
+        .as[CmsCell]
+    }
+  }
 
   /** Stream-static enrichment: the unbounded event stream joined to a
     * bounded dimension table, then window-aggregated per dimension

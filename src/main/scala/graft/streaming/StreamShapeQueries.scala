@@ -346,6 +346,109 @@ object StreamShapeQueries {
         .select(col("day_num"), col("n_seen"), col("n_exact"), col("n_est"),
           expr("ABS(n_est - n_exact) * 1000 DIV n_exact").as("err_permille"))
         .orderBy("day_num")
+    },
+
+    // per-day distinct as STREAMING KMV STATE: the batch face of
+    // StreamOps.dailyDistinctKmv (k=256 min 48-bit md5 hashes, two-level
+    // salt-local k-min, exact-below-k estimator) against its exact ground
+    // truth; StreamOpsSpec proves the streaming state face snapshot-equal.
+    // The oracle re-derives the sketch from the hex md5 chain, so the
+    // k-min selection AND the (k−1)·2⁴⁸//h_k estimator are re-proven in
+    // DuckDB integer arithmetic.
+    QueryDef(
+      "q_stream_distinct_kmv",
+      """WITH e AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day_num,
+        |                  CAST(user_id AS VARCHAR) || ':' || CAST(EXTRACT(hour FROM ts) AS VARCHAR) AS uh
+        |           FROM events),
+        |h AS (SELECT DISTINCT day_num,
+        |             CAST(('0x' || substr(md5('sdk:' || uh), 1, 12)) AS BIGINT) AS hv
+        |      FROM e),
+        |rk AS (SELECT day_num, hv, ROW_NUMBER() OVER (PARTITION BY day_num ORDER BY hv) AS r FROM h),
+        |sk AS (SELECT day_num, COUNT(*) AS n_members, MAX(hv) AS kth
+        |       FROM rk WHERE r <= 256 GROUP BY 1),
+        |cnt AS (SELECT day_num, COUNT(*) AS n_seen, COUNT(DISTINCT uh) AS n_exact
+        |        FROM e GROUP BY 1)
+        |SELECT c.day_num, n_seen, n_members,
+        |       CASE WHEN n_members < 256 THEN n_members
+        |            ELSE (255::BIGINT << 48) // kth END AS n_est,
+        |       n_exact,
+        |       ABS(CASE WHEN n_members < 256 THEN n_members
+        |                ELSE (255::BIGINT << 48) // kth END - n_exact) * 1000 // n_exact AS err_permille
+        |FROM cnt c JOIN sk USING (day_num)
+        |ORDER BY c.day_num""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val e = Tables.events(s, d).select(
+        expr("CAST(CAST(ts AS LONG) DIV 86400 AS BIGINT)").as("day_num"),
+        concat(col("user_id").cast("string"), lit(":"),
+          hour(col("ts")).cast("string")).as("uh"))
+      val snaps = StreamOps.dailyDistinctKmv(e.as[StreamOps.HllIn]).toDF()
+      val exact = e.groupBy("day_num").agg(countDistinct("uh").as("n_exact"))
+      snaps.join(exact, "day_num")
+        .select(col("day_num"), col("n_seen"), col("n_members"), col("n_est"),
+          col("n_exact"),
+          expr("ABS(n_est - n_exact) * 1000 DIV n_exact").as("err_permille"))
+        .orderBy("day_num")
+    },
+
+    // per-day heavy hitters from STREAMING CMS STATE: the batch face of
+    // StreamOps.dailyCmsCounters (depth 4 × width 512 additive counters,
+    // native md5 row hashes) probed for each day's candidate keys —
+    // estimate = min over rows — and top-5'd per day. n_est ≥ n_true
+    // always (CMS never undercounts); the oracle rebuilds the counters
+    // and the min-probe in DuckDB from the same hex chain. At scale the
+    // candidates come from the bounded user dimension; the counters are
+    // the only thing the stream maintains (16 KiB per day).
+    QueryDef(
+      "q_stream_heavy_cms",
+      """WITH e AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day_num,
+        |                  CAST(user_id AS VARCHAR) AS u
+        |           FROM events),
+        |g AS (SELECT UNNEST(generate_series(0, 3)) AS i),
+        |cells AS (SELECT day_num, i,
+        |                 CAST(('0x' || substr(md5('cms' || i || ':' || u), 1, 3)) AS BIGINT) // 8 AS slot
+        |          FROM e, g),
+        |counters AS (SELECT day_num, i, slot, COUNT(*) AS cnt FROM cells GROUP BY 1, 2, 3),
+        |cand AS (SELECT day_num, u, COUNT(*) AS n_true FROM e GROUP BY 1, 2),
+        |probe AS (SELECT day_num, u, n_true, i,
+        |                 CAST(('0x' || substr(md5('cms' || i || ':' || u), 1, 3)) AS BIGINT) // 8 AS slot
+        |          FROM cand, g),
+        |est AS (SELECT p.day_num, p.u, MAX(p.n_true) AS n_true, MIN(c.cnt) AS n_est
+        |        FROM probe p JOIN counters c
+        |          ON p.day_num = c.day_num AND p.i = c.i AND p.slot = c.slot
+        |        GROUP BY 1, 2),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY day_num ORDER BY n_est DESC, u) AS r
+        |       FROM est)
+        |SELECT day_num, u AS user_key, n_true, n_est, n_est - n_true AS overcount
+        |FROM rk WHERE r <= 5
+        |ORDER BY day_num, n_est DESC, user_key""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.graft.SketchExpressions
+      val e = Tables.events(s, d).select(
+        expr("CAST(CAST(ts AS LONG) DIV 86400 AS BIGINT)").as("day_num"),
+        col("user_id").cast("string").as("key"))
+      val counters = StreamOps.dailyCmsCounters(e.as[StreamOps.CmsIn]).toDF()
+        .select("day_num", "i", "slot", "cnt")
+      val cand = e.groupBy("day_num", "key").agg(count(lit(1)).as("n_true"))
+      val probe = cand.select(
+          Seq(col("day_num"), col("key"), col("n_true")) ++
+            (0 until StreamOps.CmsDepth).map { i =>
+              SketchExpressions.md5Hi64(concat(lit(s"cms$i:"), col("key"))).as(s"h$i")
+            }: _*)
+        .select(col("day_num"), col("key"), col("n_true"),
+          explode(array((0 until StreamOps.CmsDepth).map { i =>
+            struct(lit(i).as("i"), expr(s"shiftrightunsigned(h$i, 55)").as("slot"))
+          }: _*)).as("c"))
+        .select(col("day_num"), col("key"), col("n_true"),
+          col("c.i").as("i"), col("c.slot").as("slot"))
+      val est = probe.join(counters, Seq("day_num", "i", "slot"))
+        .groupBy("day_num", "key")
+        .agg(max("n_true").as("n_true"), min("cnt").as("n_est"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("day_num").orderBy(col("n_est").desc, col("key"))
+      est.withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+        .select(col("day_num"), col("key").as("user_key"),
+          col("n_true"), col("n_est"), (col("n_est") - col("n_true")).as("overcount"))
+        .orderBy(col("day_num"), col("n_est").desc, col("user_key"))
     }
   )
 }

@@ -348,4 +348,136 @@ class StreamOpsSpec extends SparkSpec {
       }
     } finally query.stop()
   }
+
+  test("streaming daily KMV state converges to the batch face across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // same chunked multi-day feed shape as the HLL test: day 100 spans all
+    // chunks so the k-min state MUST merge across micro-batches; ~40
+    // distinct values on day 102 keeps one day UNSATURATED (< k), proving
+    // the exact-below-k branch, while day 100 saturates k=32
+    val rng = new scala.util.Random(2233)
+    val all = (0 until 900).map { i =>
+      val day = 100L + (i % 3 match { case 0 => 0; case 1 => i % 2; case _ => i % 3 })
+      // day 102 must stay UNSATURATED (< k=32 distinct): pin the hour
+      // suffix so its distinct universe is exactly the 20 ids
+      if (day == 102L) StreamOps.HllIn(day, s"${rng.nextInt(20)}:0")
+      else StreamOps.HllIn(day, s"${rng.nextInt(400)}:${rng.nextInt(24)}")
+    }
+    val chunks = all.grouped(300).toSeq
+
+    val input = MemoryStream[StreamOps.HllIn]
+    val query = StreamOps.dailyDistinctKmv(input.toDS(), k = 32)
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+      val stream = spark.table("kmv_out")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("day_num").orderBy(col("n_seen").desc)))
+        .filter(col("rk") === 1).drop("rk")
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+      val batch = StreamOps.dailyDistinctKmv(all.toDS(), k = 32).collect()
+        .map(s => (s.day_num, (s.n_seen, s.n_members, s.n_est))).toMap
+
+      assert(stream.keySet == batch.keySet, s"day sets differ: $stream vs $batch")
+      // the unsaturated day must have taken the exact branch
+      assert(batch(102L)._2 < 32 && batch(102L)._2 == batch(102L)._3,
+        s"day 102 should be unsaturated-exact: ${batch(102L)}")
+      batch.foreach { case (day, b) =>
+        assert(stream(day) == b,
+          s"day $day: streaming KMV snapshot ${stream(day)} != batch face $b")
+      }
+    } finally query.stop()
+  }
+
+  test("streaming daily CMS counters converge to the batch face across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // skewed keys (Zipf-ish: key k with frequency ~ 1/(k+1)) across two
+    // days, chunked so counters accumulate across micro-batches
+    val rng = new scala.util.Random(3344)
+    val all = (0 until 1200).map { i =>
+      val day = 200L + (i % 2)
+      val key = (math.sqrt(rng.nextInt(400)).toInt).toString
+      StreamOps.CmsIn(day, key)
+    }
+    val chunks = all.grouped(400).toSeq
+
+    val input = MemoryStream[StreamOps.CmsIn]
+    val query = StreamOps.dailyCmsCounters(input.toDS())
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+      // latest emission per cell (touched cells re-emit with higher n_seen)
+      val stream = spark.table("cms_out")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("day_num", "i", "slot").orderBy(col("n_seen").desc)))
+        .filter(col("rk") === 1)
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1), r.getLong(2)), r.getLong(3))).toMap
+
+      val batch = StreamOps.dailyCmsCounters(all.toDS()).collect()
+        .map(c => ((c.day_num, c.i, c.slot), c.cnt)).toMap
+
+      assert(stream == batch,
+        s"CMS counters diverge: stream-only=${(stream.toSet -- batch.toSet).take(5)} " +
+          s"batch-only=${(batch.toSet -- stream.toSet).take(5)}")
+      // CMS point estimates never undercount: probe the 3 hottest keys
+      val trueCounts = all.groupBy(e => (e.day_num, e.key)).view.mapValues(_.size.toLong)
+      trueCounts.toSeq.sortBy(-_._2).take(3).foreach { case ((day, key), n) =>
+        val est = (0 until StreamOps.CmsDepth).map { i =>
+          val slot = StreamOps.hllHash(s"cms$i:", key) >>> 55
+          batch((day, i, slot))
+        }.min
+        assert(est >= n, s"CMS undercounted ($day,$key): est $est < true $n")
+      }
+    } finally query.stop()
+  }
+
+  test("armed idleTtl evicts an idle day's sketch state (fresh state after timeout)") {
+    implicit val sqlCtx = spark.sqlContext
+    // TTL armed => ProcessingTimeTimeout; the deployment contract requires a
+    // real trigger interval, which also bounds the empty-batch cadence here
+    val input = MemoryStream[StreamOps.HllIn]
+    val query = StreamOps.dailyDistinctHll(input.toDS(), idleTtl = Some("1 second"))
+      .writeStream.format("memory").queryName("hll_evict_out")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+      .start()
+    try {
+      // NOTE: with ProcessingTimeTimeout armed, FlatMapGroupsWithStateExec
+      // reports shouldRunAnotherBatch=true after EVERY batch (a timeout can
+      // fire at any wall-clock instant), so the engine never raises the
+      // noNewData flag and processAllAvailable() would block forever — all
+      // synchronization here polls the sink/progress with deadlines instead.
+      def await(what: String)(ok: => Boolean): Unit = {
+        val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+        while (!ok && System.nanoTime() < deadline) Thread.sleep(200)
+        assert(ok, s"timed out waiting for $what")
+      }
+      input.addData(Seq(
+        StreamOps.HllIn(300L, "a:1"), StreamOps.HllIn(300L, "b:2"),
+        StreamOps.HllIn(300L, "c:3")))
+      await("the n_seen=3 snapshot")(
+        spark.table("hll_evict_out").filter(col("n_seen") === 3).count() == 1)
+      // the timeout batch removes the idle day's registers — observable via
+      // the state operator's removal counter
+      def removed(): Long =
+        query.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      await("idle-day state eviction")(removed() >= 1)
+      // the day's state is gone: a late event restarts the sketch from zero
+      input.addData(Seq(StreamOps.HllIn(300L, "z:9")))
+      await("the post-eviction fresh snapshot")(
+        spark.table("hll_evict_out")
+          .filter(col("day_num") === 300L && col("n_seen") === 1).count() == 1)
+      val nSeens = spark.table("hll_evict_out").filter(col("day_num") === 300L)
+        .select("n_seen").collect().map(_.getLong(0)).toSet
+      assert(!nSeens.contains(4L),
+        s"state survived the TTL: cumulative n_seen=4 snapshot emitted: $nSeens")
+    } finally query.stop()
+  }
 }
