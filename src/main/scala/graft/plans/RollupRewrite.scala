@@ -3,8 +3,9 @@ package graft.plans
 import graft.QueryDef
 import graft.analytics.Tables
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, Expression, IsNotNull, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -51,7 +52,26 @@ object RollupRewrite {
       groupSig: Seq[String],
       aggSig: Seq[(String, String)]) // (alias name, child expression SQL)
 
+  /** An aggregate over base ⋈ dim (on the dim's unique key) served from
+    * rollup ⋈ dim. The registration captures the canonical user shape's
+    * optimized signature (grouping, aggregates, join condition, relation
+    * suffixes) and a replacement builder; soundness rests on (a) the exact
+    * signature match against the canonical, and (b) the algebraic identity
+    * the property spec + DuckDB oracle prove on data: with the fk in the
+    * rollup grain and a unique dim key, the N:1 join commutes with partial
+    * aggregation, and the outer aggregate re-merges partials (COUNT(*) →
+    * SUM(n), SUM(x) → SUM(sum_x)).
+    */
+  final case class JoinSpec(
+      basePathSuffix: String,
+      dimPathSuffix: String,
+      groupSig: Seq[String],
+      aggSig: Seq[(String, String)],
+      joinCondSig: String,
+      replacement: SparkSession => org.apache.spark.sql.DataFrame)
+
   private val specs = new java.util.concurrent.ConcurrentHashMap[String, Spec]()
+  private val joinSpecs = new java.util.concurrent.ConcurrentHashMap[String, JoinSpec]()
   private val suspended = new ThreadLocal[Boolean] { override def initialValue = false }
 
   /** Name-stable rendering of an optimized expression (exprIds do not
@@ -80,12 +100,70 @@ object RollupRewrite {
     (groups, aggs)
   }
 
-  final case class RewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  final case class RewriteRule(spark: SparkSession) extends Rule[LogicalPlan] with PredicateHelper {
     override def apply(plan: LogicalPlan): LogicalPlan =
-      if (suspended.get() || specs.isEmpty) plan
+      if (suspended.get() || (specs.isEmpty && joinSpecs.isEmpty)) plan
       else plan.transformUp {
-        case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+        case agg: Aggregate =>
+          tryRewrite(agg).orElse(tryRewriteJoin(agg)).getOrElse(agg)
       }
+
+    /** Aggregate over base ⋈ dim matching a registered [[JoinSpec]]'s exact
+      * canonical signature → the registered replacement (rollup ⋈ dim with
+      * merged partials), with the original output attributes re-aliased on
+      * top so parents are untouched. Shape required: INNER equi-join with
+      * the registered condition, base on the left, dim on the right (each
+      * optionally under a column-pruning Project), nothing else between
+      * scan and aggregate — any filter or extra operator blocks it, with
+      * ONE sound exception: `IsNotNull` guards on the join keys, which the
+      * optimizer infers from the inner join itself
+      * (InferFiltersFromConstraints) — rows they remove can never survive
+      * the join, so stripping them for the match loses nothing.
+      */
+    private def stripJoinKeyNullGuards(plan: LogicalPlan, condRefs: AttributeSet): LogicalPlan =
+      plan match {
+        case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+          stripJoinKeyNullGuards(child, condRefs)
+        case Filter(c, child) if splitConjunctivePredicates(c).forall {
+              case IsNotNull(a: AttributeReference) => condRefs.contains(a)
+              case _ => false
+            } =>
+          stripJoinKeyNullGuards(child, condRefs)
+        case other => other
+      }
+
+    private def tryRewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
+      val joined = agg.child match {
+        case j: Join => Some(j)
+        case Project(pl, j: Join)
+            if pl.forall(_.isInstanceOf[AttributeReference]) => Some(j)
+        case _ => None
+      }
+      joined.flatMap {
+        case j @ Join(left, right, Inner, Some(cond), _) =>
+          import scala.jdk.CollectionConverters._
+          joinSpecs.values.asScala.find { s =>
+            baseRelation(stripJoinKeyNullGuards(left, cond.references), s.basePathSuffix).isDefined &&
+              baseRelation(stripJoinKeyNullGuards(right, cond.references), s.dimPathSuffix).isDefined &&
+              sig(cond) == s.joinCondSig && {
+                val (g, a) = signatureOf(agg)
+                g == s.groupSig && a == s.aggSig
+              }
+          }.flatMap { s =>
+            suspended.set(true)
+            val repl =
+              try s.replacement(spark).queryExecution.optimizedPlan
+              finally suspended.set(false)
+            val byName = repl.output.map(a => a.name -> a).toMap
+            if (!agg.output.forall(o => byName.contains(o.name))) None
+            else Some(Project(
+              agg.output.map { o =>
+                Alias(byName(o.name), o.name)(exprId = o.exprId, qualifier = o.qualifier)
+              }, repl))
+          }
+        case _ => None
+      }
+    }
 
     /** A grain-level filter — deterministic, referencing ONLY bare grouping
       * columns — commutes with the aggregate (`agg(σ_g(base)) =
@@ -105,7 +183,11 @@ object RollupRewrite {
         case other => (None, other)
       }
       val groupAttrs = agg.groupingExpressions.collect { case a: AttributeReference => a }
+      // a GLOBAL aggregate (no grouping) does not commute with ANY filter:
+      // agg(σ(base)) yields one row (e.g. COUNT=0) where σ(rollup) yields
+      // zero — so a filter-commuted rewrite requires a non-empty grain
       val filterSound = cond.forall(c => c.deterministic &&
+        agg.groupingExpressions.nonEmpty &&
         c.references.forall(r => groupAttrs.exists(_.exprId == r.exprId)))
       if (!filterSound) return None
       val spec = {
@@ -174,6 +256,41 @@ object RollupRewrite {
         spark.experimental.extraOptimizations :+ RewriteRule(spark)
   }
 
+  /** Maintain + register a JOIN-serving rollup: `canonicalUser` is the
+    * exact aggregate-over-base⋈dim shape to serve; `rollup` is the partial
+    * aggregate over the base (fk in its grain), materialized to
+    * `rollupPath`; `replacement` rebuilds the served plan from the rollup
+    * parquet. The canonical's own optimized plan supplies every signature
+    * the matcher compares against — same machinery, nothing hand-written.
+    */
+  def materializeAndRegisterJoin(
+      spark: SparkSession,
+      canonicalUser: org.apache.spark.sql.DataFrame,
+      rollup: org.apache.spark.sql.DataFrame,
+      basePathSuffix: String,
+      dimPathSuffix: String,
+      rollupPath: String,
+      replacement: SparkSession => org.apache.spark.sql.DataFrame): Unit = {
+    suspended.set(true)
+    try {
+      rollup.write.mode("overwrite").parquet(rollupPath)
+      val optimized = canonicalUser.queryExecution.optimizedPlan
+      val agg = optimized.collectFirst { case a: Aggregate => a }.getOrElse(
+        throw new IllegalArgumentException(
+          s"canonical join query did not optimize to an Aggregate:\n$optimized"))
+      val cond = optimized.collectFirst {
+        case Join(_, _, Inner, Some(c), _) => c
+      }.getOrElse(throw new IllegalArgumentException(
+        s"canonical join query did not optimize to an inner equi-join:\n$optimized"))
+      val (g, a) = signatureOf(agg)
+      joinSpecs.put(s"$basePathSuffix|$dimPathSuffix",
+        JoinSpec(basePathSuffix, dimPathSuffix, g, a, sig(cond), replacement))
+    } finally suspended.set(false)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[RewriteRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteRule(spark)
+  }
+
   private def centsSql =
     "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
@@ -193,7 +310,9 @@ object RollupRewrite {
          |ORDER BY o_orderdate""".stripMargin) { (s, d) =>
       val rollupPath = "target/rollup_store/orders_daily_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
-      materializeAndRegister(s, dailyOrders(s, d), "/orders.parquet", rollupPath)
+      // sf-qualified suffix: a spec registered for one testdata scale can
+      // never match (and mis-serve) another scale's scan in the same JVM
+      materializeAndRegister(s, dailyOrders(s, d), s"$d/orders.parquet", rollupPath)
       // the USER query — written against the BASE table; the optimizer
       // serves it from the rollup (PlanAuditSpec proves the base parquet
       // is absent from the executed plan; the oracle aggregates the base
@@ -219,7 +338,9 @@ object RollupRewrite {
          |ORDER BY o_orderdate""".stripMargin) { (s, d) =>
       val rollupPath = "target/rollup_store/orders_daily_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
-      materializeAndRegister(s, dailyOrders(s, d), "/orders.parquet", rollupPath)
+      // sf-qualified suffix: a spec registered for one testdata scale can
+      // never match (and mis-serve) another scale's scan in the same JVM
+      materializeAndRegister(s, dailyOrders(s, d), s"$d/orders.parquet", rollupPath)
       Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
           col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -227,6 +348,59 @@ object RollupRewrite {
         .agg(count(lit(1)).as("n_orders"),
           sum(expr(centsSql)).as("sum_cents"))
         .orderBy("o_orderdate")
+    },
+
+    // the reference's other dashboard shape: an aggregate over a FACT ⋈
+    // DIM broadcast join (sql/4.analytics_queries.sql:198-199,229-230
+    // groups visit revenue by doctor/department the same way). The rollup
+    // pre-aggregates the FACT at (fk) grain — 100× fewer rows than the
+    // base at warehouse scale — and the serving plan joins THOSE partials
+    // to the broadcast dim and re-merges (COUNT(*)→SUM(n), SUM→SUM(sum)).
+    // The user query stays written against base ⋈ dim; the oracle
+    // aggregates base ⋈ dim in DuckDB; PlanAuditSpec proves the executed
+    // plan scans the rollup, never the base, and broadcasts the dim.
+    QueryDef(
+      "q_rollup_serve_join",
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      serveJoinSetup(s, d)
+      // the USER query — written against base ⋈ dim
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr(centsSql)).as("sum_cents"))
+        .orderBy("c_mktsegment")
     }
   )
+
+  /** Materialize + register the per-customer order rollup serving the
+    * q_rollup_serve_join shape (shared with PlanAuditSpec / the property
+    * spec's negative cases).
+    */
+  def serveJoinSetup(s: SparkSession, d: String): String = {
+    val rollupPath = "target/rollup_store/orders_by_cust_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    val canonical = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr(centsSql)).as("sum_cents"))
+    val rollup = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(expr(centsSql)).as("cents"))
+    materializeAndRegisterJoin(s, canonical, rollup,
+      s"$d/orders.parquet", s"$d/customer.parquet", rollupPath,
+      sess => sess.read.parquet(rollupPath)
+        .join(broadcast(Tables.customer(sess, d)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("n")).cast("long").as("n_orders"),
+          sum(col("cents")).cast("long").as("sum_cents")))
+    rollupPath
+  }
 }

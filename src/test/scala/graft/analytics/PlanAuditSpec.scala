@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+import org.apache.spark.sql.functions.{col, count, expr, lit, max, sum}
 
 /** Physical-plan audits: the scale properties the engine claims are
   * asserted against the actual plans, not just documented —
@@ -793,6 +793,52 @@ class PlanAuditSpec extends SparkSpec {
     // and the range pushed into the ROLLUP scan (partition/row-group
     // pruning at 100 TB rides the normal pushdown machinery)
     assert(ep.contains("PushedFilters: [IsNotNull(o_orderdate)"), ep.take(3000))
+  }
+
+  test("rollup rewrite serves an aggregate over a fact ⋈ dim join from rollup ⋈ dim") {
+    val ep = executedPlanOf("q_rollup_serve_join")
+    // the served plan scans the per-customer ROLLUP, never the base fact
+    assert(ep.contains("rollup_store"), ep.take(4000))
+    assert(!ep.contains("orders.parquet"), ep.take(4000))
+    // the dim joins BROADCAST (the replacement pins the hint — at 100 TB
+    // the rollup side still shuffles only for the final regroup)
+    assert(ep.contains("BroadcastHashJoin"), ep.take(4000))
+    assert(ep.contains("customer.parquet"), ep.take(4000))
+  }
+
+  test("join rollup rewrite does NOT fire for an outer join or a filtered shape") {
+    graft.SparkEntry.queries("q_rollup_serve_join")(spark, sf()) // rule + spec installed
+    // LEFT join: not the registered inner shape — must scan the base
+    val outer = graft.analytics.Tables.orders(spark, sf())
+      .join(graft.analytics.Tables.customer(spark, sf()),
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("sum_cents"))
+    outer.collect()
+    val epOuter = outer.queryExecution.executedPlan.toString
+    assert(epOuter.contains("orders.parquet"), epOuter.take(3000))
+    // a filter between scan and aggregate: blocks (it filters rows the
+    // rollup already merged away)
+    val filtered = graft.analytics.Tables.orders(spark, sf())
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .join(graft.analytics.Tables.customer(spark, sf()),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("sum_cents"))
+    filtered.collect()
+    val epF = filtered.queryExecution.executedPlan.toString
+    assert(epF.contains("orders.parquet"), epF.take(3000))
+    // and a different aggregate signature over the same join: blocks
+    val other = graft.analytics.Tables.orders(spark, sf())
+      .join(graft.analytics.Tables.customer(spark, sf()),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(max(col("o_totalprice")).as("max_price"))
+    other.collect()
+    val epO = other.queryExecution.executedPlan.toString
+    assert(epO.contains("orders.parquet"), epO.take(3000))
   }
 
   test("rollup rewrite does NOT fire when the filter touches a non-grouping column") {
