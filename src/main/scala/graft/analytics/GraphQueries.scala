@@ -47,6 +47,61 @@ object GraphQueries {
     */
   private val Scale = 1000000000000L
 
+  /** Convergence tolerance for the gated fixed-point face: 10⁻⁴ of the
+    * total rank mass, absolute, in the ×10¹² fixed-point domain.
+    */
+  private[analytics] val ConvTol = 100000000L
+
+  /** Round cap — a backstop well above observed convergence (29 at
+    * sf0.01, fewer at larger N since per-node deltas shrink with 1/N).
+    */
+  private[analytics] val ConvCap = 60
+
+  /** Rounds the ConvTol fixed point takes on the sf0.01 gate data —
+    * pinned so the DuckDB oracle can unroll exactly that many rounds.
+    */
+  private[analytics] val ConvRoundsSf001 = 29
+
+  /** DuckDB oracle for k unrolled PageRank rounds — one generator feeds
+    * both the fixed-3-round gate and the convergence gate, so the two
+    * oracles cannot drift apart. Every CTE is MATERIALIZED: DuckDB inlines
+    * plain CTEs per reference, so a 29-round chain would otherwise
+    * re-expand the edge aggregate ~30× (and blow the open-file limit
+    * re-scanning the parquet each time); materialization changes only the
+    * oracle's plan, never its rows.
+    */
+  private def pagerankSql(k: Int, extraCols: String = ""): String = {
+    val rounds = (1 to k).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM((r.rank * e.w) // o.wout) AS BIGINT) AS sc
+         |       FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN outw o ON e.src = o.src
+         |       GROUP BY 1),
+         |r$i AS MATERIALIZED (SELECT r${i - 1}.node, r${i - 1}.base,
+         |              CAST(r${i - 1}.base + (85 * COALESCE(c$i.sc, 0)) // 100 AS BIGINT) AS rank
+         |       FROM r${i - 1} LEFT JOIN c$i ON r${i - 1}.node = c$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pair AS MATERIALIZED (
+       |  SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS MATERIALIZED (
+       |  SELECT CAST(c AS BIGINT) * 2 AS src, CAST(s AS BIGINT) * 2 + 1 AS dst, w FROM pair
+       |  UNION ALL
+       |  SELECT CAST(s AS BIGINT) * 2 + 1, CAST(c AS BIGINT) * 2, w FROM pair),
+       |outw AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM edges GROUP BY 1),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |n AS (SELECT COUNT(*) AS cnt FROM nodes),
+       |r0 AS MATERIALIZED (SELECT node,
+       |              CAST($Scale // cnt AS BIGINT) AS rank,
+       |              CAST(($Scale * 15) // (cnt * 100) AS BIGINT) AS base
+       |       FROM nodes CROSS JOIN n),
+       |$rounds
+       |SELECT node, node % 2 = 0 AS is_customer, node // 2 AS entity_key,
+       |       rank AS rank_scaled$extraCols
+       |FROM r$k
+       |ORDER BY rank_scaled DESC, node
+       |LIMIT 20""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- Integer-exact PageRank over the purchase graph, 3 rounds -----
@@ -54,49 +109,34 @@ object GraphQueries {
     // in at least one order line; edges weighted by lineitem count and
     // symmetrized. r' = (1−d)/N + d·Σ_in (r·w)/W_out with d = 85/100, all
     // in scaled BIGINT arithmetic.
-    QueryDef(
-      "q_pagerank",
-      s"""WITH pair AS (
-         |  SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS w
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |  GROUP BY 1, 2),
-         |edges AS (
-         |  SELECT CAST(c AS BIGINT) * 2 AS src, CAST(s AS BIGINT) * 2 + 1 AS dst, w FROM pair
-         |  UNION ALL
-         |  SELECT CAST(s AS BIGINT) * 2 + 1, CAST(c AS BIGINT) * 2, w FROM pair),
-         |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM edges GROUP BY 1),
-         |nodes AS (SELECT DISTINCT src AS node FROM edges),
-         |n AS (SELECT COUNT(*) AS cnt FROM nodes),
-         |r0 AS (SELECT node,
-         |              CAST($Scale // cnt AS BIGINT) AS rank,
-         |              CAST(($Scale * 15) // (cnt * 100) AS BIGINT) AS base
-         |       FROM nodes CROSS JOIN n),
-         |c1 AS (SELECT e.dst AS node, CAST(SUM((r.rank * e.w) // o.wout) AS BIGINT) AS sc
-         |       FROM edges e JOIN r0 r ON e.src = r.node JOIN outw o ON e.src = o.src
-         |       GROUP BY 1),
-         |r1 AS (SELECT r0.node, r0.base,
-         |              CAST(r0.base + (85 * COALESCE(c1.sc, 0)) // 100 AS BIGINT) AS rank
-         |       FROM r0 LEFT JOIN c1 ON r0.node = c1.node),
-         |c2 AS (SELECT e.dst AS node, CAST(SUM((r.rank * e.w) // o.wout) AS BIGINT) AS sc
-         |       FROM edges e JOIN r1 r ON e.src = r.node JOIN outw o ON e.src = o.src
-         |       GROUP BY 1),
-         |r2 AS (SELECT r1.node, r1.base,
-         |              CAST(r1.base + (85 * COALESCE(c2.sc, 0)) // 100 AS BIGINT) AS rank
-         |       FROM r1 LEFT JOIN c2 ON r1.node = c2.node),
-         |c3 AS (SELECT e.dst AS node, CAST(SUM((r.rank * e.w) // o.wout) AS BIGINT) AS sc
-         |       FROM edges e JOIN r2 r ON e.src = r.node JOIN outw o ON e.src = o.src
-         |       GROUP BY 1),
-         |r3 AS (SELECT r2.node, r2.base,
-         |              CAST(r2.base + (85 * COALESCE(c3.sc, 0)) // 100 AS BIGINT) AS rank
-         |       FROM r2 LEFT JOIN c3 ON r2.node = c3.node)
-         |SELECT node, node % 2 = 0 AS is_customer, node // 2 AS entity_key,
-         |       rank AS rank_scaled
-         |FROM r3
-         |ORDER BY rank_scaled DESC, node
-         |LIMIT 20""".stripMargin) { (s, d) =>
+    QueryDef("q_pagerank", pagerankSql(3)) { (s, d) =>
       pagerank(s, d, iterations = 3)
         .orderBy(col("rank_scaled").desc, col("node"))
         .limit(20)
+    },
+
+    // ----- convergence-driven PageRank under the driver gate -----
+    // The production face ([[pagerankConverged]]) iterates to a fixed
+    // point instead of a fixed round count. With tol = 10⁻⁴ of the total
+    // mass (ConvTol = 10⁸ in the ×10¹² domain) the sf0.01 gate data
+    // terminates after exactly 29 rounds (deterministic: integer-exact
+    // arithmetic over a deterministic graph — the pin is part of the
+    // gate, like the retention-delete ids). The oracle unrolls those 29
+    // rounds through the SAME generated CTE chain the fixed face's
+    // 3-round oracle uses, and recomputes the terminal max-delta as
+    // max|r29 − r28| — so the gate re-proves, in DuckDB, both the final
+    // ranks AND that round 29 is where the loop was entitled to stop.
+    QueryDef(
+      "q_pagerank_converged",
+      pagerankSql(ConvRoundsSf001,
+        extraCols = s""",
+           |       CAST($ConvRoundsSf001 AS BIGINT) AS rounds,
+           |       (SELECT CAST(MAX(ABS(a.rank - b.rank)) AS BIGINT)
+           |        FROM r$ConvRoundsSf001 a JOIN r${ConvRoundsSf001 - 1} b ON a.node = b.node) AS max_delta""".stripMargin)) { (s, d) =>
+      val (ranks, rounds, delta) = pagerankConverged(s, d, ConvTol, ConvCap)
+      ranks.orderBy(col("rank_scaled").desc, col("node")).limit(20)
+        .withColumn("rounds", lit(rounds.toLong))
+        .withColumn("max_delta", lit(delta))
     },
 
     // ----- triangle counting on the bounded-degree co-supply graph -----
