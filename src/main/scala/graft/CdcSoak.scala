@@ -25,8 +25,17 @@ import org.apache.spark.sql.streaming.Trigger
   * `CdcSoakArtifactSpec` gates the committed artifact (≥ the minimum
   * span, ≥1 restart, p99 ≪ budget, 0 mismatches).
   *
+  * Round-12 extensions (r11 verdict item 7): the destination can be the
+  * BUCKETED copy-on-write store (SPARK_GRAFT_SOAK_BUCKETED=1), and at 75%
+  * of the soak the feeder starts shipping a NEW COLUMN in its after-images
+  * (`checkin_kiosk`, the source-side ALTER TABLE ADD COLUMN) — the
+  * pipeline's widening probe must evolve the live destination mid-stream,
+  * and the full-feed replay then also checks the evolved column per key
+  * (pre-evolution rows NULL, post-evolution rows exact).
+  *
   * Knobs: SPARK_GRAFT_SOAK_MINUTES (default 31), SPARK_GRAFT_SOAK_TRIGGER_SEC
-  * (default 60), SPARK_GRAFT_SOAK_FEED_SEC (default 12).
+  * (default 60), SPARK_GRAFT_SOAK_FEED_SEC (default 12),
+  * SPARK_GRAFT_SOAK_BUCKETED (default 1).
   */
 object CdcSoak {
 
@@ -54,7 +63,10 @@ object CdcSoak {
     val ckpt = s"$base/ckpt"
     Files.createDirectories(Paths.get(feedDir))
 
-    val store = new TableStore(spark, storeRoot)
+    val bucketed = sys.env.getOrElse("SPARK_GRAFT_SOAK_BUCKETED", "1") == "1"
+    val store: graft.cdc.CdcDestination =
+      if (bucketed) new graft.cdc.BucketedTableStore(spark, storeRoot, nBuckets = 16)
+      else new TableStore(spark, storeRoot)
     val pipeline = new CdcPipeline(spark, store, HealthcareSchema.all,
       HealthcareSchema.keyColumns)
     pipeline.loadSnapshot(HealthcareFixtures.all(spark))
@@ -65,6 +77,11 @@ object CdcSoak {
     val lsn = new java.util.concurrent.atomic.AtomicLong(1000L)
     @volatile var feederStop = false
     @volatile var eventsWritten = 0L
+    // the source-side ALTER TABLE ADD COLUMN switch: once set, every
+    // insert/update after-image carries the new column; the first lsn that
+    // shipped it bounds the replay's pre/post-evolution expectation
+    @volatile var evolve = false
+    @volatile var evolutionLsn = Long.MaxValue
     val rng = new scala.util.Random(2026)
     def apptEvent(l: Long, id: Long, op: String): CdcEvent = {
       val status = statuses(rng.nextInt(statuses.length))
@@ -80,7 +97,11 @@ object CdcSoak {
           "reason_for_visit" -> s"soak lsn $l",
           "appointment_type" -> "urgent",
           "created_at" -> "2025-01-15 07:00:00",
-          "updated_at" -> "2025-01-15 07:00:00"))
+          "updated_at" -> "2025-01-15 07:00:00") ++
+          (if (evolve) {
+            if (evolutionLsn == Long.MaxValue) evolutionLsn = l
+            Map("checkin_kiosk" -> s"K-${id % 7}")
+          } else Map.empty))
     }
     val feeder = new Thread(() => {
       var tick = 0
@@ -111,19 +132,29 @@ object CdcSoak {
     val halfMs = (minutes * 60000 / 2).toLong
     Thread.sleep(halfMs)
     // ---- the KILL: stop mid-life (feed keeps flowing), restart from ckpt ----
-    val firstHalf = CdcMetrics.summarize(q)
+    // summarize AFTER stop(): a batch committing between a pre-stop summarize
+    // and the stop would be counted in neither half and spuriously fail the
+    // rows_applied == events_written artifact gate. recentProgress survives
+    // stop(), so post-stop reads see every committed batch of this run.
     q.stop()
     q.awaitTermination()
+    val firstHalf = CdcMetrics.summarize(q)
     val killedAtSec = (System.nanoTime() - t0) / 1e9
     Thread.sleep(5000) // the pipeline is down; events keep arriving
     q = pipeline.start(CdcPipeline.fileEventStream(spark, feedDir), ckpt, trigger)
-    Thread.sleep(halfMs)
+    Thread.sleep(halfMs / 2)
+    // ---- the ALTER TABLE: at 75% of the soak the source grows a column;
+    // the live pipeline must widen the destination without a restart ----
+    evolve = true
+    val evolvedAtSec = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(halfMs - halfMs / 2)
 
     feederStop = true
     feeder.join(20000)
     q.processAllAvailable() // drain the tail so the correctness check is total
-    val secondHalf = CdcMetrics.summarize(q)
     q.stop()
+    q.awaitTermination()
+    val secondHalf = CdcMetrics.summarize(q) // post-stop, same as firstHalf
     val spanSec = (System.nanoTime() - t0) / 1e9
 
     // ---- correctness: full-feed replay (argmax lsn per key) vs the store ----
@@ -137,16 +168,29 @@ object CdcSoak {
       .select(col("key").as("appointment_id"),
         col("lsn").as("exp_lsn"),
         (col("op") === CdcOp.Delete).as("exp_deleted"),
-        col("after.status").as("exp_status"))
-    val actual = store.read("appointments")
+        col("after.status").as("exp_status"),
+        // pre-evolution events never shipped the column → NULL expectation;
+        // post-evolution events must match exactly (CdcEvent's after is a
+        // string map, so element_at is total: absent key = NULL)
+        element_at(col("after"), "checkin_kiosk").as("exp_kiosk"))
+    val stored = store.read("appointments")
+    val storedKiosk =
+      if (stored.columns.contains("checkin_kiosk")) col("checkin_kiosk")
+      else lit(null).cast("string") // evolution never fired (short run)
+    val actual = stored
       .select(col("appointment_id"), col(CdcApplier.MetaLsn).as("act_lsn"),
-        col(CdcApplier.MetaDeleted).as("act_deleted"), col("status").as("act_status"))
+        col(CdcApplier.MetaDeleted).as("act_deleted"), col("status").as("act_status"),
+        storedKiosk.as("act_kiosk"))
     val joined = expected.join(actual, Seq("appointment_id"), "left")
     val missing = joined.filter(col("act_lsn").isNull).count()
     val mismatches = joined.filter(col("act_lsn").isNotNull &&
       (col("act_lsn") =!= col("exp_lsn") ||
         col("act_deleted") =!= col("exp_deleted") ||
-        (!col("exp_deleted") && !(col("act_status") <=> col("exp_status"))))).count()
+        (!col("exp_deleted") && (!(col("act_status") <=> col("exp_status")) ||
+          !(col("act_kiosk") <=> col("exp_kiosk")))))).count()
+    // how many live rows actually carry the evolved column — proves the
+    // widening fired on real volume, not just on one probe row
+    val evolvedRows = joined.filter(!col("exp_deleted") && col("act_kiosk").isNotNull).count()
 
     val batches = (firstHalf ++ secondHalf).filter(_.inputRows > 0)
     val lat = batches.map(_.applyMillis).sorted
@@ -159,6 +203,9 @@ object CdcSoak {
         s""""rows_applied":${batches.map(_.inputRows).sum},""" +
         s""""apply_ms_p50":${quantile(lat, 0.50)},"apply_ms_p95":${quantile(lat, 0.95)},""" +
         s""""apply_ms_p99":${quantile(lat, 0.99)},"apply_ms_max":${if (lat.isEmpty) 0L else lat.last},""" +
+        s""""bucketed":$bucketed,"evolved_at_sec":${fmt(evolvedAtSec)},""" +
+        s""""evolution_lsn":${if (evolutionLsn == Long.MaxValue) -1 else evolutionLsn},""" +
+        s""""evolved_rows":$evolvedRows,""" +
         s""""state_missing":$missing,"state_mismatches":$mismatches}"""
     println(json)
     val out = Paths.get(sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "bench/cdc_soak.json"))

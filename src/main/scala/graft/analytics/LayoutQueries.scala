@@ -115,14 +115,25 @@ object LayoutQueries {
       val wh = new java.io.File(s"target/bucketed_tables/$key").getAbsolutePath
       def ensure(name: String, df: org.apache.spark.sql.DataFrame, bucketCol: String): String = {
         val table = s"graft_bkt_${name}_$key"
-        if (!s.catalog.tableExists(table)) {
-          // path-scoped external table: re-register is cheap, re-write only
-          // when the parquet is absent (one materialization per sf dir)
+        // the PARQUET PATH is the source of truth, not the catalog entry: a
+        // persistent metastore can hold a dangling registration after `sbt
+        // clean` wipes target/, and an in-memory catalog forgets a perfectly
+        // good materialization between sessions. Re-write only when the
+        // parquet is absent; (re-)register whenever the table is missing.
+        val haveParquet = new java.io.File(s"$wh/$name/_SUCCESS").exists()
+        if (!haveParquet) {
+          if (s.catalog.tableExists(table)) s.sql(s"DROP TABLE $table")
           df.write.format("parquet")
             .bucketBy(8, bucketCol).sortBy(bucketCol)
             .option("path", s"$wh/$name")
             .mode("overwrite")
             .saveAsTable(table)
+        } else if (!s.catalog.tableExists(table)) {
+          // cheap re-register over existing buckets — DDL only, no data move
+          val ddlSchema = df.schema.toDDL
+          s.sql(s"""CREATE TABLE $table ($ddlSchema) USING parquet
+                   |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO 8 BUCKETS
+                   |LOCATION '$wh/$name'""".stripMargin)
         }
         table
       }

@@ -32,6 +32,13 @@ object Checkpoints {
   /** Test seam: takes precedence over the environment variable. */
   @volatile private[graft] var dirOverride: Option[String] = None
 
+  /** Last root WE passed to setCheckpointDir. Spark's resolved dir is
+    * UUID-suffixed, so comparing against `getCheckpointDir` by substring
+    * can be fooled by nested temp paths; tracking our own last root and
+    * comparing it exactly cannot.
+    */
+  @volatile private var lastSetRoot: Option[String] = None
+
   private def configuredDir: Option[String] =
     dirOverride.orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty))
 
@@ -40,8 +47,12 @@ object Checkpoints {
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext
       // setCheckpointDir is sticky per context; honor a new override (the
-      // test seam) but never clobber an operator-set dir with itself
-      if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+      // test seam) but never re-set an identical root (which would spray a
+      // fresh UUID subdir per call)
+      if (!lastSetRoot.contains(dir) || sc.getCheckpointDir.isEmpty) {
+        sc.setCheckpointDir(dir)
+        lastSetRoot = Some(dir)
+      }
       df.checkpoint()
     case None => df.localCheckpoint()
   }
