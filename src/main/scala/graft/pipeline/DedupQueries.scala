@@ -82,9 +82,13 @@ object DedupQueries {
     * Pairs come back BARE (id_a, id_b) — names rejoin afterward, so the
     * skew-managed exchange never carries wide rows.
     */
-  private def fuzzyNamePairs(s: SparkSession, d: String): DataFrame = {
-    val names = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
-    val variants = names
+  /** FastSS deletion-neighborhood keys of `c_name`: every single-deletion
+    * plus the name itself, distinct per custkey. Shared by the fuzzy faces
+    * and the skew probe (which measures the bucket-size distribution these
+    * keys induce under adversarial name frequencies).
+    */
+  private[graft] def nameVariants(names: DataFrame): DataFrame =
+    names
       .select(col("c_custkey"),
         explode(expr(
           """concat(
@@ -92,6 +96,10 @@ object DedupQueries {
             |    i -> concat(substr(c_name, 1, i-1), substr(c_name, i+1))),
             |  array(c_name))""".stripMargin)).as("variant"))
       .distinct()
+
+  private def fuzzyNamePairs(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    val variants = nameVariants(names)
     LshBlocking.saltedBucketPairs(variants, Seq("variant"), "c_custkey")
       .join(names.select(col("c_custkey").as("id_a"), col("c_name").as("name_a")), "id_a")
       .join(names.select(col("c_custkey").as("id_b"), col("c_name").as("name_b")), "id_b")
@@ -444,7 +452,7 @@ object DedupQueries {
           xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as("band_key"))): _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
 
-  private def verifyByJaccard(cands: DataFrame, sh: DataFrame, sizes: DataFrame,
+  private[graft] def verifyByJaccard(cands: DataFrame, sh: DataFrame, sizes: DataFrame,
       minJ: Double): DataFrame = {
     val inter = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
