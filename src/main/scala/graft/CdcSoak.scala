@@ -52,6 +52,10 @@ object CdcSoak {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // recentProgress is a ring buffer (default ~100); a multi-hour soak at
+      // the 60 s trigger exceeds it and the post-stop tally would silently
+      // drop the oldest batches — size it to the longest soak we run
+      .config("spark.sql.streaming.numRecentProgressUpdates", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

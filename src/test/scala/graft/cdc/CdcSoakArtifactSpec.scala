@@ -43,4 +43,16 @@ class CdcSoakArtifactSpec extends AnyFunSuite {
     val p99 = root.get("apply_ms_p99").asLong()
     assert(p99 <= 6000, s"p99 apply latency $p99 ms exceeds 10% of the 60 s trigger budget")
   }
+
+  test("soak ran the bucketed store and a mid-soak source ADD COLUMN (r12)") {
+    assert(root.get("bucketed").asBoolean(),
+      "soak must exercise the bucketed copy-on-write destination")
+    assert(root.get("evolution_lsn").asLong() > 0,
+      "the feeder never shipped the evolved column — no mid-soak ALTER TABLE happened")
+    assert(root.get("evolved_rows").asLong() > 0,
+      "no live row carries the evolved column — the widening never landed on real volume")
+    // the replay's mismatch check includes the evolved column per key
+    // (pre-evolution rows NULL, post-evolution exact), so the existing
+    // state_mismatches == 0 gate already covers its VALUES
+  }
 }
