@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Measures the k ∝ n contract of the cluster-blocked pair families
+  * (SemDeDup / hard-negative mining): their candidate volume is Σ|c|²,
+  * so a cluster count PINNED while the corpus grows turns a linear axis
+  * quadratic — the sf1 suite run showed q_hard_negatives at 18.8× for
+  * 10× data with the gate's k=8. This probe runs the SAME mining body
+  * ([[pipeline.SimilarityQueries.hardNegatives]]) on the ×10 corpus at
+  * k=8 (the gate's oracle-replayable pin) and k=64 (k scaled with the
+  * corpus) and records wall seconds plus the Σ|c|² budget per k —
+  * the measured form of BASELINE.md's "the knob is k, not the operator"
+  * attribution. Results → bench/cluster_k_probe_x10.json.
+  */
+object ClusterKProbe {
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_K_SRC", "target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = spark.read.parquet(s"$src/embeddings.parquet")
+    val n = e.count()
+
+    val cells = Seq(8, 64).map { k =>
+      val (nc, maxC, sumSq) = pipeline.SimilarityQueries.clusterPairBudget(e, k)
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val rows = pipeline.SimilarityQueries.hardNegatives(e, k).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"cluster-k probe k=$k: $secs%.1f s, $rows rows, max|c|=$maxC, sum|c|^2=$sumSq")
+      s""""k$k":{"secs":${f"$secs%.2f"},"rows":$rows,"clusters":$nc,""" +
+        s""""max_cluster":$maxC,"pair_budget":$sumSq}"""
+    }
+    val json =
+      s"""{"metric":"cluster_k_probe","src":"$src","n_vectors":$n,${cells.mkString(",")}}"""
+    println(json)
+    val out = new java.io.PrintWriter("bench/cluster_k_probe_x10.json")
+    try out.println(json) finally out.close()
+    spark.stop()
+  }
+}

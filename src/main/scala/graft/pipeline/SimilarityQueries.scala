@@ -263,6 +263,49 @@ object SimilarityQueries {
       |                                   ORDER BY dist, cluster) AS rn
       |         FROM d2) WHERE rn = 1)""".stripMargin
 
+  /** Hard-negative mining at cluster count `k` — the body of
+    * q_hard_negatives with the blocking granularity exposed. The gate pins
+    * k=8 so the DuckDB oracle can replay the clustering; the PRODUCTION
+    * contract is k ∝ n (candidate volume is Σ|c|², so fixed k turns the
+    * linear axis quadratic as the corpus grows — `graft.ClusterKProbe`
+    * measures exactly that trade at ×10, where k 8→64 collapses the
+    * blow-up while mining from the same clustered structure).
+    */
+  private[graft] def hardNegatives(e: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val asg = kmeansAssignments(e, k).select("vec_id", "cluster")
+    val vecs = e.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val withVec = asg.join(vecs, "vec_id")
+    val pairs = withVec
+      .select(col("cluster"), col("vec_id").as("anchor"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      .join(withVec.select(col("cluster"), col("vec_id").as("neg"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("cluster"))
+      .filter(col("anchor") =!= col("neg"))
+      .withColumn("cosine", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 9))
+      .filter(col("cosine") >= 0.30 && col("cosine") < 0.42)
+      .select("anchor", "neg", "cosine")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor").orderBy(col("cosine").desc, col("neg"))
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 2)
+      .select("anchor", "rk", "neg", "cosine")
+      .orderBy("anchor", "rk")
+  }
+
+  /** Per-cluster population profile of the k-means blocking at cluster
+    * count `k`: (clusters, max population, Σ|c|² candidate pairs) — the
+    * cost model behind the k ∝ n contract, shared with ClusterKProbe.
+    */
+  private[graft] def clusterPairBudget(e: org.apache.spark.sql.DataFrame,
+      k: Int): (Long, Long, Long) = {
+    val sizes = kmeansAssignments(e, k).groupBy("cluster").count()
+    val row = sizes.agg(count(lit(1)), max(col("count")),
+      sum(col("count") * col("count"))).collect()(0)
+    (row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- k-means clustering (integer-exact Lloyd, SemDeDup stage 1) ----
@@ -345,26 +388,7 @@ object SimilarityQueries {
          |SELECT anchor, CAST(rk AS BIGINT) AS rk, neg, cosine
          |FROM r WHERE rk <= 2
          |ORDER BY anchor, rk""".stripMargin) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-      val asg = kmeansAssignments(e, k = 8).select("vec_id", "cluster")
-      val vecs = e.select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"))
-      val withVec = asg.join(vecs, "vec_id")
-      val pairs = withVec
-        .select(col("cluster"), col("vec_id").as("anchor"),
-          col("embedding").as("ea"), col("nrm").as("na"))
-        .join(withVec.select(col("cluster"), col("vec_id").as("neg"),
-          col("embedding").as("eb"), col("nrm").as("nb")), Seq("cluster"))
-        .filter(col("anchor") =!= col("neg"))
-        .withColumn("cosine", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 9))
-        .filter(col("cosine") >= 0.30 && col("cosine") < 0.42)
-        .select("anchor", "neg", "cosine")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("anchor").orderBy(col("cosine").desc, col("neg"))
-      pairs.withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 2)
-        .select("anchor", "rk", "neg", "cosine")
-        .orderBy("anchor", "rk")
+      hardNegatives(Tables.embeddings(s, d), k = 8)
     },
 
     // ----- Product quantization: PQ codes + ADC top-k (Jégou et al. 2011,
