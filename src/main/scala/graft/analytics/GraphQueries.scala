@@ -207,37 +207,33 @@ object GraphQueries {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"), col("l_suppkey"))
       .agg(count(lit(1)).as("w"))
-    val edges = pair.select(
-        (col("o_custkey").cast("long") * 2).as("src"),
-        (col("l_suppkey").cast("long") * 2 + 1).as("dst"), col("w"))
-      .unionAll(pair.select(
-        (col("l_suppkey").cast("long") * 2 + 1).as("src"),
-        (col("o_custkey").cast("long") * 2).as("dst"), col("w")))
-      // EAGER localCheckpoint: the edge list is referenced by every
-      // iteration's contribution join PLUS outw/nodes/init — purely
-      // declarative lineage re-derived the lineitem⋈orders aggregate ~8×
-      // per execution (measured: 6.6 s at sf0.1; checkpointed: the
-      // aggregate runs once). Originally lazy so DataFrame BUILD stayed
-      // action-free, but a lazy checkpoint with multiple consumers lets
-      // AQE's independent subtrees race into redundant materialization
-      // (the q_distinct_hll pathology — this query's reps showed the same
-      // decaying 34→16 CPU-s signature); eager pins the edge aggregate at
-      // one computation, and the build-time job is bench-billed anyway
-      // (Bench times build+action together). This is the per-round
-      // truncation the Scaladoc above prescribes for production, applied
-      // to the fixed-3-round face.
-      .stableCheckpoint()
-    val outw = edges.groupBy("src").agg(sum("w").as("wout"))
-    val e = edges.join(outw, "src") // (src, dst, w, wout)
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // EAGER checkpoint of the per-round probe frame (src, dst, w, wout),
+    // PRE-JOINED with the out-weight aggregate and PRE-PARTITIONED on the
+    // join key. Three effects, each measured when this replaced the r10
+    // shape (checkpoint of the bare edge list, outw/e re-derived per
+    // round):
+    //  1. the lineitem⋈orders aggregate AND the out-weight groupBy run
+    //     exactly once — before, every round's contribution join re-drove
+    //     the outw shuffle (ReuseExchange happened to dedupe some but not
+    //     all copies under AQE re-planning);
+    //  2. the checkpointed LogicalRDD retains HashPartitioning(src), so
+    //     each round's e⋈ranks join shuffles ONLY the (small) rank frame —
+    //     the edge side, the big one at scale, never moves again;
+    //  3. eager (never lazy) for the AQE-race reason in Checkpoints' doc.
+    val e = edges(pair).repartition(col("src")).stableCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct()
     // N reaches the per-node expressions via a broadcast 1-row aggregate —
     // never a driver collect (the bounded-crossJoin pattern the GDPR audit
-    // uses).
-    val n1 = nodes.agg(count(lit(1)).as("cnt"))
-    val init = nodes.crossJoin(broadcast(n1)).select(
-      col("node"),
-      expr(s"CAST($Scale DIV cnt AS BIGINT)").as("rank"),
-      expr(s"CAST(($Scale * 15) DIV (cnt * 100) AS BIGINT)").as("base"))
+    // uses). This face unrolls WITHOUT per-round checkpoints (the
+    // registered query is a finite 3-round DAG, and the spec unrolls ~30
+    // rounds for the convergence cross-check), so the round body must
+    // reference the evolving rank frame exactly ONCE: logical plans are
+    // trees, and a second reference per round doubles the tree per
+    // round — 2^k analysis blowup by round 30 (measured: DeduplicateRelations
+    // never returns). Hence the constant (node, base) frame is joined
+    // separately, and the fused delta-carrying [[step]] is reserved for
+    // the converged loop whose rounds are checkpointed leaves.
+    val init = initRanks(nodes)
     val nodesBase = init.select("node", "base")
     var ranks = init.select("node", "rank")
     for (_ <- 1 to iterations) {
@@ -262,14 +258,17 @@ object GraphQueries {
     * point). Rounds run until the MAX per-node absolute rank delta (in the
     * same ×10¹² fixed-point domain, so the test is integer-exact) falls to
     * `tolScaled` or below, capped at `maxIterations`. Each round costs the
-    * same two keyed shuffles as the fixed face plus one 1-row max-delta
-    * aggregate — the standard driver-visible fixed-point termination any
-    * Pregel loop pays — and each round's rank frame is checkpointed
-    * through [[graft.operators.Checkpoints]] (local by default, reliable
-    * under SPARK_GRAFT_CHECKPOINT_DIR), so lineage stays one round deep at
-    * any iteration count. Rounds-run-so-far agree bit-for-bit with the
-    * fixed-iteration face (GraphQueriesSpec proves it), so convergence
-    * changes WHEN you stop, never WHAT you compute.
+    * same two keyed shuffles as the fixed face — the termination test is
+    * NOT a third: [[step]] carries `|rank − prev rank|` as a column of the
+    * round's checkpointed frame, so the max-delta is a cheap scan of
+    * blocks the checkpoint just materialized (the r11 shape paid a whole
+    * extra node⋈node join per round for the same number). Each round's
+    * rank frame is checkpointed through [[graft.operators.Checkpoints]]
+    * (local by default, reliable under SPARK_GRAFT_CHECKPOINT_DIR), so
+    * lineage stays one round deep at any iteration count. Rounds-run-so-
+    * far agree bit-for-bit with the fixed-iteration face (GraphQueriesSpec
+    * proves it), so convergence changes WHEN you stop, never WHAT you
+    * compute.
     *
     * Returns (final ranks frame, rounds run, final max delta).
     */
@@ -282,37 +281,14 @@ object GraphQueries {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"), col("l_suppkey"))
       .agg(count(lit(1)).as("w"))
-    val edges = pair.select(
-        (col("o_custkey").cast("long") * 2).as("src"),
-        (col("l_suppkey").cast("long") * 2 + 1).as("dst"), col("w"))
-      .unionAll(pair.select(
-        (col("l_suppkey").cast("long") * 2 + 1).as("src"),
-        (col("o_custkey").cast("long") * 2).as("dst"), col("w")))
-      .stableCheckpoint()
-    val outw = edges.groupBy("src").agg(sum("w").as("wout"))
-    val e = edges.join(outw, "src")
-    val nodes = edges.select(col("src").as("node")).distinct()
-    val n1 = nodes.agg(count(lit(1)).as("cnt"))
-    val init = nodes.crossJoin(broadcast(n1)).select(
-      col("node"),
-      expr(s"CAST($Scale DIV cnt AS BIGINT)").as("rank"),
-      expr(s"CAST(($Scale * 15) DIV (cnt * 100) AS BIGINT)").as("base"))
-    val nodesBase = init.select("node", "base").stableCheckpoint()
-    var ranks = init.select("node", "rank").stableCheckpoint()
+    val e = edges(pair).repartition(col("src")).stableCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct()
+    var ranks = initRanks(nodes).stableCheckpoint()
     var rounds = 0
     var delta = Long.MaxValue
     while (delta > tolScaled && rounds < maxIterations) {
-      val contrib = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("(rank * w) DIV wout").as("c"))
-        .groupBy("node").agg(sum("c").as("sc"))
-      val next = nodesBase.join(contrib, Seq("node"), "left").select(
-        col("node"),
-        (col("base") + expr("(85 * coalesce(sc, 0)) DIV 100")).cast("long").as("rank"))
-        .stableCheckpoint()
-      delta = next.as("n").join(ranks.as("p"), col("n.node") === col("p.node"))
-        .agg(max(abs(col("n.rank") - col("p.rank"))).as("d"))
-        .collect()(0).getLong(0)
+      val next = step(e, ranks).stableCheckpoint()
+      delta = next.agg(max(col("dlt"))).collect()(0).getLong(0)
       ranks = next
       rounds += 1
     }
@@ -321,5 +297,58 @@ object GraphQueries {
       (col("node") % 2 === 0).as("is_customer"),
       expr("node DIV 2").as("entity_key"),
       col("rank").as("rank_scaled")), rounds, delta)
+  }
+
+  /** Symmetrized weighted edge list PRE-JOINED with its out-weight
+    * aggregate: (src, dst, w, wout). Built once per query and checkpointed
+    * by the callers — at 100 TB this is the only large frame, and
+    * re-deriving the wout groupBy per round (the r11 shape) re-shuffled it
+    * every iteration.
+    */
+  private def edges(pair: DataFrame): DataFrame = {
+    val es = pair.select(
+        (col("o_custkey").cast("long") * 2).as("src"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("dst"), col("w"))
+      .unionAll(pair.select(
+        (col("l_suppkey").cast("long") * 2 + 1).as("src"),
+        (col("o_custkey").cast("long") * 2).as("dst"), col("w")))
+    es.join(es.groupBy("src").agg(sum("w").as("wout")), "src")
+  }
+
+  /** Uniform start state (node, base, rank). `base` — the (1−d)/N
+    * teleport term — rides INSIDE the rank frame so each round joins the
+    * contribution aggregate once, against a single frame, instead of once
+    * against ranks and once against a separate base frame.
+    */
+  private def initRanks(nodes: DataFrame): DataFrame = {
+    val n1 = nodes.agg(count(lit(1)).as("cnt"))
+    nodes.crossJoin(broadcast(n1)).select(
+      col("node"),
+      expr(s"CAST(($Scale * 15) DIV (cnt * 100) AS BIGINT)").as("base"),
+      expr(s"CAST($Scale DIV cnt AS BIGINT)").as("rank"))
+  }
+
+  /** One PageRank round: r' = base + d·Σ_in (r·w) DIV W_out, d = 85/100,
+    * all integral. Returns (node, base, rank, dlt) where `dlt` is the
+    * per-node |r' − r| — free to compute here (both values are in hand)
+    * and what lets the convergence loop read its termination signal off
+    * the frame it checkpoints anyway. Two keyed shuffles: ranks→src for
+    * the contribution join (the checkpointed e side is already hash-
+    * partitioned on src and never moves), contributions→node for the sum.
+    *
+    * ONLY for loops that checkpoint each round: this body references
+    * `ranks` twice (contribution probe + delta base), which is fine
+    * against a LogicalRDD leaf but doubles an unrolled declarative tree
+    * per round — see the fixed face's comment.
+    */
+  private def step(e: DataFrame, ranks: DataFrame): DataFrame = {
+    val contrib = e
+      .join(ranks.select(col("node").as("src"), col("rank")), "src")
+      .select(col("dst").as("node"), expr("(rank * w) DIV wout").as("c"))
+      .groupBy("node").agg(sum("c").as("sc"))
+    val newRank = (col("base") + expr("(85 * coalesce(sc, 0)) DIV 100")).cast("long")
+    ranks.join(contrib, Seq("node"), "left").select(
+      col("node"), col("base"), newRank.as("rank"),
+      abs(newRank - col("rank")).as("dlt"))
   }
 }
