@@ -284,6 +284,72 @@ object CdcShapeQueries {
           min(k).as("min_k"),
           max(k).as("max_k"))
         .orderBy("event_type")
+    },
+
+    // ----- Consistent cut across unevenly-progressing CDC feeds -----
+    // A multi-table sync never has its per-table feeds at the same point:
+    // each source partition/table stream carries its own high-water mark,
+    // and the only transactionally-consistent snapshot the destination can
+    // expose is "everything at or below the SLOWEST feed's high-water
+    // mark" — the min-of-max safe watermark (the same cut rule Flink's
+    // aligned checkpoints and Debezium's snapshot chunk watermarking use).
+    // Here the feed is multiplexed into 4 shards (user_id % 4 — disjoint
+    // key spaces, like per-table streams); the query derives each shard's
+    // high-water mark, cuts at the global minimum, reconstructs latest-wins
+    // state at the cut, and reports per shard: the lag the cut imposes on
+    // faster feeds, events applied, live keys, and tombstoned keys.
+    //
+    // Scale: the watermark is a 4-row aggregate broadcast back into the
+    // scan filter (never a driver collect); the reconstruction is the same
+    // single-exchange latest-wins window as q_cdc_latest_per_key; the
+    // final per-shard rollups are map-side combined to 4 rows each.
+    QueryDef(
+      "q_cdc_consistent_cut",
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec,
+        |         CAST(user_id % 4 AS BIGINT) AS shard
+        |  FROM events),
+        |hwm AS (SELECT shard, MAX(ts_sec) AS hwm_sec FROM ev GROUP BY 1),
+        |cut AS (SELECT MIN(hwm_sec) AS cut_sec FROM hwm),
+        |upto AS (SELECT ev.* FROM ev CROSS JOIN cut WHERE ts_sec <= cut_sec),
+        |latest AS (
+        |  SELECT shard, event_type FROM (
+        |    SELECT shard, event_type,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id
+        |                              ORDER BY ts_sec DESC, event_id DESC) AS rn
+        |    FROM upto) t WHERE rn = 1),
+        |applied AS (SELECT shard, COUNT(*) AS n_events_applied FROM upto GROUP BY 1),
+        |keys AS (SELECT shard, COUNT(*) AS n_keys,
+        |                CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned
+        |         FROM latest GROUP BY 1)
+        |SELECT h.shard, h.hwm_sec, c.cut_sec,
+        |       h.hwm_sec - c.cut_sec AS lag_sec,
+        |       a.n_events_applied, k.n_keys, k.n_tombstoned
+        |FROM hwm h CROSS JOIN cut c
+        |JOIN applied a ON a.shard = h.shard
+        |JOIN keys k ON k.shard = h.shard
+        |ORDER BY h.shard""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("ts_sec"),
+        (col("user_id") % 4).cast("long").as("shard"))
+      val hwm = ev.groupBy("shard").agg(max("ts_sec").as("hwm_sec"))
+      val cut = hwm.agg(min("hwm_sec").as("cut_sec"))
+      val upto = ev.crossJoin(broadcast(cut)).filter(col("ts_sec") <= col("cut_sec"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_sec").desc, col("event_id").desc)
+      val latest = upto.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val applied = upto.groupBy("shard").agg(count(lit(1)).as("n_events_applied"))
+      val keys = latest.groupBy("shard").agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_tombstoned"))
+      hwm.crossJoin(broadcast(cut))
+        .join(applied, "shard")
+        .join(keys, "shard")
+        .select(col("shard"), col("hwm_sec"), col("cut_sec"),
+          (col("hwm_sec") - col("cut_sec")).as("lag_sec"),
+          col("n_events_applied"), col("n_keys"), col("n_tombstoned"))
+        .orderBy("shard")
     }
   )
 }

@@ -148,6 +148,101 @@ object LayoutQueries {
           sum(col("l_quantity").cast("long")).as("sum_qty"),
           sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"))
         .orderBy("o_orderpriority")
+    },
+
+    // ----- Bloom-filter file-skipping index (point-predicate pruning) ----
+    // The complement of q_zorder_layout's zone maps: min/max ranges prune
+    // RANGE predicates on the layout's sort dimensions, but a point lookup
+    // on a column the layout scatters (here: customer key in an
+    // orderkey-laid-out table) hits every file's [min,max]. A per-file
+    // Bloom filter over that column (the technique behind Delta/Parquet
+    // column Bloom indexes) answers "might file f contain v?" from index
+    // metadata alone — no false negatives ever, false positives at the
+    // fill-factor rate, so a point lookup reads the handful of files the
+    // index admits and the exact predicate re-verifies inside them.
+    //
+    // Everything is cross-engine exact: rows land in 32 "files" by
+    // o_orderkey % 32, each file's filter is the DISTINCT set of 16-bit
+    // positions from k=2 md5-derived hashes per value (the md5Hi64 hex
+    // chain — DuckDB rebuilds identical positions from substr(md5(..)));
+    // the gate hash-matches the full per-(file, probe) decision table:
+    // bloom verdict AND ground truth, for present keys and an absent one.
+    // BloomFileskipSpec asserts the no-false-negative invariant on top.
+    //
+    // Scale: the index is ONE distinct-aggregate over the scan (map-side
+    // combined; ≤ 2·distinct values per file, capped at 2¹⁶ positions);
+    // probes are a broadcast few-row join against the index — the data
+    // files are never touched to answer "which files". In a real write
+    // path the positions fold into m/64 BIGINT words via bit_or (exactly
+    // functions.BloomFilters.build) and live in the table's commit
+    // metadata, read by the planner before any scan is scheduled.
+    QueryDef(
+      "q_bloom_fileskip",
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey % 32 AS BIGINT) AS file,
+        |         CAST(o_custkey AS BIGINT) AS cust
+        |  FROM orders),
+        |bits AS (
+        |  SELECT DISTINCT file, pos FROM (
+        |    SELECT file, CAST(('0x' || substr(md5('b0:' || CAST(cust AS VARCHAR)), 1, 4)) AS BIGINT) AS pos FROM base
+        |    UNION ALL
+        |    SELECT file, CAST(('0x' || substr(md5('b1:' || CAST(cust AS VARCHAR)), 1, 4)) AS BIGINT) FROM base) t),
+        |file_stats AS (SELECT file, COUNT(*) AS n_rows FROM base GROUP BY 1),
+        |bits_set AS (SELECT file, COUNT(*) AS bits_set FROM bits GROUP BY 1),
+        |probes AS (SELECT CAST(UNNEST([7, 421, 1399, 999999999]) AS BIGINT) AS probe_cust),
+        |seeds AS (SELECT UNNEST([0, 1]) AS seed),
+        |probe_pos AS (
+        |  SELECT probe_cust, seed,
+        |         CAST(('0x' || substr(md5('b' || CAST(seed AS VARCHAR) || ':' || CAST(probe_cust AS VARCHAR)), 1, 4)) AS BIGINT) AS pos
+        |  FROM probes CROSS JOIN seeds),
+        |matched AS (
+        |  SELECT file, probe_cust, COUNT(DISTINCT seed) AS n_seed_hits
+        |  FROM bits JOIN probe_pos USING (pos)
+        |  GROUP BY 1, 2),
+        |truth AS (SELECT DISTINCT file, probe_cust
+        |          FROM base JOIN probes ON cust = probe_cust)
+        |SELECT f.file, p.probe_cust, f.n_rows, b.bits_set,
+        |       COALESCE(m.n_seed_hits, 0) = 2 AS bloom_maybe,
+        |       t.probe_cust IS NOT NULL AS truly_contains
+        |FROM file_stats f JOIN bits_set b USING (file)
+        |CROSS JOIN probes p
+        |LEFT JOIN matched m ON m.file = f.file AND m.probe_cust = p.probe_cust
+        |LEFT JOIN truth t ON t.file = f.file AND t.probe_cust = p.probe_cust
+        |ORDER BY f.file, p.probe_cust""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graft.SketchExpressions
+      val base = Tables.orders(s, d).select(
+        (col("o_orderkey") % 32).cast("long").as("file"),
+        col("o_custkey").cast("long").as("cust"))
+      // 16-bit position = top 16 digest bits, the proven md5 hex-chain
+      // parity (DuckDB reads the same bits as the first 4 hex digits)
+      def bpos(seed: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+        shiftrightunsigned(SketchExpressions.md5Hi64(
+          concat(lit("b"), seed.cast("string"), lit(":"), v.cast("string"))), 48)
+      val bits = base.select(col("file"),
+          explode(array(bpos(lit(0), col("cust")), bpos(lit(1), col("cust")))).as("pos"))
+        .distinct()
+      val fileStats = base.groupBy("file").agg(count(lit(1)).as("n_rows"))
+      val bitsSet = bits.groupBy("file").agg(count(lit(1)).as("bits_set"))
+      val probes = s.range(1)
+        .select(explode(typedLit(Seq(7L, 421L, 1399L, 999999999L))).as("probe_cust"))
+      val probePos = probes
+        .crossJoin(s.range(1).select(explode(typedLit(Seq(0, 1))).as("seed")))
+        .select(col("probe_cust"), col("seed"),
+          bpos(col("seed"), col("probe_cust")).as("pos"))
+      val matched = bits.join(broadcast(probePos), Seq("pos"))
+        .select("file", "probe_cust", "seed").distinct()
+        .groupBy("file", "probe_cust").agg(count(lit(1)).as("n_seed_hits"))
+      val truth = base.join(broadcast(probes), col("cust") === col("probe_cust"))
+        .select("file", "probe_cust").distinct()
+        .withColumn("truly_contains", lit(true))
+      fileStats.join(bitsSet, "file")
+        .crossJoin(broadcast(probes))
+        .join(matched, Seq("file", "probe_cust"), "left")
+        .join(truth, Seq("file", "probe_cust"), "left")
+        .select(col("file"), col("probe_cust"), col("n_rows"), col("bits_set"),
+          (coalesce(col("n_seed_hits"), lit(0L)) === 2).as("bloom_maybe"),
+          coalesce(col("truly_contains"), lit(false)).as("truly_contains"))
+        .orderBy("file", "probe_cust")
     }
   )
 }

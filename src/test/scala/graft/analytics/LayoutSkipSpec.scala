@@ -1,0 +1,40 @@
+package graft.analytics
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Properties of the Bloom file-skipping index (q_bloom_fileskip) that the
+  * cross-engine hash gate cannot state on its own: the index is a sound
+  * pruning oracle (never a false negative — skipping a file the value
+  * lives in would silently lose rows), and it actually prunes (the absent
+  * probe key must skip files, or the index is dead weight). The consistent
+  * cut's safe-watermark law rides along: the cut is the minimum of the
+  * per-shard high-water marks, so exactly one shard has zero lag and no
+  * shard's applied events can exceed its own high-water mark.
+  */
+class LayoutSkipSpec extends SparkSpec {
+
+  test("bloom fileskip: no false negatives, and the absent key skips files") {
+    val rows = SparkEntry.queries("q_bloom_fileskip")(spark, sf()).collect()
+    assert(rows.length == 32 * 4, s"expected 32 files x 4 probes, got ${rows.length}")
+    val fn = rows.filter(r => r.getBoolean(5) && !r.getBoolean(4))
+    assert(fn.isEmpty,
+      s"false negatives (truly_contains but bloom says skip): ${fn.mkString(", ")}")
+    // the absent key (999999999) must be prunable somewhere: with ~2%
+    // fill at sf0.001 essentially every file is skipped, and even a
+    // saturated filter may only degrade toward read-everything
+    val absent = rows.filter(_.getLong(1) == 999999999L)
+    assert(absent.forall(r => !r.getBoolean(5)), "absent key claims containment")
+    assert(absent.count(!_.getBoolean(4)) > 0,
+      "absent probe key skipped zero files — the index never prunes")
+  }
+
+  test("consistent cut: min-of-max watermark, one zero-lag shard, applied <= hwm") {
+    val rows = SparkEntry.queries("q_cdc_consistent_cut")(spark, sf()).collect()
+    assert(rows.length == 4)
+    val cut = rows.map(_.getLong(2)).distinct
+    assert(cut.length == 1, s"cut_sec differs across shards: ${cut.mkString(",")}")
+    assert(cut.head == rows.map(_.getLong(1)).min, "cut is not min of shard hwms")
+    assert(rows.count(_.getLong(3) == 0L) >= 1, "no shard sits exactly at the cut")
+    assert(rows.forall(r => r.getLong(3) == r.getLong(1) - cut.head), "lag law broken")
+  }
+}
