@@ -350,6 +350,97 @@ object CdcShapeQueries {
           (col("hwm_sec") - col("cut_sec")).as("lag_sec"),
           col("n_events_applied"), col("n_keys"), col("n_tombstoned"))
         .orderBy("shard")
+    },
+
+    // ----- Chunked bootstrap under a live stream (DBLog reconciliation) --
+    // A 100 TB table cannot be snapshotted in one read while its change
+    // stream flows; the public answer (Netflix DBLog, 2019; Debezium's
+    // incremental snapshot) reads the key space in CHUNKS, each at its own
+    // stream position, and reconciles: a chunk row is authoritative only
+    // until the stream produces a later event for that key — then the
+    // stream wins. Modeled exactly: the bootstrap is evaluated at feed
+    // position P (Jan 30); chunk = key % 8, chunk i's snapshot watermark
+    // w_i = Jan 28 + 6i hours (chunks read sequentially while the feed
+    // advances), chunk row = latest-wins state at w_i, stream = events in
+    // (w_i, P]. Final state per key = latest stream event if one exists,
+    // else the chunk row — both paths genuinely taken at every sf (keys
+    // quiet since their chunk read finalize from the snapshot; hot keys
+    // get overridden). The output carries the per-chunk
+    // reconciliation ledger AND the proof obligation: n_state_matches
+    // (chunked-bootstrap state == direct latest-wins truth, by event id)
+    // must equal n_keys on every row — the gate hash-matches that claim
+    // cross-engine instead of trusting this comment.
+    //
+    // Scale: chunk id and watermark are map-only expressions of the key
+    // (no chunk table, no join to assign them); the three per-key frames
+    // (truth / chunk row / stream head) are windows over the SAME key
+    // exchange; the ledger is a map-side-combined 8-row rollup.
+    QueryDef(
+      "q_cdc_chunked_bootstrap",
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec,
+        |         CAST(user_id % 8 AS BIGINT) AS chunk,
+        |         1706400000 + CAST(user_id % 8 AS BIGINT) * 21600 AS w_sec
+        |  FROM events
+        |  WHERE CAST(FLOOR(EPOCH(ts)) AS BIGINT) <= 1706572800),
+        |truth AS (
+        |  SELECT chunk, w_sec, user_id, event_id AS truth_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                 ORDER BY ts_sec DESC, event_id DESC) AS rn
+        |    FROM ev) t WHERE rn = 1),
+        |snap AS (
+        |  SELECT user_id, event_id AS snap_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                 ORDER BY ts_sec DESC, event_id DESC) AS rn
+        |    FROM ev WHERE ts_sec <= w_sec) t WHERE rn = 1),
+        |stream AS (
+        |  SELECT user_id, event_id AS stream_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                 ORDER BY ts_sec DESC, event_id DESC) AS rn
+        |    FROM ev WHERE ts_sec > w_sec) t WHERE rn = 1),
+        |merged AS (
+        |  SELECT t.chunk, t.w_sec, t.truth_id, s.snap_id, m.stream_id,
+        |         COALESCE(m.stream_id, s.snap_id) AS final_id
+        |  FROM truth t
+        |  LEFT JOIN snap s ON s.user_id = t.user_id
+        |  LEFT JOIN stream m ON m.user_id = t.user_id)
+        |SELECT chunk, w_sec,
+        |       COUNT(*) AS n_keys,
+        |       CAST(SUM(CASE WHEN snap_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_snapshot_rows,
+        |       CAST(SUM(CASE WHEN stream_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_final_from_stream,
+        |       CAST(SUM(CASE WHEN stream_id IS NULL AND snap_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_final_from_snapshot,
+        |       CAST(SUM(CASE WHEN final_id = truth_id THEN 1 ELSE 0 END) AS BIGINT) AS n_state_matches
+        |FROM merged
+        |GROUP BY chunk, w_sec
+        |ORDER BY chunk""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        col("ts").cast("long").as("ts_sec"),
+        (col("user_id") % 8).cast("long").as("chunk"),
+        (lit(1706400000L) + (col("user_id") % 8).cast("long") * 21600L).as("w_sec"))
+        .filter(col("ts_sec") <= 1706572800L)
+      val w = Window.partitionBy("user_id").orderBy(col("ts_sec").desc, col("event_id").desc)
+      def head(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as(as))
+      val truth = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("chunk"), col("w_sec"), col("user_id"), col("event_id").as("truth_id"))
+      val snap = head(ev.filter(col("ts_sec") <= col("w_sec")), "snap_id")
+      val stream = head(ev.filter(col("ts_sec") > col("w_sec")), "stream_id")
+      truth
+        .join(snap, Seq("user_id"), "left")
+        .join(stream, Seq("user_id"), "left")
+        .withColumn("final_id", coalesce(col("stream_id"), col("snap_id")))
+        .groupBy("chunk", "w_sec")
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(when(col("snap_id").isNotNull, 1L).otherwise(0L)).as("n_snapshot_rows"),
+          sum(when(col("stream_id").isNotNull, 1L).otherwise(0L)).as("n_final_from_stream"),
+          sum(when(col("stream_id").isNull && col("snap_id").isNotNull, 1L).otherwise(0L))
+            .as("n_final_from_snapshot"),
+          sum(when(col("final_id") === col("truth_id"), 1L).otherwise(0L)).as("n_state_matches"))
+        .orderBy("chunk")
     }
   )
 }

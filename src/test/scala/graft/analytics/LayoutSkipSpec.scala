@@ -37,4 +37,19 @@ class LayoutSkipSpec extends SparkSpec {
     assert(rows.count(_.getLong(3) == 0L) >= 1, "no shard sits exactly at the cut")
     assert(rows.forall(r => r.getLong(3) == r.getLong(1) - cut.head), "lag law broken")
   }
+
+  test("chunked bootstrap: reconciled state equals truth, both sources exercised") {
+    val rows = SparkEntry.queries("q_cdc_chunked_bootstrap")(spark, sf()).collect()
+    assert(rows.length == 8)
+    // the whole point: every chunk's reconciled state matches the direct
+    // latest-wins snapshot key-for-key
+    assert(rows.forall(r => r.getLong(6) == r.getLong(2)),
+      s"chunked state diverges from truth: ${rows.mkString("; ")}")
+    // the scenario is non-trivial only if some keys finalize from the chunk
+    // row AND some get overridden by the stream
+    assert(rows.map(_.getLong(4)).sum > 0, "stream never overrode a chunk row")
+    assert(rows.map(_.getLong(5)).sum > 0, "no key finalized from its chunk row")
+    // later chunks snapshot later -> monotone watermarks
+    assert(rows.sortBy(_.getLong(0)).map(_.getLong(1)).sliding(2).forall(p => p(0) < p(1)))
+  }
 }
