@@ -83,24 +83,7 @@ object DebeziumSource {
   def parse(raw: DataFrame, keyCols: Map[String, String]): Dataset[CdcEvent] = {
     val spark = raw.sparkSession
     import spark.implicits._
-    val env = raw
-      .select(from_json(col("value"), envelopeSchema).as("e"))
-      .select(coalesce(col("e.payload.op"), col("e.op")).as("dop"),
-        coalesce(col("e.payload.before"), col("e.before")).as("before"),
-        coalesce(col("e.payload.after"), col("e.after")).as("after"),
-        coalesce(col("e.payload.source.table"), col("e.source.table")).as("table"),
-        coalesce(col("e.payload.source.lsn"), col("e.source.lsn")).as("lsn"),
-        coalesce(col("e.payload.source.ts_ms"), col("e.source.ts_ms"),
-          col("e.payload.ts_ms"), col("e.ts_ms")).as("ts_ms"))
-    env
-      .withColumn("op",
-        when(col("dop").isin("c", "r"), CdcOp.Insert)
-          .when(col("dop") === "u", CdcOp.Update)
-          .when(col("dop") === "d", CdcOp.Delete))
-      .withColumn("keyCol", element_at(keyColMap(keyCols), col("table")))
-      .withColumn("key",
-        element_at(coalesce(col("after"), col("before")), col("keyCol"))
-          .cast("long"))
+    decoded(raw, keyCols)
       .filter(col("op").isNotNull && col("table").isNotNull &&
         col("keyCol").isNotNull && col("lsn").isNotNull && col("key").isNotNull)
       .select(
@@ -117,6 +100,61 @@ object DebeziumSource {
           .otherwise(map_filter(col("after"), (k, _) => k =!= col("keyCol")))
           .as("after"))
       .as[CdcEvent]
+  }
+
+  /** [[parse]] plus a dead-letter queue: the same decode, but every line
+    * the event path would silently drop is ROUTED instead — (raw value,
+    * reason) — because at production volume "dropped" must be observable
+    * and replayable, not an inference from count deltas. Reasons are
+    * checked in drop-cause order: `malformed` (no decodable op — parse
+    * failures, heartbeats, empty lines), `unpublished_table` (a table
+    * outside the publication map — benign if the publication is a strict
+    * subset, an alert if it isn't), `missing_lsn` / `missing_key` (envelope
+    * damage a replay needs to know about). The split is two filters over
+    * one decoded frame — both sides stay codegen'd projections; nothing is
+    * parsed twice by the engine's one JSON decode per line.
+    *
+    * Intentionally only an OPERATIONAL face: heartbeats arrive at a steady
+    * rate by design, so a deployment sinks the DLQ with a journal-style
+    * append and alerts on reason-mix change, not volume.
+    */
+  def parseWithDlq(raw: DataFrame, keyCols: Map[String, String])
+      : (Dataset[CdcEvent], DataFrame) = {
+    val dlq = decoded(raw, keyCols)
+      .withColumn("reason",
+        when(col("op").isNull || col("table").isNull, "malformed")
+          .when(col("keyCol").isNull, "unpublished_table")
+          .when(col("lsn").isNull, "missing_lsn")
+          .when(col("key").isNull, "missing_key"))
+      .filter(col("reason").isNotNull)
+      .select(col("value"), col("reason"))
+    (parse(raw, keyCols), dlq)
+  }
+
+  /** Shared decode: envelope JSON → op/images/table/lsn/ts plus the
+    * per-table key column and the resolved key. Keeps [[parse]] and the
+    * DLQ split reading ONE `from_json` of each line.
+    */
+  private def decoded(raw: DataFrame, keyCols: Map[String, String]): DataFrame = {
+    val env = raw
+      .select(col("value"), from_json(col("value"), envelopeSchema).as("e"))
+      .select(col("value"),
+        coalesce(col("e.payload.op"), col("e.op")).as("dop"),
+        coalesce(col("e.payload.before"), col("e.before")).as("before"),
+        coalesce(col("e.payload.after"), col("e.after")).as("after"),
+        coalesce(col("e.payload.source.table"), col("e.source.table")).as("table"),
+        coalesce(col("e.payload.source.lsn"), col("e.source.lsn")).as("lsn"),
+        coalesce(col("e.payload.source.ts_ms"), col("e.source.ts_ms"),
+          col("e.payload.ts_ms"), col("e.ts_ms")).as("ts_ms"))
+    env
+      .withColumn("op",
+        when(col("dop").isin("c", "r"), CdcOp.Insert)
+          .when(col("dop") === "u", CdcOp.Update)
+          .when(col("dop") === "d", CdcOp.Delete))
+      .withColumn("keyCol", element_at(keyColMap(keyCols), col("table")))
+      .withColumn("key",
+        element_at(coalesce(col("after"), col("before")), col("keyCol"))
+          .cast("long"))
   }
 
   /** Streaming file feed of Debezium JSON lines (the stand-in for a Kafka

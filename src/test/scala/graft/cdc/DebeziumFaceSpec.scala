@@ -82,6 +82,30 @@ class DebeziumFaceSpec extends SparkSpec {
     assert(out(0).op == CdcOp.Insert && out(0).key == 7L && out(0).lsn == 10L)
   }
 
+  test("dead-letter queue routes every dropped line with its drop cause") {
+    val good =
+      """{"before":null,"after":{"appointment_id":"7","status":"scheduled"},""" +
+        """"source":{"table":"appointments","lsn":10,"ts_ms":1736899200000},"op":"r"}"""
+    val heartbeat = """{"op":"m","ts_ms":1736899200000}"""
+    val foreign =
+      """{"after":{"x":"1"},"source":{"table":"not_published","lsn":11,"ts_ms":0},"op":"c"}"""
+    val broken = """{"op": nope"""
+    val noLsn =
+      """{"after":{"appointment_id":"8"},"source":{"table":"appointments","ts_ms":0},"op":"c"}"""
+    val noKey =
+      """{"after":{"status":"x"},"source":{"table":"appointments","lsn":12,"ts_ms":0},"op":"c"}"""
+    val raw = Seq(good, heartbeat, foreign, broken, noLsn, noKey).toDF("value")
+    val (events, dlq) = DebeziumSource.parseWithDlq(raw, keyCols)
+    assert(events.collect().map(_.key).toSeq == Seq(7L))
+    val reasons = dlq.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(reasons == Map(
+      heartbeat -> "malformed", broken -> "malformed",
+      foreign -> "unpublished_table",
+      noLsn -> "missing_lsn", noKey -> "missing_key"))
+    // conservation: every input line is exactly one of event or DLQ row
+    assert(events.count() + dlq.count() == raw.count())
+  }
+
   test("delete key resolves from the PK-only before image") {
     val line =
       """{"payload":{"before":{"appointment_id":42},"after":null,""" +
