@@ -415,7 +415,19 @@ object FamilyScaleProbe {
       // bucketBy write, linear in the fact rows) + the co-located serve;
       // the PROBE's timed rep is the serve (warm rep materializes), whose
       // scan grows linearly with zero shuffle on the key at any size.
-      "bucketed_join" -> registered("q_bucketed_join"))
+      "bucketed_join" -> registered("q_bucketed_join"),
+      // round-12 additions, all UNCAPPED registered faces. consistent_cut
+      // and chunked_bootstrap are one latest-wins window over the key
+      // exchange plus constant-size rollups — keys grow 10×, per-key state
+      // constant. bloom_fileskip's build is two map-side-combined
+      // aggregates over the scan; at ×10 each file's 2¹⁶-bit filter
+      // SATURATES by design (bits_set caps, every probe reads "maybe") —
+      // the probe measures that the BUILD stays linear; production sizes
+      // m with rows-per-file (the Scaladoc's knob), which the gate keeps
+      // fixed for the DuckDB replay.
+      "consistent_cut" -> registered("q_cdc_consistent_cut"),
+      "chunked_bootstrap" -> registered("q_cdc_chunked_bootstrap"),
+      "bloom_fileskip" -> registered("q_bloom_fileskip"))
     familyFilter.foreach { names =>
       val unknown = names.diff(allFamilies.map(_._1).toSet + "incremental")
       require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")
