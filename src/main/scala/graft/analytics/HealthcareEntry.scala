@@ -509,6 +509,91 @@ object HealthcareEntry {
     QueryDef("hc_cdc_debezium", changeVolumeSql)((s, _) =>
       HealthcareQueries.changeVolume(HealthcareData.debeziumLiveTables(s))),
 
+    /** Replication divergence detector — the strong form of the reference's
+      * verify-snapshot step (sql/2.verify_snapshot.sql compares counts; a
+      * checksum compares CONTENT). One order-independent checksum per live
+      * appointments store: every row renders to a canonical string (fixed
+      * column order, fixed timestamp format, NULL sentinel), hashes through
+      * the md5 hex chain, and the top 40 bits SUM over rows — commutative,
+      * so partitioning/parallelism cannot move the value, and any single
+      * changed/missing/extra row almost surely does. All four sink
+      * implementations (whole-table merge, bucketed per-bucket merge,
+      * streaming foreachBatch, Debezium wire replay) must land on the ONE
+      * value the oracle derives from the flat dump — four independently-
+      * built stores proven identical row-for-row, not just count-identical.
+      *
+      * The checksum covers the CLOCK-INDEPENDENT replica content: all
+      * business columns, the soft-delete flag, `updated_at IS NOT NULL`,
+      * and the per-row `_cdc_lsn` high-water mark. The raw
+      * `_snowflake_inserted_at`/`_snowflake_updated_at` values are
+      * deliberately OUT: they are destination apply-clock readings, and
+      * this very gate caught them diverging (first checksum run: flat and
+      * bucketed stamp each staged batch's recorded time, e.g. 12:30;
+      * the streaming and Debezium replays stamp their own apply clock,
+      * 13:00 — same rows, same lsns, different ingestion clocks). That is
+      * the correct semantics of an ingestion timestamp, so the gate pins
+      * what replicas MUST agree on and leaves the clock reading to each
+      * sink's deployment.
+      *
+      * Scale: a map-only projection + a 1-row map-side-combined aggregate
+      * per store — the cheapest possible full-content comparison of a
+      * replica (no sort, no join, one scan each side), which is exactly
+      * why checksum-based replica validation is the production pattern.
+      */
+    QueryDef(
+      "hc_cdc_store_checksum", {
+        def cks(alias: String) =
+          s"""SELECT '$alias' AS store, COUNT(*) AS n_rows,
+             |  CAST(SUM(CAST(('0x' || substr(md5(
+             |    concat_ws('|',
+             |      COALESCE(CAST(appointment_id AS VARCHAR), '~'),
+             |      COALESCE(CAST(patient_id AS VARCHAR), '~'),
+             |      COALESCE(CAST(doctor_id AS VARCHAR), '~'),
+             |      COALESCE(CAST(appointment_date AS VARCHAR), '~'),
+             |      COALESCE(appointment_time, '~'),
+             |      COALESCE(status, '~'),
+             |      COALESCE(reason_for_visit, '~'),
+             |      COALESCE(appointment_type, '~'),
+             |      COALESCE(STRFTIME(created_at, '%Y-%m-%d %H:%M:%S'), '~'),
+             |      COALESCE(STRFTIME(updated_at, '%Y-%m-%d %H:%M:%S'), '~'),
+             |      CAST(_snowflake_updated_at IS NOT NULL AS VARCHAR),
+             |      COALESCE(CAST(_snowflake_deleted AS VARCHAR), '~'),
+             |      COALESCE(CAST(_cdc_lsn AS VARCHAR), '~'))), 1, 10)) AS BIGINT)) AS BIGINT)
+             |    AS content_checksum
+             |FROM $AL""".stripMargin
+        Seq("bucketed", "debezium", "flat", "streamed").map(cks)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY store")
+      })((s, _) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.graft.SketchExpressions
+      def face(label: String, t: HealthcareTables): DataFrame = {
+        val rendered = Seq(
+          col("appointment_id").cast("string"),
+          col("patient_id").cast("string"),
+          col("doctor_id").cast("string"),
+          col("appointment_date").cast("string"),
+          col("appointment_time"),
+          col("status"),
+          col("reason_for_visit"),
+          col("appointment_type"),
+          date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss"),
+          date_format(col("updated_at"), "yyyy-MM-dd HH:mm:ss"),
+          col("_snowflake_updated_at").isNotNull.cast("string"),
+          col("_snowflake_deleted").cast("string"),
+          col("_cdc_lsn").cast("string"))
+        val payload = concat_ws("|", rendered.map(c => coalesce(c, lit("~"))): _*)
+        t.appointments
+          .select(shiftrightunsigned(SketchExpressions.md5Hi64(payload), 24).as("h"))
+          .agg(count(lit(1)).as("n_rows"), sum("h").as("content_checksum"))
+          .select(lit(label).as("store"), col("n_rows"), col("content_checksum"))
+      }
+      face("flat", HealthcareData.liveTables(s))
+        .unionByName(face("bucketed", HealthcareData.bucketedLiveTables(s)))
+        .unionByName(face("streamed", HealthcareData.streamedLiveTables(s)))
+        .unionByName(face("debezium", HealthcareData.debeziumLiveTables(s)))
+        .orderBy("store")
+    }),
+
     /** The 60 s sync-cadence SLA as an oracle-gated fact: per-batch apply
       * latencies recorded from the REAL streamed replay's progress
       * (CdcMetrics), aggregated against the budget in both engines.
