@@ -325,10 +325,12 @@ object CdcShapeQueries {
         |         FROM latest GROUP BY 1)
         |SELECT h.shard, h.hwm_sec, c.cut_sec,
         |       h.hwm_sec - c.cut_sec AS lag_sec,
-        |       a.n_events_applied, k.n_keys, k.n_tombstoned
+        |       COALESCE(a.n_events_applied, 0) AS n_events_applied,
+        |       COALESCE(k.n_keys, 0) AS n_keys,
+        |       COALESCE(k.n_tombstoned, 0) AS n_tombstoned
         |FROM hwm h CROSS JOIN cut c
-        |JOIN applied a ON a.shard = h.shard
-        |JOIN keys k ON k.shard = h.shard
+        |LEFT JOIN applied a ON a.shard = h.shard
+        |LEFT JOIN keys k ON k.shard = h.shard
         |ORDER BY h.shard""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d).select(
         col("user_id"), col("event_id"), col("event_type"),
@@ -343,12 +345,18 @@ object CdcShapeQueries {
       val keys = latest.groupBy("shard").agg(
         count(lit(1)).as("n_keys"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_tombstoned"))
+      // LEFT joins: a shard whose every event sits ABOVE the cut (a feed
+      // that only started after the slowest feed's high-water mark) still
+      // reports its row — with its lag and zero applied — instead of
+      // silently vanishing from the ledger
       hwm.crossJoin(broadcast(cut))
-        .join(applied, "shard")
-        .join(keys, "shard")
+        .join(applied, Seq("shard"), "left")
+        .join(keys, Seq("shard"), "left")
         .select(col("shard"), col("hwm_sec"), col("cut_sec"),
           (col("hwm_sec") - col("cut_sec")).as("lag_sec"),
-          col("n_events_applied"), col("n_keys"), col("n_tombstoned"))
+          coalesce(col("n_events_applied"), lit(0L)).as("n_events_applied"),
+          coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+          coalesce(col("n_tombstoned"), lit(0L)).as("n_tombstoned"))
         .orderBy("shard")
     },
 
@@ -372,9 +380,14 @@ object CdcShapeQueries {
     // cross-engine instead of trusting this comment.
     //
     // Scale: chunk id and watermark are map-only expressions of the key
-    // (no chunk table, no join to assign them); the three per-key frames
-    // (truth / chunk row / stream head) are windows over the SAME key
-    // exchange; the ledger is a map-side-combined 8-row rollup.
+    // (no chunk table, no join to assign them). The three per-key heads
+    // (truth / chunk row / stream head) are CONDITIONAL ARGMAXES in one
+    // per-key aggregate: the latest-wins order (ts_sec, event_id) packs
+    // into one BIGINT (ts_sec·2³¹ + event_id — exact while event ids stay
+    // below 2³¹ and epoch seconds below ~2³², both asserted by the pack
+    // staying positive), so MAX(CASE WHEN side THEN packed END) picks each
+    // side's head with map-side combine — ONE key exchange, no windows, no
+    // joins; the ledger is a second map-side-combined 8-row rollup.
     QueryDef(
       "q_cdc_chunked_bootstrap",
       """WITH ev AS (
@@ -384,34 +397,19 @@ object CdcShapeQueries {
         |         1706400000 + CAST(user_id % 8 AS BIGINT) * 21600 AS w_sec
         |  FROM events
         |  WHERE CAST(FLOOR(EPOCH(ts)) AS BIGINT) <= 1706572800),
-        |truth AS (
-        |  SELECT chunk, w_sec, user_id, event_id AS truth_id FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-        |                                 ORDER BY ts_sec DESC, event_id DESC) AS rn
-        |    FROM ev) t WHERE rn = 1),
-        |snap AS (
-        |  SELECT user_id, event_id AS snap_id FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-        |                                 ORDER BY ts_sec DESC, event_id DESC) AS rn
-        |    FROM ev WHERE ts_sec <= w_sec) t WHERE rn = 1),
-        |stream AS (
-        |  SELECT user_id, event_id AS stream_id FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-        |                                 ORDER BY ts_sec DESC, event_id DESC) AS rn
-        |    FROM ev WHERE ts_sec > w_sec) t WHERE rn = 1),
-        |merged AS (
-        |  SELECT t.chunk, t.w_sec, t.truth_id, s.snap_id, m.stream_id,
-        |         COALESCE(m.stream_id, s.snap_id) AS final_id
-        |  FROM truth t
-        |  LEFT JOIN snap s ON s.user_id = t.user_id
-        |  LEFT JOIN stream m ON m.user_id = t.user_id)
+        |heads AS (
+        |  SELECT chunk, w_sec, user_id,
+        |         MAX(ts_sec * 2147483648 + event_id) AS truth_k,
+        |         MAX(CASE WHEN ts_sec <= w_sec THEN ts_sec * 2147483648 + event_id END) AS snap_k,
+        |         MAX(CASE WHEN ts_sec > w_sec THEN ts_sec * 2147483648 + event_id END) AS stream_k
+        |  FROM ev GROUP BY chunk, w_sec, user_id)
         |SELECT chunk, w_sec,
         |       COUNT(*) AS n_keys,
-        |       CAST(SUM(CASE WHEN snap_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_snapshot_rows,
-        |       CAST(SUM(CASE WHEN stream_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_final_from_stream,
-        |       CAST(SUM(CASE WHEN stream_id IS NULL AND snap_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_final_from_snapshot,
-        |       CAST(SUM(CASE WHEN final_id = truth_id THEN 1 ELSE 0 END) AS BIGINT) AS n_state_matches
-        |FROM merged
+        |       CAST(SUM(CASE WHEN snap_k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_snapshot_rows,
+        |       CAST(SUM(CASE WHEN stream_k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_final_from_stream,
+        |       CAST(SUM(CASE WHEN stream_k IS NULL AND snap_k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_final_from_snapshot,
+        |       CAST(SUM(CASE WHEN COALESCE(stream_k, snap_k) = truth_k THEN 1 ELSE 0 END) AS BIGINT) AS n_state_matches
+        |FROM heads
         |GROUP BY chunk, w_sec
         |ORDER BY chunk""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d).select(
@@ -420,26 +418,21 @@ object CdcShapeQueries {
         (col("user_id") % 8).cast("long").as("chunk"),
         (lit(1706400000L) + (col("user_id") % 8).cast("long") * 21600L).as("w_sec"))
         .filter(col("ts_sec") <= 1706572800L)
-      val w = Window.partitionBy("user_id").orderBy(col("ts_sec").desc, col("event_id").desc)
-      def head(df: org.apache.spark.sql.DataFrame, as: String) =
-        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("user_id"), col("event_id").as(as))
-      val truth = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("chunk"), col("w_sec"), col("user_id"), col("event_id").as("truth_id"))
-      val snap = head(ev.filter(col("ts_sec") <= col("w_sec")), "snap_id")
-      val stream = head(ev.filter(col("ts_sec") > col("w_sec")), "stream_id")
-      truth
-        .join(snap, Seq("user_id"), "left")
-        .join(stream, Seq("user_id"), "left")
-        .withColumn("final_id", coalesce(col("stream_id"), col("snap_id")))
+      val packed = (col("ts_sec") * 2147483648L + col("event_id"))
+      val heads = ev.groupBy("chunk", "w_sec", "user_id").agg(
+        max(packed).as("truth_k"),
+        max(when(col("ts_sec") <= col("w_sec"), packed)).as("snap_k"),
+        max(when(col("ts_sec") > col("w_sec"), packed)).as("stream_k"))
+      heads
         .groupBy("chunk", "w_sec")
         .agg(
           count(lit(1)).as("n_keys"),
-          sum(when(col("snap_id").isNotNull, 1L).otherwise(0L)).as("n_snapshot_rows"),
-          sum(when(col("stream_id").isNotNull, 1L).otherwise(0L)).as("n_final_from_stream"),
-          sum(when(col("stream_id").isNull && col("snap_id").isNotNull, 1L).otherwise(0L))
+          sum(when(col("snap_k").isNotNull, 1L).otherwise(0L)).as("n_snapshot_rows"),
+          sum(when(col("stream_k").isNotNull, 1L).otherwise(0L)).as("n_final_from_stream"),
+          sum(when(col("stream_k").isNull && col("snap_k").isNotNull, 1L).otherwise(0L))
             .as("n_final_from_snapshot"),
-          sum(when(col("final_id") === col("truth_id"), 1L).otherwise(0L)).as("n_state_matches"))
+          sum(when(coalesce(col("stream_k"), col("snap_k")) === col("truth_k"), 1L)
+            .otherwise(0L)).as("n_state_matches"))
         .orderBy("chunk")
     }
   )

@@ -539,12 +539,19 @@ object HealthcareEntry {
       * per store — the cheapest possible full-content comparison of a
       * replica (no sort, no join, one scan each side), which is exactly
       * why checksum-based replica validation is the production pattern.
+      * The per-row 40-bit terms sum EXACTLY (decimal accumulator in Spark,
+      * HUGEINT in DuckDB) and reduce mod 2⁶² at the end — a plain BIGINT
+      * sum would cross 2⁶³ around 17M rows and the two engines disagree on
+      * overflow (DuckDB throws on the HUGEINT→BIGINT cast, non-ANSI Spark
+      * wraps), i.e. the gate would break exactly at production scale.
       */
     QueryDef(
       "hc_cdc_store_checksum", {
         def cks(alias: String) =
           s"""SELECT '$alias' AS store, COUNT(*) AS n_rows,
-             |  CAST(SUM(CAST(('0x' || substr(md5(
+             |  CAST(SUM(CAST(('0x' || substr(md5_payload, 1, 10)) AS BIGINT))
+             |       % 4611686018427387904 AS BIGINT) AS content_checksum
+             |FROM (SELECT md5(
              |    concat_ws('|',
              |      COALESCE(CAST(appointment_id AS VARCHAR), '~'),
              |      COALESCE(CAST(patient_id AS VARCHAR), '~'),
@@ -558,9 +565,8 @@ object HealthcareEntry {
              |      COALESCE(STRFTIME(updated_at, '%Y-%m-%d %H:%M:%S'), '~'),
              |      CAST(_snowflake_updated_at IS NOT NULL AS VARCHAR),
              |      COALESCE(CAST(_snowflake_deleted AS VARCHAR), '~'),
-             |      COALESCE(CAST(_cdc_lsn AS VARCHAR), '~'))), 1, 10)) AS BIGINT)) AS BIGINT)
-             |    AS content_checksum
-             |FROM $AL""".stripMargin
+             |      COALESCE(CAST(_cdc_lsn AS VARCHAR), '~'))) AS md5_payload
+             |      FROM $AL) t""".stripMargin
         Seq("bucketed", "debezium", "flat", "streamed").map(cks)
           .mkString("", "\nUNION ALL\n", "\nORDER BY store")
       })((s, _) => {
@@ -584,8 +590,13 @@ object HealthcareEntry {
         val payload = concat_ws("|", rendered.map(c => coalesce(c, lit("~"))): _*)
         t.appointments
           .select(shiftrightunsigned(SketchExpressions.md5Hi64(payload), 24).as("h"))
-          .agg(count(lit(1)).as("n_rows"), sum("h").as("content_checksum"))
-          .select(lit(label).as("store"), col("n_rows"), col("content_checksum"))
+          // exact decimal accumulator, reduced mod 2^62 at the end — a raw
+          // BIGINT sum of 40-bit terms overflows around 17M rows and the
+          // engines disagree on overflow behavior (see Scaladoc)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("h").cast("decimal(38,0)")).as("hsum"))
+          .select(lit(label).as("store"), col("n_rows"),
+            expr("CAST(hsum % 4611686018427387904 AS BIGINT)").as("content_checksum"))
       }
       face("flat", HealthcareData.liveTables(s))
         .unionByName(face("bucketed", HealthcareData.bucketedLiveTables(s)))

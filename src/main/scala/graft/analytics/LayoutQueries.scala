@@ -167,7 +167,7 @@ object LayoutQueries {
     // chain — DuckDB rebuilds identical positions from substr(md5(..)));
     // the gate hash-matches the full per-(file, probe) decision table:
     // bloom verdict AND ground truth, for present keys and an absent one.
-    // BloomFileskipSpec asserts the no-false-negative invariant on top.
+    // LayoutSkipSpec asserts the no-false-negative invariant on top.
     //
     // Scale: the index is ONE distinct-aggregate over the scan (map-side
     // combined; ≤ 2·distinct values per file, capped at 2¹⁶ positions);

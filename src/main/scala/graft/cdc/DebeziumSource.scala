@@ -80,10 +80,16 @@ object DebeziumSource {
     * UPDATE, `d` → DELETE. DELETEs carry no after-image; the key comes from
     * `before` (Postgres default REPLICA IDENTITY ships the PK there).
     */
-  def parse(raw: DataFrame, keyCols: Map[String, String]): Dataset[CdcEvent] = {
-    val spark = raw.sparkSession
+  def parse(raw: DataFrame, keyCols: Map[String, String]): Dataset[CdcEvent] =
+    events(decoded(raw, keyCols))
+
+  /** The event-path tail over a [[decoded]] frame: keep decodable,
+    * published, keyed, lsn-carrying lines and shape them as CdcEvents.
+    */
+  private def events(dec: DataFrame): Dataset[CdcEvent] = {
+    val spark = dec.sparkSession
     import spark.implicits._
-    decoded(raw, keyCols)
+    dec
       .filter(col("op").isNotNull && col("table").isNotNull &&
         col("keyCol").isNotNull && col("lsn").isNotNull && col("key").isNotNull)
       .select(
@@ -110,9 +116,13 @@ object DebeziumSource {
     * failures, heartbeats, empty lines), `unpublished_table` (a table
     * outside the publication map — benign if the publication is a strict
     * subset, an alert if it isn't), `missing_lsn` / `missing_key` (envelope
-    * damage a replay needs to know about). The split is two filters over
-    * one decoded frame — both sides stay codegen'd projections; nothing is
-    * parsed twice by the engine's one JSON decode per line.
+    * damage a replay needs to know about). Both returned frames are
+    * complementary filters over ONE shared decoded plan — each is still a
+    * single codegen'd pass over the feed when materialized, so a caller
+    * sinking BOTH (the normal deployment) pays two decodes of the batch
+    * unless it persists the shared frame first; in `foreachBatch` that is
+    * one `batch.persist()` before the split, and the conservation law
+    * (every line lands in exactly one side) holds either way.
     *
     * Intentionally only an OPERATIONAL face: heartbeats arrive at a steady
     * rate by design, so a deployment sinks the DLQ with a journal-style
@@ -120,7 +130,8 @@ object DebeziumSource {
     */
   def parseWithDlq(raw: DataFrame, keyCols: Map[String, String])
       : (Dataset[CdcEvent], DataFrame) = {
-    val dlq = decoded(raw, keyCols)
+    val dec = decoded(raw, keyCols)
+    val dlq = dec
       .withColumn("reason",
         when(col("op").isNull || col("table").isNull, "malformed")
           .when(col("keyCol").isNull, "unpublished_table")
@@ -128,7 +139,7 @@ object DebeziumSource {
           .when(col("key").isNull, "missing_key"))
       .filter(col("reason").isNotNull)
       .select(col("value"), col("reason"))
-    (parse(raw, keyCols), dlq)
+    (events(dec), dlq)
   }
 
   /** Shared decode: envelope JSON → op/images/table/lsn/ts plus the

@@ -8,8 +8,9 @@ import graft.{SparkEntry, SparkSpec}
   * lives in would silently lose rows), and it actually prunes (the absent
   * probe key must skip files, or the index is dead weight). The consistent
   * cut's safe-watermark law rides along: the cut is the minimum of the
-  * per-shard high-water marks, so exactly one shard has zero lag and no
-  * shard's applied events can exceed its own high-water mark.
+  * per-shard high-water marks, so at least one shard sits exactly at the
+  * cut (several, when high-water marks tie at seconds granularity) and
+  * every lag is that shard's hwm minus the cut.
   */
 class LayoutSkipSpec extends SparkSpec {
 
