@@ -77,8 +77,11 @@ object CcForensic {
       val wall = (System.nanoTime() - t0) / 1e9
       val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
       Thread.sleep(300) // let stage-completed events drain to the listener
-      println(f"""{"query":"$name","rep":$rep,"rows":$n,"wall_sec":$wall%.3f,""" +
-        f""""proc_cpu_sec":$cpuSec%.3f,"loadavg":${loadavg()}%.2f,""" +
+      // locale-invariant decimals (the f interpolator follows the JVM
+      // default locale and can emit comma separators → invalid JSON)
+      def d(v: Double, s: Int) = BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+      println(s"""{"query":"$name","rep":$rep,"rows":$n,"wall_sec":${d(wall, 3)},""" +
+        s""""proc_cpu_sec":${d(cpuSec, 3)},"loadavg":${d(loadavg(), 2)},""" +
         f""""driver_gc_ms":${driverGcMs() - gc0},"stages":${listener.stages},""" +
         f""""exec_run_ms":${listener.runTimeMs},"exec_gc_ms":${listener.gcTimeMs},""" +
         f""""mem_spill":${listener.memSpill},"disk_spill":${listener.diskSpill},""" +

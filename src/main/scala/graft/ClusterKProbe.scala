@@ -35,7 +35,9 @@ object ClusterKProbe {
       val rows = pipeline.SimilarityQueries.hardNegatives(e, k).count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"cluster-k probe k=$k: $secs%.1f s, $rows rows, max|c|=$maxC, sum|c|^2=$sumSq")
-      s""""k$k":{"secs":${f"$secs%.2f"},"rows":$rows,"clusters":$nc,""" +
+      // locale-invariant decimal rendering: the f interpolator uses the JVM
+      // default locale, which can emit comma decimal separators → invalid JSON
+      s""""k$k":{"secs":${BigDecimal(secs).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"rows":$rows,"clusters":$nc,""" +
         s""""max_cluster":$maxC,"pair_budget":$sumSq}"""
     }
     val json =

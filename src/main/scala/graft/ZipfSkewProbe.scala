@@ -210,8 +210,8 @@ object ZipfSkewProbe {
          |"fuzzy":{"variant_buckets_over_cell":$variantOverCell,"max_bucket":$variantMaxBucket,
          |  "cell":$cell,"max_cell_pairs":${cell.toLong * cell},
          |  "hot_pairs_unguarded":$variantHotPairs,
-         |  "salted_pairs":$saltedN,"salted_secs":${f"$saltedSec%.2f"},
-         |  "unguarded_pairs":$unguardedN,"unguarded_secs":${f"$unguardedSec%.2f"},
+         |  "salted_pairs":$saltedN,"salted_secs":${BigDecimal(saltedSec).setScale(2, BigDecimal.RoundingMode.HALF_UP)},
+         |  "unguarded_pairs":$unguardedN,"unguarded_secs":${BigDecimal(unguardedSec).setScale(2, BigDecimal.RoundingMode.HALF_UP)},
          |  "pair_set_diff":$fuzzyDiff},
          |"minhash":{"hot_buckets":${mhHot.getLong(0)},"max_bucket":${mhHot.getLong(1)},
          |  "pairs_unguarded":${mhHot.getLong(2)},"pairs_guarded":${mhHot.getLong(3)},

@@ -513,14 +513,14 @@ object ProfileQueries {
       val h = du.select(col("day"),
           SketchExpressions.md5Hi64(concat(lit("ab:"), col("uh"))).as("h8"))
         .select(col("day"), expr("shiftrightunsigned(h8, 16)").as("hv"))
-      // salt-local k-min then a final per-day rank over ≤ 32·k candidates
-      val partial = h
-        .groupBy(col("day"), expr("pmod(hv, 32)").as("salt"))
-        .agg(expr(s"slice(array_sort(collect_set(hv)), 1, $k)").as("mins"))
-        .select(col("day"), explode(col("mins")).as("hv"))
+      // bounded k-min aggregate: every partial holds ≤ k longs regardless
+      // of the day's distinct volume (KMinAgg — the r12-advice fix for
+      // the collect_set+slice shape, applied engine-wide)
       val wd = Window.partitionBy("day").orderBy("hv")
-      val sk = partial.withColumn("r", row_number().over(wd)).filter(col("r") <= k)
-        .select("day", "hv")
+      val sk = h
+        .groupBy(col("day"))
+        .agg(graft.functions.KMinAgg.kmin(col("hv"), k).as("mins"))
+        .select(col("day"), explode(col("mins")).as("hv"))
         .stableCheckpoint() // eager: consumed by own stats + both member arms
       val own = sk.groupBy("day").agg(count(lit(1)).as("c"), max("hv").as("hk"))
       val member = sk.select(col("day"), col("hv"), lit(1).as("in_a"), lit(0).as("in_b"))

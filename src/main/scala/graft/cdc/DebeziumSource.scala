@@ -113,10 +113,14 @@ object DebeziumSource {
     * reason) — because at production volume "dropped" must be observable
     * and replayable, not an inference from count deltas. Reasons are
     * checked in drop-cause order: `malformed` (no decodable op — parse
-    * failures, heartbeats, empty lines), `unpublished_table` (a table
-    * outside the publication map — benign if the publication is a strict
-    * subset, an alert if it isn't), `missing_lsn` / `missing_key` (envelope
-    * damage a replay needs to know about). Both returned frames are
+    * failures, heartbeats, empty lines, unsupported ops), `missing_table`
+    * (a decodable op with no `source.table` — envelope damage, not a
+    * heartbeat), `unpublished_table` (a table outside the publication map —
+    * benign if the publication is a strict subset, an alert if it isn't),
+    * `missing_lsn`, `missing_key` (key column absent from both row images),
+    * `unparseable_key` (key column present but not castable to the numeric
+    * PK — distinct from absent, because replay triage differs). Both
+    * returned frames are
     * complementary filters over ONE shared decoded plan — each is still a
     * single codegen'd pass over the feed when materialized, so a caller
     * sinking BOTH (the normal deployment) pays two decodes of the batch
@@ -133,10 +137,12 @@ object DebeziumSource {
     val dec = decoded(raw, keyCols)
     val dlq = dec
       .withColumn("reason",
-        when(col("op").isNull || col("table").isNull, "malformed")
+        when(col("op").isNull, "malformed")
+          .when(col("table").isNull, "missing_table")
           .when(col("keyCol").isNull, "unpublished_table")
           .when(col("lsn").isNull, "missing_lsn")
-          .when(col("key").isNull, "missing_key"))
+          .when(col("keyRaw").isNull, "missing_key")
+          .when(col("key").isNull, "unparseable_key"))
       .filter(col("reason").isNotNull)
       .select(col("value"), col("reason"))
     (events(dec), dlq)
@@ -163,9 +169,13 @@ object DebeziumSource {
           .when(col("dop") === "u", CdcOp.Update)
           .when(col("dop") === "d", CdcOp.Delete))
       .withColumn("keyCol", element_at(keyColMap(keyCols), col("table")))
-      .withColumn("key",
-        element_at(coalesce(col("after"), col("before")), col("keyCol"))
-          .cast("long"))
+      // keyRaw (pre-cast) vs key (cast) stay separate so the DLQ can tell
+      // "key column absent" from "key present but not a number"
+      .withColumn("keyRaw",
+        element_at(coalesce(col("after"), col("before")), col("keyCol")))
+      // try_cast, not cast: under ANSI a corrupt non-numeric key must land
+      // in the DLQ as unparseable_key, not throw mid-stream
+      .withColumn("key", expr("try_cast(keyRaw AS LONG)"))
   }
 
   /** Streaming file feed of Debezium JSON lines (the stand-in for a Kafka

@@ -42,14 +42,33 @@ object Checkpoints {
   private def configuredDir: Option[String] =
     dirOverride.orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty))
 
+  /** Path component of a possibly scheme-qualified location (`file:/x`,
+    * `hdfs://nn/x` → `/x`), so root comparisons survive Spark's
+    * qualification of whatever string we handed to setCheckpointDir.
+    */
+  private def pathOf(s: String): String =
+    try {
+      val p = new java.net.URI(s).getPath
+      if (p == null || p.isEmpty) s else p
+    } catch { case _: java.net.URISyntaxException => s }
+
   /** Eager checkpoint of `df` in the configured flavor (see class doc). */
   def stable(df: DataFrame): DataFrame = configuredDir match {
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext
       // setCheckpointDir is sticky per context; honor a new override (the
       // test seam) but never re-set an identical root (which would spray a
-      // fresh UUID subdir per call)
-      if (!lastSetRoot.contains(dir) || sc.getCheckpointDir.isEmpty) {
+      // fresh UUID subdir per call). lastSetRoot alone is not enough: it is
+      // JVM-global, so foreign code calling sc.setCheckpointDir to another
+      // root after us would otherwise silently redirect reliable
+      // checkpoints — also require the context's CURRENT dir (root/UUID,
+      // possibly scheme-qualified) to still live under our tracked root.
+      val root = pathOf(dir).stripSuffix("/")
+      val stillOurs = sc.getCheckpointDir.exists { cur =>
+        val c = pathOf(cur)
+        c == root || c.startsWith(root + "/")
+      }
+      if (!lastSetRoot.contains(dir) || !stillOurs) {
         sc.setCheckpointDir(dir)
         lastSetRoot = Some(dir)
       }

@@ -824,13 +824,12 @@ object CorpusStatsQueries {
     // small inputs instead of diverging, which also keeps the sf0.001
     // smoke meaningful).
     //
-    // Scale: the k-min per source is computed in TWO levels — salt-local
-    // k-min via sort_array(collect_set)[1..k] (map-side combinable, each
-    // of the 32 salt buckets sees ~1/32 of the source's distinct hashes),
-    // then a final per-source rank over ≤ 32·k surviving candidates — so
-    // no stage ever ranks a full source partition (the single-window
-    // per-source sort would be the exact-COUNT-DISTINCT shuffle the
-    // sketch exists to avoid). Pair expansion is sketch×sketch:
+    // Scale: the k-min per source is a bounded typed aggregate (KMinAgg):
+    // every map-side partial holds ≤ k longs no matter the source's
+    // distinct volume, merges are k-bounded merge-sorts, and no stage
+    // ever ranks a full source partition (the single-window per-source
+    // sort would be the exact-COUNT-DISTINCT shuffle the sketch exists
+    // to avoid). Pair expansion is sketch×sketch:
     // 256·n_sources rows, broadcast-sized, corpus never touched again.
     QueryDef(
       "q_distinct_kmv_intersect",
@@ -889,16 +888,13 @@ object CorpusStatsQueries {
       val h = tok.select(col("source"), col("tok"),
           SketchExpressions.md5Hi64(concat(lit("kmv:"), col("tok"))).as("h8"))
         .select(col("source"), col("tok"), expr("shiftrightunsigned(h8, 16)").as("hv"))
-      // level 1: salt-local k-min (32 buckets/source, map-side combinable)
-      val partial = h
-        .groupBy(col("source"), expr(s"pmod(hv, 32)").as("salt"))
-        .agg(expr(s"slice(array_sort(collect_set(hv)), 1, $k)").as("mins"))
+      // bounded k-min aggregate: every partial holds ≤ k longs regardless
+      // of the source's distinct volume (KMinAgg — the r12-advice fix for
+      // the collect_set+slice shape, applied engine-wide)
+      val sk = h
+        .groupBy(col("source"))
+        .agg(graft.functions.KMinAgg.kmin(col("hv"), k).as("mins"))
         .select(col("source"), explode(col("mins")).as("hv"))
-      // level 2: final per-source rank over ≤ 32·k candidates
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("hv")
-      val sk = partial
-        .withColumn("r", row_number().over(w)).filter(col("r") <= k)
-        .select("source", "hv")
       val pairs = tok.select("source").distinct().as("a")
         .crossJoin(tok.select(col("source").as("sb")).distinct())
         .filter(col("source") < col("sb"))

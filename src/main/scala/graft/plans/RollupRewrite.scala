@@ -249,7 +249,11 @@ object RollupRewrite {
         throw new IllegalArgumentException(
           s"canonical rollup query did not optimize to an Aggregate:\n$optimized"))
       val (g, a) = signatureOf(agg)
-      specs.put(basePathSuffix, Spec(basePathSuffix, rollupPath, g, a))
+      // Key by the full matched signature, not just the base table: two
+      // rollups with different grouping/aggregate shapes over the same base
+      // must coexist (each serves its own query shape).
+      specs.put(s"$basePathSuffix|${g.mkString(",")}|${a.map { case (n, e) => s"$n=$e" }.mkString(",")}",
+        Spec(basePathSuffix, rollupPath, g, a))
     } finally suspended.set(false)
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[RewriteRule]))
       spark.experimental.extraOptimizations =
@@ -283,7 +287,11 @@ object RollupRewrite {
       }.getOrElse(throw new IllegalArgumentException(
         s"canonical join query did not optimize to an inner equi-join:\n$optimized"))
       val (g, a) = signatureOf(agg)
-      joinSpecs.put(s"$basePathSuffix|$dimPathSuffix",
+      // Full-signature key: a second join rollup over the same base/dim pair
+      // with a different grouping/aggregate shape (or join condition) must
+      // not overwrite the first — each shape keeps its own registration.
+      joinSpecs.put(
+        s"$basePathSuffix|$dimPathSuffix|${g.mkString(",")}|${a.map { case (n, e) => s"$n=$e" }.mkString(",")}|${sig(cond)}",
         JoinSpec(basePathSuffix, dimPathSuffix, g, a, sig(cond), replacement))
     } finally suspended.set(false)
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[RewriteRule]))

@@ -369,9 +369,11 @@ object StreamOps {
     * [[dailyDistinctHll]]'s `idleTtl` contract (opt-in TTL eviction;
     * arming it requires a real trigger interval).
     *
-    * Batch face scale shape: salt-local two-level k-min (map-side
-    * combinable 32-way, then a rank over ≤ 32·k survivors per day) — never
-    * a full per-day sort.
+    * Batch face scale shape: a bounded k-min aggregate
+    * ([[graft.functions.KMinAgg]]) whose every partial buffer holds ≤ k
+    * longs — map-side combinable, one shuffle, never a full per-day sort,
+    * and never more than k values in executor memory per group at any
+    * moment of the aggregation.
     */
   def dailyDistinctKmv(events: Dataset[HllIn], k: Int = 256,
       prefix: String = "sdk:", idleTtl: Option[String] = None): Dataset[KmvSnap] = {
@@ -411,17 +413,15 @@ object StreamOps {
           SketchExpressions.md5Hi64(concat(lit(prefix), col("uh"))).as("h8"))
         .select(col("day_num"), expr("shiftrightunsigned(h8, 16)").as("hv"))
       val counts = h.groupBy("day_num").agg(count(lit(1)).as("n_seen"))
-      // level 1: salt-local k-min (collect_set dedups; map-side combinable)
-      val partial = h
-        .groupBy(col("day_num"), expr("pmod(hv, 32)").as("salt"))
-        .agg(expr(s"slice(array_sort(collect_set(hv)), 1, $k)").as("mins"))
-        .select(col("day_num"), explode(col("mins")).as("hv"))
-      // level 2: final per-day rank over ≤ 32·k candidates
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("day_num").orderBy("hv")
-      val sk = partial.withColumn("r", row_number().over(w)).filter(col("r") <= k)
-      val agg = sk.groupBy("day_num")
-        .agg(count(lit(1)).as("n_members"), max("hv").as("kth"))
+      // bounded k-min aggregate: every partial buffer holds ≤ k longs no
+      // matter the day's distinct volume (the r12 advice fix — the prior
+      // collect_set+slice shape buffered the FULL distinct set per salt
+      // group before slicing), and one level replaces the old
+      // salt+window two-phase: map-side partials are already ≤ k.
+      val agg = h.groupBy("day_num")
+        .agg(graft.functions.KMinAgg.kmin(col("hv"), k).as("mins"))
+        .select(col("day_num"), size(col("mins")).cast("long").as("n_members"),
+          element_at(col("mins"), -1).as("kth"))
         .select(col("day_num"), col("n_members"),
           when(col("n_members") < k, col("n_members"))
             .otherwise(expr(s"CAST($kNumerator DIV kth AS BIGINT)")).as("n_est"))

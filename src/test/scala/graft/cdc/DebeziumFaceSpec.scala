@@ -94,14 +94,19 @@ class DebeziumFaceSpec extends SparkSpec {
       """{"after":{"appointment_id":"8"},"source":{"table":"appointments","ts_ms":0},"op":"c"}"""
     val noKey =
       """{"after":{"status":"x"},"source":{"table":"appointments","lsn":12,"ts_ms":0},"op":"c"}"""
-    val raw = Seq(good, heartbeat, foreign, broken, noLsn, noKey).toDF("value")
+    val badKey =
+      """{"after":{"appointment_id":"not-a-number"},"source":{"table":"appointments","lsn":13,"ts_ms":0},"op":"c"}"""
+    val noTable = """{"after":{"appointment_id":"9"},"op":"c","ts_ms":0}"""
+    val raw = Seq(good, heartbeat, foreign, broken, noLsn, noKey, badKey, noTable)
+      .toDF("value")
     val (events, dlq) = DebeziumSource.parseWithDlq(raw, keyCols)
     assert(events.collect().map(_.key).toSeq == Seq(7L))
     val reasons = dlq.collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(reasons == Map(
       heartbeat -> "malformed", broken -> "malformed",
       foreign -> "unpublished_table",
-      noLsn -> "missing_lsn", noKey -> "missing_key"))
+      noLsn -> "missing_lsn", noKey -> "missing_key",
+      badKey -> "unparseable_key", noTable -> "missing_table"))
     // conservation: every input line is exactly one of event or DLQ row
     assert(events.count() + dlq.count() == raw.count())
   }
