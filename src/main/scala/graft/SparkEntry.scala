@@ -24,6 +24,7 @@ object SparkEntry {
       pipeline.Multimodal.defs ++
       pipeline.CorpusPipeline.defs ++
       pipeline.CorpusStatsQueries.defs ++
+      pipeline.RetrievalQueries.defs ++
       pipeline.ChunkingQueries.defs ++
       pipeline.QualityGateQueries.defs ++
       pipeline.EvalQueries.defs ++

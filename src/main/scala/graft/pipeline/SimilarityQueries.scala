@@ -26,7 +26,7 @@ object SimilarityQueries {
     * mirrors VectorFunctions.cosine bit-for-bit (then rounded to 9 dp to
     * absorb any summation-order ulp).
     */
-  private def cosSql(a: String, b: String) =
+  private[pipeline] def cosSql(a: String, b: String) =
     s"""(list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        | / (sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
        |   * sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin.replace("\n", " ")
