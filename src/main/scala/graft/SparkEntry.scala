@@ -25,6 +25,7 @@ object SparkEntry {
       pipeline.CorpusPipeline.defs ++
       pipeline.CorpusStatsQueries.defs ++
       pipeline.RetrievalQueries.defs ++
+      pipeline.PcaQueries.defs ++
       pipeline.ChunkingQueries.defs ++
       pipeline.QualityGateQueries.defs ++
       pipeline.EvalQueries.defs ++
