@@ -26,6 +26,7 @@ object SparkEntry {
       pipeline.CorpusStatsQueries.defs ++
       pipeline.RetrievalQueries.defs ++
       pipeline.PcaQueries.defs ++
+      pipeline.BpeQueries.defs ++
       pipeline.ChunkingQueries.defs ++
       pipeline.QualityGateQueries.defs ++
       pipeline.EvalQueries.defs ++

@@ -1,0 +1,190 @@
+package graft.pipeline
+
+import graft.QueryDef
+import graft.analytics.Tables
+import graft.functions.TextFunctions.{tokens, toksSql}
+import graft.operators.Checkpoints.StableOps
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) merge training — the tokenizer-
+  * construction stage of an LLM data pipeline (Sennrich, Haddow & Birch
+  * 2016): iteratively merge the most frequent adjacent symbol pair.
+  *
+  * The 100 TB shape is the paper's own: the ONLY corpus-wide pass is the
+  * word-frequency dictionary (one map-side-combinable groupBy over the
+  * tokenized corpus); training then runs over the VOCABULARY — distinct
+  * words weighted by frequency — whose size is language-bounded
+  * (~10⁶–10⁷ rows), independent of corpus bytes. Each merge round is one
+  * explode+groupBy over vocab rows, a one-row argmax collect (the same
+  * bounded-collect pattern as the PageRank convergence delta), and a
+  * map-only greedy merge application; every round's state is eagerly
+  * checkpointed because each round reads it twice (pair counts + apply) —
+  * the unrolled-twice-per-round shape whose tree otherwise doubles per
+  * round (see GraphQueries' PageRank note).
+  *
+  * Exactness: pair counts and the greedy merge arithmetic are BIGINT;
+  * greedy left-to-right non-overlapping application is a deterministic
+  * fold; argmax ties break lexicographically (count DESC, left, right —
+  * pure-ASCII symbols, so both engines collate identically). The training
+  * trace is the gated output: per round, the chosen pair, its count, the
+  * number of merge sites applied, and the post-merge token/vocab totals.
+  * The DuckDB oracle is handed every round's STAGED state (OracleStage)
+  * and independently recomputes the pair counts, the argmax, and the
+  * greedy site count from round r's state (runs of consecutive candidate
+  * sites → Σ freq·⌈run/2⌉, the closed form of the fold), and the totals
+  * from round r+1's state — so a wrong merge choice OR a wrong
+  * application breaks the hash (application additionally hard-fails
+  * driver-side: tokens_after must equal tokens_before − merges).
+  *
+  * Fixture scope: letters-only words (`^[a-z]+$`, no escaping concerns in
+  * generated SQL), no end-of-word marker (merges act within words), 8
+  * rounds.
+  */
+object BpeQueries {
+
+  private val Rounds = 8
+
+  /** Per-round DuckDB block: recompute pair counts + argmax + greedy site
+    * count from staged state r; totals from staged state r+1. Pairs come
+    * from ZIPPED PARALLEL UNNESTS (slice offset by one) — the dialect's
+    * replacement for lateral generate_series.
+    */
+  private def roundSql(r: Int): String = {
+    val stR = graft.OracleStage.pq(s"bpe_state_$r")
+    val stN = graft.OracleStage.pq(s"bpe_state_${r + 1}")
+    s"""SELECT $r AS round, b.lsym, b.rsym, b.pair_cnt, nm.n_merges,
+       |       aft.n_tokens_after, aft.vocab_after
+       |FROM (
+       |  SELECT lsym, rsym, cnt AS pair_cnt FROM (
+       |    SELECT lsym, rsym, CAST(SUM(freq) AS BIGINT) AS cnt
+       |    FROM (SELECT freq,
+       |                 unnest(list_slice(syms, 1, len(syms)-1)) AS lsym,
+       |                 unnest(list_slice(syms, 2, len(syms))) AS rsym
+       |          FROM $stR WHERE len(syms) >= 2)
+       |    GROUP BY 1, 2)
+       |  ORDER BY cnt DESC, lsym, rsym LIMIT 1) b
+       |CROSS JOIN (
+       |  SELECT CAST(COALESCE(SUM(freq * ((c + 1) // 2)), 0) AS BIGINT) AS n_merges
+       |  FROM (
+       |    SELECT word, freq, COUNT(*) AS c
+       |    FROM (
+       |      SELECT word, freq, p,
+       |             p - ROW_NUMBER() OVER (PARTITION BY word ORDER BY p) AS grp
+       |      FROM (SELECT word, freq,
+       |                   unnest(list_slice(syms, 1, len(syms)-1)) AS lsym,
+       |                   unnest(list_slice(syms, 2, len(syms))) AS rsym,
+       |                   unnest(generate_series(1, len(syms)-1)) AS p
+       |            FROM $stR WHERE len(syms) >= 2) c0
+       |      JOIN (SELECT lsym, rsym FROM (
+       |              SELECT lsym, rsym, CAST(SUM(freq) AS BIGINT) AS cnt
+       |              FROM (SELECT freq,
+       |                           unnest(list_slice(syms, 1, len(syms)-1)) AS lsym,
+       |                           unnest(list_slice(syms, 2, len(syms))) AS rsym
+       |                    FROM $stR WHERE len(syms) >= 2)
+       |              GROUP BY 1, 2)
+       |            ORDER BY cnt DESC, lsym, rsym LIMIT 1) bb
+       |        USING (lsym, rsym))
+       |    GROUP BY word, freq, grp)) nm
+       |CROSS JOIN (
+       |  SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS n_tokens_after,
+       |         (SELECT CAST(COUNT(DISTINCT s) AS BIGINT)
+       |          FROM (SELECT unnest(syms) AS s FROM $stN)) AS vocab_after
+       |  FROM $stN) aft""".stripMargin
+  }
+
+  /** Greedy non-overlapping site count for pair (l, r) over a `syms`
+    * array column — the fold: merge at p iff p clears the previously
+    * consumed position. Exposed for BpeSpec's edge cases (overlapping
+    * candidates, l == r runs).
+    */
+  private[pipeline] def greedyCountExpr(l: String, r: String) = expr(
+    s"""aggregate(
+       |  IF(size(syms) < 2, CAST(array() AS ARRAY<INT>),
+       |     filter(sequence(1, size(syms)-1), p ->
+       |       element_at(syms, p) = '$l' AND element_at(syms, p+1) = '$r')),
+       |  named_struct('pe', 0, 'c', 0L),
+       |  (acc, p) -> IF(p > acc.pe,
+       |                 named_struct('pe', p + 1, 'c', acc.c + 1L),
+       |                 acc),
+       |  acc -> acc.c)""".stripMargin)
+
+  /** Greedy left-to-right application of merge (l, r) to a `syms` array
+    * column. Nested IFs so element_at(syms, i+1) is only reached when
+    * i < size — If branches are lazy, AND operands may not be.
+    */
+  private[pipeline] def applyMergeExpr(l: String, r: String) = expr(
+    s"""aggregate(
+       |  sequence(1, size(syms)),
+       |  named_struct('out', CAST(array() AS ARRAY<STRING>), 'sk', 0),
+       |  (acc, i) -> IF(acc.sk = 1,
+       |    named_struct('out', acc.out, 'sk', 0),
+       |    IF(i >= size(syms),
+       |       named_struct('out', concat(acc.out, array(element_at(syms, i))), 'sk', 0),
+       |       IF(element_at(syms, i) = '$l' AND element_at(syms, i+1) = '$r',
+       |          named_struct('out', concat(acc.out, array('$l$r')), 'sk', 1),
+       |          named_struct('out', concat(acc.out, array(element_at(syms, i))), 'sk', 0)))),
+       |  acc -> acc.out)""".stripMargin)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- BPE merge training over the documents vocabulary, 8 rounds -----
+    QueryDef(
+      "q_bpe_train",
+      (0 until Rounds).map(roundSql).mkString(
+        "SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY round")) { (spark, d) =>
+      import spark.implicits._
+
+      // the one corpus-wide pass: word-frequency dictionary
+      val wf = Tables.documents(spark, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+
+      var state = graft.OracleStage.stage("bpe_state_0",
+        wf.select(col("word"), col("freq"),
+          expr("filter(split(word, ''), c -> c <> '')").as("syms")))
+        .stableCheckpoint()
+      var tokensBefore = state
+        .agg(sum(expr("freq * size(syms)"))).collect()(0).getLong(0)
+
+      val trace = (0 until Rounds).map { r =>
+        // round argmax: most frequent adjacent pair, lexicographic ties
+        val bestRow = state.filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            """transform(sequence(1, size(syms)-1), i ->
+              |  struct(element_at(syms, i) AS l, element_at(syms, i+1) AS r))"""
+              .stripMargin)).as("p"))
+          .groupBy(col("p.l").as("lsym"), col("p.r").as("rsym"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("lsym"), col("rsym"))
+          .limit(1).collect()(0) // 1-row argmax, the bounded-collect pattern
+        val (l, rr, cnt) = (bestRow.getString(0), bestRow.getString(1), bestRow.getLong(2))
+
+        // greedy non-overlapping site count (fold: merge at p iff p clears
+        // the previous consumed position) — summed with word frequencies
+        val nMerges = state
+          .select((col("freq") * greedyCountExpr(l, rr)).as("m"))
+          .agg(coalesce(sum("m"), lit(0L))).collect()(0).getLong(0)
+
+        val applied = state.select(col("word"), col("freq"),
+          applyMergeExpr(l, rr).as("syms"))
+        state = graft.OracleStage.stage(s"bpe_state_${r + 1}", applied)
+          .stableCheckpoint() // each round reads state twice: truncate NOW
+
+        val post = state.select(explode(col("syms")).as("s"), col("freq"))
+          .agg(sum("freq").as("t"), countDistinct("s").as("v"))
+          .collect()(0)
+        val (tAfter, vAfter) = (post.getLong(0), post.getLong(1))
+
+        // application hard-gate: every merge site removes exactly one token
+        require(tAfter == tokensBefore - nMerges,
+          s"BPE round $r: tokens $tokensBefore -> $tAfter but $nMerges merges")
+        tokensBefore = tAfter
+        (r.toLong, l, rr, cnt, nMerges, tAfter, vAfter)
+      }
+
+      trace.toDF("round", "lsym", "rsym", "pair_cnt", "n_merges",
+          "n_tokens_after", "vocab_after")
+        .orderBy("round")
+    })
+}

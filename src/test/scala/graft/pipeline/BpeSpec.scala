@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q_bpe_train's algebra, pinned against a from-scratch single-threaded
+  * reference BPE (Sennrich et al. 2016) over the same corpus, plus edge
+  * cases of the greedy fold the distributed rounds are built from.
+  */
+class BpeSpec extends SparkSpec {
+
+  // ---- reference implementation: plain Scala, no Spark ----
+  private def referenceTrace(dir: String, rounds: Int)
+      : Seq[(Long, String, String, Long, Long, Long, Long)] = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val wf = docs
+      .flatMap(_.trim.toLowerCase.split("\\s+"))
+      .filter(w => w.nonEmpty && w.matches("^[a-z]+$") && w.length >= 2)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    var state: Map[String, (Long, Vector[String])] =
+      wf.map { case (w, f) => w -> (f, w.map(_.toString).toVector) }.toMap
+
+    (0 until rounds).map { r =>
+      // pair counts: every adjacent occurrence, weighted by word frequency
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.values.foreach { case (f, syms) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      val ((l, rr), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+      // greedy left-to-right application + site count
+      var merges = 0L
+      state = state.map { case (w, (f, syms)) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+            out += (l + rr); merges += f; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        w -> (f, out.result())
+      }
+      val tAfter = state.values.map { case (f, s) => f * s.length }.sum
+      val vAfter = state.values.flatMap(_._2).toSet.size.toLong
+      (r.toLong, l, rr, cnt, merges, tAfter, vAfter)
+    }
+  }
+
+  test("q_bpe_train trace equals the single-threaded reference on sf0.001") {
+    val got = graft.SparkEntry.queries("q_bpe_train")(spark, sf("sf0.001"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq
+    assert(got == referenceTrace(sf("sf0.001"), 8))
+  }
+
+  test("greedy fold: overlapping l==r candidates merge non-overlapping") {
+    import spark.implicits._
+    // "aaaa" with pair (a,a): greedy gives [aa, aa], 2 sites;
+    // "aaa" gives [aa, a], 1 site; "abab" with (a,b): [ab, ab], 2 sites
+    val df = Seq(
+      Seq("a", "a", "a", "a"),
+      Seq("a", "a", "a"),
+      Seq("a"),
+      Seq("b", "a", "a", "b")).toDF("syms")
+    val aa = df.select(
+      BpeQueries.greedyCountExpr("a", "a").as("c"),
+      BpeQueries.applyMergeExpr("a", "a").as("out")).collect()
+    assert(aa.map(_.getLong(0)).toSeq == Seq(2L, 1L, 0L, 1L))
+    assert(aa.map(_.getSeq[String](1).toSeq).toSeq == Seq(
+      Seq("aa", "aa"), Seq("aa", "a"), Seq("a"), Seq("b", "aa", "b")))
+  }
+
+  test("greedy fold: merged symbol never re-merges within the same round") {
+    import spark.implicits._
+    // pair (a, ab): "a ab ab" → merge at 1 consumes (a, ab); the result
+    // symbol "aab" must not pair with the following "ab"
+    val df = Seq(Seq("a", "ab", "ab")).toDF("syms")
+    val r = df.select(
+      BpeQueries.greedyCountExpr("a", "ab").as("c"),
+      BpeQueries.applyMergeExpr("a", "ab").as("out")).collect()(0)
+    assert(r.getLong(0) == 1L)
+    assert(r.getSeq[String](1).toSeq == Seq("aab", "ab"))
+  }
+}
