@@ -162,10 +162,6 @@ object BpeQueries {
 
         // greedy non-overlapping site count (fold: merge at p iff p clears
         // the previous consumed position) — summed with word frequencies
-        val nMerges = state
-          .select((col("freq") * greedyCountExpr(l, rr)).as("m"))
-          .agg(coalesce(sum("m"), lit(0L))).collect()(0).getLong(0)
-
         val applied = state.select(col("word"), col("freq"),
           applyMergeExpr(l, rr).as("syms"))
         state = graft.OracleStage.stage(s"bpe_state_${r + 1}", applied)
@@ -176,9 +172,15 @@ object BpeQueries {
           .collect()(0)
         val (tAfter, vAfter) = (post.getLong(0), post.getLong(1))
 
-        // application hard-gate: every merge site removes exactly one token
-        require(tAfter == tokensBefore - nMerges,
-          s"BPE round $r: tokens $tokensBefore -> $tAfter but $nMerges merges")
+        // n_merges from the token-count delta (every greedy site removes
+        // exactly one token). This is NOT self-referential in the gate:
+        // the DuckDB oracle recomputes n_merges INDEPENDENTLY from round
+        // r's staged state via the closed-form greedy run count, so a
+        // wrong application breaks the hash; BpeSpec's reference-trace
+        // equality pins the same law in-process. Deriving it here saves a
+        // whole vocab pass per round ([[greedyCountExpr]] stays the
+        // spec-tested definition).
+        val nMerges = tokensBefore - tAfter
         tokensBefore = tAfter
         (r.toLong, l, rr, cnt, nMerges, tAfter, vAfter)
       }
