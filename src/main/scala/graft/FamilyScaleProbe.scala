@@ -427,7 +427,29 @@ object FamilyScaleProbe {
       // fixed for the DuckDB replay.
       "consistent_cut" -> registered("q_cdc_consistent_cut"),
       "chunked_bootstrap" -> registered("q_cdc_chunked_bootstrap"),
-      "bloom_fileskip" -> registered("q_bloom_fileskip"))
+      "bloom_fileskip" -> registered("q_bloom_fileskip"),
+      // round-13 additions. bpe_train restates the registered rounds with
+      // a digit-tolerant alphabet so the r<k>-prefixed replica tokens
+      // COUNT: vocabulary grows ×k (disjoint replica word spaces), so the
+      // probe scales the per-round pair-count exchange — the claim is
+      // that round cost tracks VOCAB rows, never corpus bytes, and the
+      // argmax stays a 1-row collect. pca_project rides ×k identical
+      // vec_id-shifted embeddings: both corpus passes (Gramian, sums) are
+      // constant-output aggregates, the driver eigen is corpus-free, the
+      // projection map-only. hybrid_rrf grows the lexical arm's
+      // tokenize/length side and the dense scan linearly under constant
+      // K-row fusion (replica tokens never match the fixed query terms —
+      // same retrieval axis as the bm25 family).
+      "bpe_train" -> { (d: String) =>
+        import org.apache.spark.sql.functions.{col, count, explode, length, lit}
+        val wf = analytics.Tables.documents(spark, d)
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+          .filter(col("word").rlike("^[a-z0-9]+$") && length(col("word")) >= 2)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        pipeline.BpeQueries.trainTrace(wf, 8, stage = false)
+      },
+      "pca_project" -> registered("q_pca_project"),
+      "hybrid_rrf" -> registered("q_hybrid_rrf"))
     familyFilter.foreach { names =>
       val unknown = names.diff(allFamilies.map(_._1).toSet + "incremental")
       require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")

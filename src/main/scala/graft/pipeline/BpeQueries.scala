@@ -125,29 +125,28 @@ object BpeQueries {
        |          named_struct('out', concat(acc.out, array(element_at(syms, i))), 'sk', 0)))),
        |  acc -> acc.out)""".stripMargin)
 
-  val defs: Seq[QueryDef] = Seq(
+  /** The training loop over a (word, freq) dictionary — separated from the
+    * registered query so FamilyScaleProbe can drive it with a wider
+    * alphabet over the replicated corpus (the ×k replica tokens carry
+    * digits, which the registered letters-only fixture would drop).
+    * `stage` toggles OracleStage materialization (the registered face
+    * stages every round for the DuckDB oracle; the probe does not).
+    */
+  private[graft] def trainTrace(wf: org.apache.spark.sql.DataFrame,
+      rounds: Int, stage: Boolean): org.apache.spark.sql.DataFrame = {
+    val spark = wf.sparkSession
+    import spark.implicits._
+    def staged(name: String, df: org.apache.spark.sql.DataFrame) =
+      if (stage) graft.OracleStage.stage(name, df) else df
 
-    // ----- BPE merge training over the documents vocabulary, 8 rounds -----
-    QueryDef(
-      "q_bpe_train",
-      (0 until Rounds).map(roundSql).mkString(
-        "SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY round")) { (spark, d) =>
-      import spark.implicits._
-
-      // the one corpus-wide pass: word-frequency dictionary
-      val wf = Tables.documents(spark, d)
-        .select(explode(tokens(col("text"))).as("word"))
-        .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-
-      var state = graft.OracleStage.stage("bpe_state_0",
+    var state = staged("bpe_state_0",
         wf.select(col("word"), col("freq"),
           expr("filter(split(word, ''), c -> c <> '')").as("syms")))
         .stableCheckpoint()
       var tokensBefore = state
         .agg(sum(expr("freq * size(syms)"))).collect()(0).getLong(0)
 
-      val trace = (0 until Rounds).map { r =>
+      val trace = (0 until rounds).map { r =>
         // round argmax: most frequent adjacent pair, lexicographic ties
         val bestRow = state.filter(size(col("syms")) >= 2)
           .select(col("freq"), explode(expr(
@@ -164,7 +163,7 @@ object BpeQueries {
         // the previous consumed position) — summed with word frequencies
         val applied = state.select(col("word"), col("freq"),
           applyMergeExpr(l, rr).as("syms"))
-        state = graft.OracleStage.stage(s"bpe_state_${r + 1}", applied)
+        state = staged(s"bpe_state_${r + 1}", applied)
           .stableCheckpoint() // each round reads state twice: truncate NOW
 
         val post = state.select(explode(col("syms")).as("s"), col("freq"))
@@ -188,5 +187,20 @@ object BpeQueries {
       trace.toDF("round", "lsym", "rsym", "pair_cnt", "n_merges",
           "n_tokens_after", "vocab_after")
         .orderBy("round")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- BPE merge training over the documents vocabulary, 8 rounds -----
+    QueryDef(
+      "q_bpe_train",
+      (0 until Rounds).map(roundSql).mkString(
+        "SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY round")) { (spark, d) =>
+      // the one corpus-wide pass: word-frequency dictionary
+      val wf = Tables.documents(spark, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      trainTrace(wf, Rounds, stage = true)
     })
 }
