@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import graft.operators.Checkpoints.StableOps
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -508,6 +508,78 @@ object StreamOps {
         .join(nSeen, "day_num")
         .select(col("day_num"), col("i"), col("slot"), col("cnt"), col("n_seen"))
         .as[CmsCell]
+    }
+  }
+
+  // ----- streaming histogram state: per-day value-distribution bins -----
+
+  case class HistIn(day_num: Long, v: Double)
+  case class HistState(counters: Array[Long], nSeen: Long)
+  case class HistCell(day_num: Long, bin: Int, cnt: Long, n_seen: Long)
+
+  val HistBins = 256
+  /** Fixed bin width 2.0 over [0, 512): exactly representable, so
+    * `floor(v / 2)` is the same deterministic double op in Spark and
+    * DuckDB. Out-of-range values clamp to the edge bins.
+    */
+  val HistBinWidth = 2.0
+
+  /** The shared bin function, column form (the state function applies the
+    * identical arithmetic executor-side).
+    */
+  def histBin(v: Column): Column =
+    least(lit(HistBins - 1), greatest(lit(0),
+      floor(v / HistBinWidth).cast("int")))
+
+  /** Per-day fixed-bin value histogram maintained across micro-batches —
+    * the value-DISTRIBUTION sibling of the distinct (HLL/KMV) and
+    * frequency (CMS) state faces: 256 additive bin counters = 2 KiB per
+    * active day at ANY event volume. Counters are purely additive, so the
+    * merge is `+=`, the final state is order- and batch-split-invariant,
+    * and the streaming snapshot equals the batch face's (day, bin) rows
+    * exactly (StreamOpsSpec). A consumer reads quantiles from the
+    * cumulative bins with error ≤ one bin width — the gated
+    * q_stream_quantile_hist does exactly that against the exact per-day
+    * percentile. Idle-day eviction follows [[dailyDistinctHll]]'s
+    * `idleTtl` contract.
+    */
+  def dailyValueHist(events: Dataset[HistIn],
+      idleTtl: Option[String] = None): Dataset[HistCell] = {
+    implicit val stateEnc: Encoder[HistState] = Encoders.product[HistState]
+    implicit val outEnc: Encoder[HistCell] = Encoders.product[HistCell]
+    import events.sparkSession.implicits._
+    if (events.isStreaming)
+      events
+        .groupByKey(_.day_num)
+        .flatMapGroupsWithState(OutputMode.Update(), timeoutConf(idleTtl))(
+          (day: Long, batch: Iterator[HistIn], st: GroupState[HistState]) => {
+            if (st.hasTimedOut) { st.remove(); Iterator.empty }
+            else {
+              val prev = st.getOption.getOrElse(
+                HistState(new Array[Long](HistBins), 0L))
+              val counters = prev.counters.clone()
+              var nSeen = prev.nSeen
+              val touched = scala.collection.mutable.LinkedHashSet.empty[Int]
+              batch.foreach { e =>
+                nSeen += 1
+                val b = math.max(0, math.min(HistBins - 1,
+                  math.floor(e.v / HistBinWidth).toInt))
+                counters(b) += 1
+                touched += b
+              }
+              st.update(HistState(counters, nSeen))
+              idleTtl.foreach(st.setTimeoutDuration)
+              touched.iterator.map(b => HistCell(day, b, counters(b), nSeen))
+            }
+          })
+    else {
+      val nSeen = events.toDF().groupBy("day_num").agg(count(lit(1)).as("n_seen"))
+      events.toDF()
+        .select(col("day_num"), histBin(col("v")).as("bin"))
+        .groupBy("day_num", "bin").agg(count(lit(1)).as("cnt"))
+        .join(nSeen, "day_num")
+        .select(col("day_num"), col("bin"), col("cnt"), col("n_seen"))
+        .as[HistCell]
     }
   }
 

@@ -449,6 +449,73 @@ object StreamShapeQueries {
         .select(col("day_num"), col("key").as("user_key"),
           col("n_true"), col("n_est"), (col("n_est") - col("n_true")).as("overcount"))
         .orderBy(col("day_num"), col("n_est").desc, col("user_key"))
+    },
+
+    // per-day quantiles from STREAMING HISTOGRAM STATE: the batch face of
+    // StreamOps.dailyValueHist (256 additive bins of width 2 over
+    // [0, 512)) read out at p50/p90/p99 — estimate = upper edge of the
+    // first bin whose cumulative count reaches ⌈q·n⌉, so the error is
+    // bounded by one bin width by construction — next to the EXACT
+    // per-day percentile (Spark's exact `percentile` == DuckDB's
+    // quantile_cont, both linear-interpolating the same doubles). The
+    // distribution sibling of the distinct (HLL/KMV) and frequency (CMS)
+    // state faces: 2 KiB per active day at any volume; StreamOpsSpec
+    // proves the streaming snapshot equals this batch face row for row.
+    // The cumulative-bin window rides the CONSTANT 256-bin grid per day,
+    // never the events — the same corpus-size-independent readout shape
+    // as q_classifier_auc's histogram AUC.
+    QueryDef(
+      "q_stream_quantile_hist",
+      """WITH e AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day_num, value AS v
+        |           FROM events),
+        |bins AS (SELECT day_num,
+        |                LEAST(255, GREATEST(0, CAST(FLOOR(v / 2.0) AS INT))) AS bin,
+        |                COUNT(*) AS cnt
+        |         FROM e GROUP BY 1, 2),
+        |cum AS (SELECT day_num, bin,
+        |               SUM(cnt) OVER (PARTITION BY day_num ORDER BY bin) AS c
+        |        FROM bins),
+        |n AS (SELECT day_num, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |t AS (SELECT day_num, n, unnest([500, 900, 990]) AS qp FROM n),
+        |sel AS (SELECT t.day_num, qp, CAST(MIN(bin) AS BIGINT) AS hist_bin
+        |        FROM t JOIN cum ON cum.day_num = t.day_num
+        |                       AND cum.c >= (t.n * qp + 999) // 1000
+        |        GROUP BY 1, 2),
+        |exq AS (SELECT day_num, quantile_cont(v, [0.5, 0.9, 0.99]) AS qs
+        |        FROM e GROUP BY 1),
+        |ex AS (SELECT day_num, unnest([500, 900, 990]) AS qp,
+        |              ROUND(unnest(qs), 6) AS exact_v
+        |       FROM exq)
+        |SELECT s.day_num, CAST(qp AS BIGINT) AS q_permille, hist_bin,
+        |       (hist_bin + 1) * 2000000 AS est_hi_x1m, exact_v
+        |FROM sel s JOIN ex USING (day_num, qp)
+        |ORDER BY day_num, q_permille""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val e = Tables.events(s, d).select(
+        expr("CAST(CAST(ts AS LONG) DIV 86400 AS BIGINT)").as("day_num"),
+        col("value").as("v"))
+      val cells = StreamOps.dailyValueHist(e.as[StreamOps.HistIn]).toDF()
+      val cum = cells.withColumn("c", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("day_num").orderBy("bin")))
+        .drop("n_seen") // targets re-joins it; keeping both is ambiguous
+      val targets = cells.select("day_num", "n_seen").distinct()
+        .select(col("day_num"), col("n_seen"),
+          explode(expr("array(500, 900, 990)")).as("qp"))
+      val sel = targets.join(cum, Seq("day_num"))
+        .filter(col("c") >= expr("(n_seen * qp + 999) DIV 1000"))
+        .groupBy("day_num", "qp").agg(min("bin").cast("long").as("hist_bin"))
+      val exact = e.groupBy("day_num")
+        .agg(expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("qs"))
+        .select(col("day_num"), posexplode(col("qs")).as(Seq("pos", "ev")))
+        .select(col("day_num"),
+          expr("element_at(array(500, 900, 990), pos + 1)").as("qp"),
+          round(col("ev"), 6).as("exact_v"))
+      sel.join(exact, Seq("day_num", "qp"))
+        .select(col("day_num"), col("qp").cast("long").as("q_permille"),
+          col("hist_bin"), ((col("hist_bin") + 1) * 2000000L).as("est_hi_x1m"),
+          col("exact_v"))
+        .orderBy("day_num", "q_permille")
     }
   )
 }

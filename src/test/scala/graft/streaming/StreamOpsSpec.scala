@@ -438,6 +438,62 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming daily histogram state converges to the batch face across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // values spanning the range incl. out-of-range clamps on both edges,
+    // two days, chunked so bin counters accumulate across micro-batches
+    val rng = new scala.util.Random(4455)
+    val all = (0 until 1500).map { i =>
+      val day = 300L + (i % 2)
+      val v = i % 50 match {
+        case 0 => -3.5 // clamps to bin 0
+        case 1 => 730.0 // clamps to bin 255
+        case _ => rng.nextDouble() * 500.0
+      }
+      StreamOps.HistIn(day, v)
+    }
+    val chunks = all.grouped(500).toSeq
+
+    val input = MemoryStream[StreamOps.HistIn]
+    val query = StreamOps.dailyValueHist(input.toDS())
+      .writeStream.format("memory").queryName("hist_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+      val stream = spark.table("hist_out")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("day_num", "bin").orderBy(col("n_seen").desc)))
+        .filter(col("rk") === 1)
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+
+      val batch = StreamOps.dailyValueHist(all.toDS()).collect()
+        .map(c => ((c.day_num, c.bin), c.cnt)).toMap
+
+      assert(stream == batch,
+        s"histogram bins diverge: stream-only=${(stream.toSet -- batch.toSet).take(5)} " +
+          s"batch-only=${(batch.toSet -- stream.toSet).take(5)}")
+      // clamping landed where designed, and totals conserve
+      assert(batch.keySet.exists(_._2 == 0) && batch.keySet.exists(_._2 == 255))
+      assert(batch.values.sum == all.size.toLong)
+      // the quantile readout's error bound: estimate within one bin width
+      val day = 300L
+      val vs = all.filter(_.day_num == day).map(_.v).sorted
+      val cum = (0 until StreamOps.HistBins).scanLeft(0L)(
+        (acc, b) => acc + batch.getOrElse((day, b), 0L)).tail
+      val n = vs.size
+      Seq(0.5, 0.9, 0.99).foreach { q =>
+        val rank = math.ceil(q * n).toLong
+        val bin = cum.indexWhere(_ >= rank)
+        val estHi = (bin + 1) * StreamOps.HistBinWidth
+        val exact = vs((math.ceil(q * n) - 1).toInt.max(0))
+        assert(math.abs(estHi - exact) <= StreamOps.HistBinWidth * 2,
+          s"q=$q: est $estHi vs exact-ish $exact")
+      }
+    } finally query.stop()
+  }
+
   test("armed idleTtl evicts an idle day's sketch state (fresh state after timeout)") {
     implicit val sqlCtx = spark.sqlContext
     // TTL armed => ProcessingTimeTimeout; the deployment contract requires a
