@@ -723,13 +723,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
-  test("KMV sketch: salt-local partial k-min before the per-source rank; pairs side is bounded") {
+  test("KMV sketch: bounded k-min aggregate with map-side partials; pairs side is bounded") {
     val p = planOf("q_distinct_kmv_intersect")
-    // level-1 reduction keyed by (source, salt) — no full per-source sort
-    assert(p.contains("pmod(hv#"), p.take(4000))
-    assert(p.contains("partial_collect_set"), p.take(4000))
-    // the per-source rank window runs AFTER the salt-local k-min prune
-    assert(p.contains("row_number()"), p.take(4000))
+    // r13: the typed KMinAgg replaced the salt+window two-level — the plan
+    // must show the bounded aggregate (≤ k longs per partial buffer,
+    // ObjectHashAggregate with the kmin function) and no collect_set
+    // anywhere. The one remaining row_number is the union-sketch member
+    // re-rank over ≤ 2k rows per source pair — WindowGroupLimit-capped,
+    // never a window over raw hashes.
+    assert(p.contains("ObjectHashAggregate") && p.contains("kmin(hv#"), p.take(4000))
+    assert(!p.contains("collect_set"), p.take(4000))
+    val ep = executedPlanOf("q_distinct_kmv_intersect").split("== Initial Plan ==").head
+    assert(ep.contains("WindowGroupLimit"), ep.take(4000))
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
 
