@@ -79,4 +79,84 @@ object KMinAgg {
     require(k > 0, s"k must be positive, got $k")
     udaf(new KMin(k), Encoders.scalaLong)(col)
   }
+
+  // ----- keyed variant: bottom-k rows by (hash, id), payload carried -----
+
+  /** One (sort key, payload id) pair; the aggregator orders by (h, id), so
+    * ties on h (astronomically rare with a 48-bit hash, but defined) break
+    * deterministically.
+    */
+  final case class HId(h: Long, id: Long)
+  final case class BufBy(mins: Array[Long]) // packed pairs [h0,id0,h1,id1,…]
+
+  private final class KMinBy(k: Int) extends Aggregator[HId, BufBy, Array[HId]] {
+    // pairs are kept FLAT in a long array (2 slots per element, sorted by
+    // (h, id)) so the buffer encoder stays a primitive-array product —
+    // no nested-struct serialization per merge
+    override def zero: BufBy = BufBy(Array.emptyLongArray)
+
+    private def lt(h1: Long, i1: Long, h2: Long, i2: Long): Boolean =
+      h1 < h2 || (h1 == h2 && i1 < i2)
+
+    override def reduce(b: BufBy, v: HId): BufBy = {
+      val a = b.mins
+      val n = a.length / 2
+      if (n >= k && !lt(v.h, v.id, a(2 * k - 2), a(2 * k - 1))) b
+      else {
+        // binary search for insertion point by (h, id)
+        var lo = 0; var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (lt(a(2 * mid), a(2 * mid + 1), v.h, v.id)) lo = mid + 1 else hi = mid
+        }
+        if (lo < n && a(2 * lo) == v.h && a(2 * lo + 1) == v.id) b // dup
+        else {
+          val m = math.min(n + 1, k)
+          val out = new Array[Long](2 * m)
+          System.arraycopy(a, 0, out, 0, 2 * lo)
+          out(2 * lo) = v.h; out(2 * lo + 1) = v.id
+          System.arraycopy(a, 2 * lo, out, 2 * lo + 2, 2 * m - 2 * lo - 2)
+          BufBy(out)
+        }
+      }
+    }
+
+    override def merge(b1: BufBy, b2: BufBy): BufBy = {
+      val a = b1.mins; val b = b2.mins
+      val out = new Array[Long](math.min(a.length + b.length, 2 * k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length ||
+          (i < a.length && lt(a(i), a(i + 1), b(j), b(j + 1))) ||
+          (i < a.length && a(i) == b(j) && a(i + 1) == b(j + 1))
+        val (h, id) = if (takeA) (a(i), a(i + 1)) else (b(j), b(j + 1))
+        if (takeA) {
+          // skip an identical pair on the other side (dedup)
+          if (j < b.length && b(j) == h && b(j + 1) == id) j += 2
+          i += 2
+        } else j += 2
+        out(o) = h; out(o + 1) = id; o += 2
+      }
+      BufBy(if (o == out.length) out else java.util.Arrays.copyOf(out, o))
+    }
+
+    override def finish(b: BufBy): Array[HId] =
+      Array.tabulate(b.mins.length / 2)(i => HId(b.mins(2 * i), b.mins(2 * i + 1)))
+    override def bufferEncoder: Encoder[BufBy] = Encoders.product[BufBy]
+    override def outputEncoder: Encoder[Array[HId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[HId]]()
+  }
+
+  /** `kminBy(hashCol, idCol, k)`: the group's k smallest (hash, id) pairs
+    * as a sorted array of structs — the bounded-memory face of per-group
+    * uniform sampling (bottom-k by a seeded hash IS a uniform
+    * without-replacement sample, deterministic and merge-order-invariant).
+    * Every partial buffer holds ≤ k pairs; contrast with a per-group rank
+    * window, which sorts the whole group.
+    */
+  def kminBy(hash: Column, id: Column, k: Int): Column = {
+    require(k > 0, s"k must be positive, got $k")
+    // the product input encoder flattens to a 2-argument aggregate
+    udaf(new KMinBy(k), Encoders.product[HId])(hash, id)
+  }
 }

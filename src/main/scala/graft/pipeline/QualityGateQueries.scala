@@ -179,6 +179,39 @@ object QualityGateQueries {
       stratifiedSample(Tables.documents(s, d), perStratum = 10)
     },
 
+    // ----- Per-group bottom-k-by-hash sampling (bounded aggregate face) -----
+    // The SCALE face of per-group uniform sampling: bottom-k by a seeded
+    // hash IS a uniform without-replacement sample (deterministic,
+    // retry-safe, merge-order-invariant), and KMinAgg.kminBy keeps ≤ k
+    // (hash, id) pairs in EVERY partial buffer — one shuffle whose
+    // reduce-side state is k pairs per group, where the rank-window shape
+    // (q_sample_per_source's pre-filtered variant) sorts group members.
+    // The md5 hex chain makes the hash DuckDB-derivable, so the oracle
+    // re-ranks per source and the gate hash-matches the exact sample.
+    QueryDef(
+      "q_sample_bottomk",
+      """WITH h AS (SELECT source, doc_id,
+        |                  CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hv
+        |           FROM documents),
+        |rk AS (SELECT source, doc_id, hv,
+        |              ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS r
+        |       FROM h)
+        |SELECT source, r AS rank, doc_id, hv
+        |FROM rk WHERE r <= 8
+        |ORDER BY source, rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graft.SketchExpressions
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          SketchExpressions.md5Hi64(concat(lit("smp:"), col("doc_id").cast("string"))).as("h8"))
+        .select(col("source"), col("doc_id"), expr("shiftrightunsigned(h8, 16)").as("hv"))
+        .groupBy("source")
+        .agg(graft.functions.KMinAgg.kminBy(col("hv"), col("doc_id"), 8).as("mins"))
+        .select(col("source"), posexplode(col("mins")).as(Seq("p", "m")))
+        .select(col("source"), (col("p") + 1).cast("long").as("rank"),
+          col("m.id").as("doc_id"), col("m.h").as("hv"))
+        .orderBy("source", "rank")
+    },
+
     // ----- Compressibility quality signal (zlib ratio per source) -----
     // Candidate stage (deflate lengths) is JVM-side and not DuckDB-
     // expressible, so it is materialized via OracleStage (same pattern as

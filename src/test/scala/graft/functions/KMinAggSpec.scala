@@ -50,6 +50,42 @@ class KMinAggSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("kminBy: k smallest (hash, id) pairs with payload, any partitioning") {
+    import spark.implicits._
+    val data = Seq( // (group, hash, id) with a duplicate pair and hash ties
+      ("a", 5L, 10L), ("a", 3L, 11L), ("a", 5L, 10L), ("a", 5L, 9L),
+      ("a", 1L, 12L), ("a", 9L, 13L),
+      ("b", 7L, 1L))
+    val df = data.toDF("g", "h", "id").repartition(4)
+    val got = df.groupBy("g")
+      .agg(KMinAgg.kminBy(col("h"), col("id"), 3).as("mins"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1))))
+      .toMap
+    // reference: distinct pairs sorted by (h, id), take 3
+    assert(got("a") == Seq((1L, 12L), (3L, 11L), (5L, 9L)))
+    assert(got("b") == Seq((7L, 1L)))
+  }
+
+  test("kminBy property: equals sorted-distinct-take-k over pairs") {
+    import spark.implicits._
+    val gen: Gen[(Int, List[(Long, Long)])] = for {
+      k <- Gen.choose(1, 16)
+      vs <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    } yield (k, vs)
+    val prop = Prop.forAllNoShrink(gen) { case (k, vs) =>
+      val got = vs.toDF("h", "id").repartition(3)
+        .agg(KMinAgg.kminBy(col("h"), col("id"), k).as("mins"))
+        .collect()(0)
+        .getSeq[org.apache.spark.sql.Row](0).map(x => (x.getLong(0), x.getLong(1)))
+      got == vs.distinct.sorted.take(k)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("partial buffers never exceed k and stay sorted-distinct (bound law)") {
     // exercised through the plan above; here pin the law at the unit level
     // via the public Column on a single partition so reduce runs alone
