@@ -189,6 +189,48 @@ object BpeQueries {
         .orderBy("round")
   }
 
+  /** The documents word-frequency dictionary the registered queries train
+    * on (letters-only fixture scope — see class doc).
+    */
+  private def wordFreq(spark: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(spark, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Run the merge rounds and return only the FINAL (word, freq, syms)
+    * vocabulary tokenization — the encode path's input. 2 jobs per round
+    * (argmax + checkpoint write), no per-round metrics. Staging uses the
+    * SAME state names as [[trainTrace]]: the computation is deterministic,
+    * so whichever gated query runs first materializes identical states
+    * and the other reads them back.
+    */
+  private[graft] def trainedState(wf: org.apache.spark.sql.DataFrame,
+      rounds: Int, stage: Boolean): org.apache.spark.sql.DataFrame = {
+    def staged(name: String, df: org.apache.spark.sql.DataFrame) =
+      if (stage) graft.OracleStage.stage(name, df) else df
+    var state = staged("bpe_state_0",
+      wf.select(col("word"), col("freq"),
+        expr("filter(split(word, ''), c -> c <> '')").as("syms")))
+      .stableCheckpoint()
+    for (r <- 0 until rounds) {
+      val bestRow = state.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms)-1), i ->
+            |  struct(element_at(syms, i) AS l, element_at(syms, i+1) AS r))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.l").as("lsym"), col("p.r").as("rsym"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("lsym"), col("rsym"))
+        .limit(1).collect()(0)
+      val (l, rr) = (bestRow.getString(0), bestRow.getString(1))
+      state = staged(s"bpe_state_${r + 1}",
+        state.select(col("word"), col("freq"), applyMergeExpr(l, rr).as("syms")))
+        .stableCheckpoint()
+    }
+    state
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- BPE merge training over the documents vocabulary, 8 rounds -----
@@ -197,10 +239,60 @@ object BpeQueries {
       (0 until Rounds).map(roundSql).mkString(
         "SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY round")) { (spark, d) =>
       // the one corpus-wide pass: word-frequency dictionary
-      val wf = Tables.documents(spark, d)
-        .select(explode(tokens(col("text"))).as("word"))
-        .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-      trainTrace(wf, Rounds, stage = true)
+      trainTrace(wordFreq(spark, d), Rounds, stage = true)
+    },
+
+    // ----- BPE encode: corpus tokenization via the broadcast vocabulary -----
+    // The PRODUCTION tokenization shape at 100 TB: the trained
+    // word→subwords map is language-bounded (vocab rows), so the corpus
+    // side is ONE broadcast join — every document word looks up its
+    // precomputed subword sequence; no per-document merge loop ever runs
+    // over corpus bytes. Gated output: per-source token accounting
+    // (words, subword tokens, ×10³ fixed-point tokens/word — the
+    // compression the tokenizer buys) plus the corpus-weighted top-5
+    // multi-character subwords. The oracle reads the SAME staged final
+    // state q_bpe_train's gate already proves round-by-round, re-joins the
+    // DuckDB-tokenized corpus against it, and re-aggregates — so this gate
+    // covers the encode join + accounting arithmetic end to end.
+    QueryDef(
+      "q_bpe_encode",
+      s"""WITH st AS (SELECT word, syms FROM ${graft.OracleStage.pq(s"bpe_state_$Rounds")}),
+         |w AS (SELECT source, unnest($toksSql) AS word FROM documents),
+         |j AS (SELECT source, w.word, len(syms) AS n_sub, syms
+         |      FROM w JOIN st ON st.word = w.word),
+         |per_source AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |         CAST(SUM(n_sub) AS BIGINT) AS n_tokens,
+         |         (CAST(SUM(n_sub) AS BIGINT) * 1000) // COUNT(*) AS tokens_per_word_x1k
+         |  FROM j GROUP BY 1),
+         |top_tok AS (
+         |  SELECT s AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(syms) AS s FROM j)
+         |  WHERE len(s) >= 2 GROUP BY 1
+         |  ORDER BY cnt DESC, token LIMIT 5)
+         |SELECT source AS grp, n_words, n_tokens, tokens_per_word_x1k
+         |FROM per_source
+         |UNION ALL
+         |SELECT 'top:' || token AS grp, CAST(0 AS BIGINT), cnt, CAST(0 AS BIGINT)
+         |FROM top_tok
+         |ORDER BY grp""".stripMargin) { (spark, d) =>
+      val st = trainedState(wordFreq(spark, d), Rounds, stage = true)
+        .select(col("word"), col("syms"), size(col("syms")).cast("long").as("n_sub"))
+      val w = Tables.documents(spark, d)
+        .select(col("source"), explode(tokens(col("text"))).as("word"))
+      // broadcast the vocabulary: the corpus side never shuffles
+      val j = w.join(broadcast(st), "word")
+      val perSource = j.groupBy("source")
+        .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_tokens"))
+        .select(col("source").as("grp"), col("n_words"),
+          col("n_tokens"),
+          expr("n_tokens * 1000 DIV n_words").as("tokens_per_word_x1k"))
+      val topTok = j.select(explode(col("syms")).as("s"))
+        .filter(length(col("s")) >= 2)
+        .groupBy("s").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("s")).limit(5)
+        .select(concat(lit("top:"), col("s")).as("grp"), lit(0L).as("n_words"),
+          col("cnt").as("n_tokens"), lit(0L).as("tokens_per_word_x1k"))
+      perSource.unionByName(topTok).orderBy("grp")
     })
 }
