@@ -518,6 +518,7 @@ object ProfileQueries {
       // the collect_set+slice shape, applied engine-wide)
       val wd = Window.partitionBy("day").orderBy("hv")
       val sk = h
+        .filter(col("hv").isNotNull) // null-skip parity with collect_set
         .groupBy(col("day"))
         .agg(graft.functions.KMinAgg.kmin(col("hv"), k).as("mins"))
         .select(col("day"), explode(col("mins")).as("hv"))

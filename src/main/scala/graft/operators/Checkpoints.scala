@@ -39,6 +39,15 @@ object Checkpoints {
     */
   @volatile private var lastSetRoot: Option[String] = None
 
+  /** The RESOLVED path of the dir Spark actually created for our last
+    * setCheckpointDir (root/UUID, fully qualified) — the comparison anchor
+    * for detecting a foreign setCheckpointDir. Comparing against the RAW
+    * configured string would mis-fire on relative roots (Spark qualifies
+    * them against the fs working dir), re-setting a fresh UUID dir per
+    * call.
+    */
+  @volatile private var lastResolvedDir: Option[String] = None
+
   private def configuredDir: Option[String] =
     dirOverride.orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty))
 
@@ -61,16 +70,17 @@ object Checkpoints {
       // fresh UUID subdir per call). lastSetRoot alone is not enough: it is
       // JVM-global, so foreign code calling sc.setCheckpointDir to another
       // root after us would otherwise silently redirect reliable
-      // checkpoints — also require the context's CURRENT dir (root/UUID,
-      // possibly scheme-qualified) to still live under our tracked root.
-      val root = pathOf(dir).stripSuffix("/")
-      val stillOurs = sc.getCheckpointDir.exists { cur =>
-        val c = pathOf(cur)
-        c == root || c.startsWith(root + "/")
+      // checkpoints — also require the context's CURRENT dir to still be
+      // the exact resolved dir Spark created for OUR last set (captured
+      // right after setting, so relative roots compare correctly).
+      val stillOurs = (lastResolvedDir, sc.getCheckpointDir) match {
+        case (Some(ours), Some(cur)) => pathOf(cur) == ours
+        case _ => false
       }
       if (!lastSetRoot.contains(dir) || !stillOurs) {
         sc.setCheckpointDir(dir)
         lastSetRoot = Some(dir)
+        lastResolvedDir = sc.getCheckpointDir.map(pathOf)
       }
       df.checkpoint()
     case None => df.localCheckpoint()

@@ -125,6 +125,31 @@ object BpeQueries {
        |          named_struct('out', concat(acc.out, array(element_at(syms, i))), 'sk', 0)))),
        |  acc -> acc.out)""".stripMargin)
 
+  /** One round's argmax — the most frequent adjacent pair, lexicographic
+    * ties — shared by [[trainTrace]] and [[trainedState]] so the two loops
+    * cannot drift (they stage under the SAME bpe_state_* names, so their
+    * round decisions must be identical by construction, not by copy-paste).
+    * Fails with a diagnostic on a degenerate corpus (empty vocabulary or
+    * every word already fully merged) instead of an index error.
+    */
+  private def bestPair(state: org.apache.spark.sql.DataFrame,
+      round: Int): (String, String, Long) = {
+    val rows = state.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, size(syms)-1), i ->
+          |  struct(element_at(syms, i) AS l, element_at(syms, i+1) AS r))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.l").as("lsym"), col("p.r").as("rsym"))
+      .agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("lsym"), col("rsym"))
+      .limit(1).collect() // 1-row argmax, the bounded-collect pattern
+    require(rows.nonEmpty,
+      s"BPE round $round: no adjacent symbol pairs left — vocabulary is " +
+        "empty or already fully merged; lower the round count or check the " +
+        "word filter")
+    (rows(0).getString(0), rows(0).getString(1), rows(0).getLong(2))
+  }
+
   /** The training loop over a (word, freq) dictionary — separated from the
     * registered query so FamilyScaleProbe can drive it with a wider
     * alphabet over the replicated corpus (the ×k replica tokens carry
@@ -143,21 +168,13 @@ object BpeQueries {
         wf.select(col("word"), col("freq"),
           expr("filter(split(word, ''), c -> c <> '')").as("syms")))
         .stableCheckpoint()
-      var tokensBefore = state
-        .agg(sum(expr("freq * size(syms)"))).collect()(0).getLong(0)
+      val t0 = state.agg(sum(expr("freq * size(syms)"))).collect()(0)
+      require(!t0.isNullAt(0),
+        "BPE: empty vocabulary after the word filter — nothing to train on")
+      var tokensBefore = t0.getLong(0)
 
       val trace = (0 until rounds).map { r =>
-        // round argmax: most frequent adjacent pair, lexicographic ties
-        val bestRow = state.filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(expr(
-            """transform(sequence(1, size(syms)-1), i ->
-              |  struct(element_at(syms, i) AS l, element_at(syms, i+1) AS r))"""
-              .stripMargin)).as("p"))
-          .groupBy(col("p.l").as("lsym"), col("p.r").as("rsym"))
-          .agg(sum("freq").as("cnt"))
-          .orderBy(col("cnt").desc, col("lsym"), col("rsym"))
-          .limit(1).collect()(0) // 1-row argmax, the bounded-collect pattern
-        val (l, rr, cnt) = (bestRow.getString(0), bestRow.getString(1), bestRow.getLong(2))
+        val (l, rr, cnt) = bestPair(state, r)
 
         // greedy non-overlapping site count (fold: merge at p iff p clears
         // the previous consumed position) — summed with word frequencies
@@ -214,16 +231,7 @@ object BpeQueries {
         expr("filter(split(word, ''), c -> c <> '')").as("syms")))
       .stableCheckpoint()
     for (r <- 0 until rounds) {
-      val bestRow = state.filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr(
-          """transform(sequence(1, size(syms)-1), i ->
-            |  struct(element_at(syms, i) AS l, element_at(syms, i+1) AS r))"""
-            .stripMargin)).as("p"))
-        .groupBy(col("p.l").as("lsym"), col("p.r").as("rsym"))
-        .agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("lsym"), col("rsym"))
-        .limit(1).collect()(0)
-      val (l, rr) = (bestRow.getString(0), bestRow.getString(1))
+      val (l, rr, _) = bestPair(state, r)
       state = staged(s"bpe_state_${r + 1}",
         state.select(col("word"), col("freq"), applyMergeExpr(l, rr).as("syms")))
         .stableCheckpoint()

@@ -892,6 +892,7 @@ object CorpusStatsQueries {
       // of the source's distinct volume (KMinAgg — the r12-advice fix for
       // the collect_set+slice shape, applied engine-wide)
       val sk = h
+        .filter(col("hv").isNotNull) // null-skip parity with collect_set
         .groupBy(col("source"))
         .agg(graft.functions.KMinAgg.kmin(col("hv"), k).as("mins"))
         .select(col("source"), explode(col("mins")).as("hv"))

@@ -204,6 +204,7 @@ object QualityGateQueries {
         .select(col("source"), col("doc_id"),
           SketchExpressions.md5Hi64(concat(lit("smp:"), col("doc_id").cast("string"))).as("h8"))
         .select(col("source"), col("doc_id"), expr("shiftrightunsigned(h8, 16)").as("hv"))
+        .filter(col("hv").isNotNull) // primitive-Long udaf input: skip nulls
         .groupBy("source")
         .agg(graft.functions.KMinAgg.kminBy(col("hv"), col("doc_id"), 8).as("mins"))
         .select(col("source"), posexplode(col("mins")).as(Seq("p", "m")))

@@ -65,6 +65,7 @@ object RollupRewrite {
   final case class JoinSpec(
       basePathSuffix: String,
       dimPathSuffix: String,
+      rollupPath: String,
       groupSig: Seq[String],
       aggSig: Seq[(String, String)],
       joinCondSig: String,
@@ -251,7 +252,12 @@ object RollupRewrite {
       val (g, a) = signatureOf(agg)
       // Key by the full matched signature, not just the base table: two
       // rollups with different grouping/aggregate shapes over the same base
-      // must coexist (each serves its own query shape).
+      // must coexist (each serves its own query shape). But a
+      // RE-materialization of the SAME rollupPath with a different
+      // canonical must evict any prior spec over that path — the overwrite
+      // replaced the parquet, so the old signature would otherwise keep
+      // matching its shape and silently serve the NEW path's data.
+      specs.entrySet().removeIf(e => e.getValue.rollupPath == rollupPath)
       specs.put(s"$basePathSuffix|${g.mkString(",")}|${a.map { case (n, e) => s"$n=$e" }.mkString(",")}",
         Spec(basePathSuffix, rollupPath, g, a))
     } finally suspended.set(false)
@@ -290,9 +296,12 @@ object RollupRewrite {
       // Full-signature key: a second join rollup over the same base/dim pair
       // with a different grouping/aggregate shape (or join condition) must
       // not overwrite the first — each shape keeps its own registration.
+      // (Same stale-path eviction as the base registry: the parquet at
+      // rollupPath was just overwritten, so any prior spec over it is gone.)
+      joinSpecs.entrySet().removeIf(e => e.getValue.rollupPath == rollupPath)
       joinSpecs.put(
         s"$basePathSuffix|$dimPathSuffix|${g.mkString(",")}|${a.map { case (n, e) => s"$n=$e" }.mkString(",")}|${sig(cond)}",
-        JoinSpec(basePathSuffix, dimPathSuffix, g, a, sig(cond), replacement))
+        JoinSpec(basePathSuffix, dimPathSuffix, rollupPath, g, a, sig(cond), replacement))
     } finally suspended.set(false)
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[RewriteRule]))
       spark.experimental.extraOptimizations =

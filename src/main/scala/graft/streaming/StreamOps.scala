@@ -418,7 +418,9 @@ object StreamOps {
       // collect_set+slice shape buffered the FULL distinct set per salt
       // group before slicing), and one level replaces the old
       // salt+window two-phase: map-side partials are already ≤ k.
-      val agg = h.groupBy("day_num")
+      // null hv (null uh) must be SKIPPED like the old collect_set did —
+      // the primitive-Long aggregator input cannot carry nulls
+      val agg = h.filter(col("hv").isNotNull).groupBy("day_num")
         .agg(graft.functions.KMinAgg.kmin(col("hv"), k).as("mins"))
         .select(col("day_num"), size(col("mins")).cast("long").as("n_members"),
           element_at(col("mins"), -1).as("kth"))
@@ -525,11 +527,15 @@ object StreamOps {
   val HistBinWidth = 2.0
 
   /** The shared bin function, column form (the state function applies the
-    * identical arithmetic executor-side).
+    * identical arithmetic executor-side). Clamped in DOUBLE space BEFORE
+    * the int cast: under ANSI a huge value would otherwise throw
+    * CAST_OVERFLOW at `.cast("int")` instead of clamping to the edge bin
+    * as the contract promises. NaN clamps to the top bin (Spark's
+    * least/greatest order NaN greatest — matched executor-side).
     */
   def histBin(v: Column): Column =
-    least(lit(HistBins - 1), greatest(lit(0),
-      floor(v / HistBinWidth).cast("int")))
+    least(lit((HistBins - 1).toDouble),
+      greatest(lit(0.0), floor(v / HistBinWidth))).cast("int")
 
   /** Per-day fixed-bin value histogram maintained across micro-batches —
     * the value-DISTRIBUTION sibling of the distinct (HLL/KMV) and
@@ -562,8 +568,13 @@ object StreamOps {
               val touched = scala.collection.mutable.LinkedHashSet.empty[Int]
               batch.foreach { e =>
                 nSeen += 1
-                val b = math.max(0, math.min(HistBins - 1,
-                  math.floor(e.v / HistBinWidth).toInt))
+                // NaN → top bin, matching the column face's least/greatest
+                // NaN ordering (java Math.min/max would propagate NaN → 0)
+                val f = math.floor(e.v / HistBinWidth)
+                val b =
+                  if (f.isNaN || f >= HistBins - 1) HistBins - 1
+                  else if (f <= 0.0) 0
+                  else f.toInt
                 counters(b) += 1
                 touched += b
               }

@@ -469,7 +469,7 @@ object StreamShapeQueries {
       """WITH e AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day_num, value AS v
         |           FROM events),
         |bins AS (SELECT day_num,
-        |                LEAST(255, GREATEST(0, CAST(FLOOR(v / 2.0) AS INT))) AS bin,
+        |                CAST(LEAST(255.0, GREATEST(0.0, FLOOR(v / 2.0))) AS INT) AS bin,
         |                COUNT(*) AS cnt
         |         FROM e GROUP BY 1, 2),
         |cum AS (SELECT day_num, bin,

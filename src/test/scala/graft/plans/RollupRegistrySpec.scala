@@ -40,4 +40,32 @@ class RollupRegistrySpec extends SparkSpec {
     assert(userQueryA.collect().map(_.toSeq).toSet == expA)
     assert(userQueryB.collect().map(_.toSeq).toSet == expB)
   }
+
+  test("re-materializing a rollupPath with a different canonical evicts the stale spec") {
+    val path = "target/rollup_store/test_stale_path"
+    // defs, not vals: queryExecution is lazily CACHED per DataFrame, so a
+    // val built before registration would keep its unrewritten plan
+    def shape1 = Tables.orders(spark, sf())
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_stale"))
+    // a DIFFERENT query shape whose output alias coincides — the dangerous
+    // case: the stale spec's byName remap would succeed and silently serve
+    // shape 2's data to a shape-1 query
+    def shape2 = Tables.orders(spark, sf())
+      .groupBy(col("o_orderstatus").as("o_orderpriority"))
+      .agg(count(lit(1)).as("n_stale"))
+    val exp1 = shape1.collect().map(_.toSeq).toSet
+
+    RollupRewrite.materializeAndRegister(spark, shape1,
+      s"${sf()}/orders.parquet", path)
+    assert(shape1.queryExecution.executedPlan.toString.contains("test_stale_path"))
+
+    // overwrite the SAME path with shape 2's rollup
+    RollupRewrite.materializeAndRegister(spark, shape2,
+      s"${sf()}/orders.parquet", path)
+    // shape 1's spec must be GONE: its query falls back to the base and
+    // stays correct (before the eviction fix it read shape 2's parquet)
+    val plan1 = shape1.queryExecution.executedPlan.toString
+    assert(plan1.contains("orders.parquet"), plan1.take(2000))
+    assert(shape1.collect().map(_.toSeq).toSet == exp1)
+  }
 }

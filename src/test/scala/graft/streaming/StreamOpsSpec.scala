@@ -447,7 +447,11 @@ class StreamOpsSpec extends SparkSpec {
       val day = 300L + (i % 2)
       val v = i % 50 match {
         case 0 => -3.5 // clamps to bin 0
-        case 1 => 730.0 // clamps to bin 255
+        case 1 => 730.0 // clamps to bin 255 (odd i → day 301)
+        case 3 => 5.0e9 // would CAST_OVERFLOW under ANSI without the
+        // double-space clamp (the r13 review fix) — must land in bin 255;
+        // odd i → day 301, keeping day 300's p99 error-bound check (the
+        // bound only holds for IN-RANGE values) on in-range data
         case _ => rng.nextDouble() * 500.0
       }
       StreamOps.HistIn(day, v)
