@@ -29,7 +29,14 @@ object KMinAgg {
     */
   final case class Buf(mins: Array[Long])
 
-  private final class KMin(k: Int) extends Aggregator[Long, Buf, Array[Long]] {
+  // Input values arrive BOXED (java.lang.Long): with a primitive input
+  // encoder a NULL input row silently decodes as 0L and permanently occupies
+  // the minimum slot (the r13 advice finding — every caller had to carry a
+  // manual .filter(isNotNull)). Boxing moves the null contract inside the
+  // aggregator: reduce skips nulls, so `kmin` is null-safe at the API
+  // boundary like every builtin aggregate.
+  private final class KMin(k: Int)
+      extends Aggregator[java.lang.Long, Buf, Array[Long]] {
     override def zero: Buf = Buf(Array.emptyLongArray)
 
     /** Insert preserving sort+distinct, dropping the largest once > k.
@@ -52,7 +59,8 @@ object KMinAgg {
       }
     }
 
-    override def reduce(b: Buf, v: Long): Buf = Buf(insert(b.mins, v))
+    override def reduce(b: Buf, v: java.lang.Long): Buf =
+      if (v == null) b else Buf(insert(b.mins, v.longValue))
 
     override def merge(b1: Buf, b2: Buf): Buf = {
       // merge-sort the two sorted distinct arrays, dedup, stop at k
@@ -74,10 +82,13 @@ object KMinAgg {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  /** `kmin(col, k)` as an untyped aggregate Column over a LONG column. */
+  /** `kmin(col, k)` as an untyped aggregate Column over a LONG column.
+    * NULL inputs are skipped (never 0-coerced) — builtin-aggregate
+    * semantics, enforced inside the aggregator.
+    */
   def kmin(col: Column, k: Int): Column = {
     require(k > 0, s"k must be positive, got $k")
-    udaf(new KMin(k), Encoders.scalaLong)(col)
+    udaf(new KMin(k), Encoders.LONG)(col)
   }
 
   // ----- keyed variant: bottom-k rows by (hash, id), payload carried -----
@@ -87,9 +98,13 @@ object KMinAgg {
     * deterministically.
     */
   final case class HId(h: Long, id: Long)
+  /** Boxed input twin of [[HId]]: a NULL hash or id column must be SKIPPED,
+    * not decoded as 0 (same advice finding as [[KMin]]'s input).
+    */
+  final case class HIdIn(h: java.lang.Long, id: java.lang.Long)
   final case class BufBy(mins: Array[Long]) // packed pairs [h0,id0,h1,id1,…]
 
-  private final class KMinBy(k: Int) extends Aggregator[HId, BufBy, Array[HId]] {
+  private final class KMinBy(k: Int) extends Aggregator[HIdIn, BufBy, Array[HId]] {
     // pairs are kept FLAT in a long array (2 slots per element, sorted by
     // (h, id)) so the buffer encoder stays a primitive-array product —
     // no nested-struct serialization per merge
@@ -98,7 +113,9 @@ object KMinAgg {
     private def lt(h1: Long, i1: Long, h2: Long, i2: Long): Boolean =
       h1 < h2 || (h1 == h2 && i1 < i2)
 
-    override def reduce(b: BufBy, v: HId): BufBy = {
+    override def reduce(b: BufBy, vIn: HIdIn): BufBy = {
+      if (vIn.h == null || vIn.id == null) return b // skip null rows
+      val v = HId(vIn.h.longValue, vIn.id.longValue)
       val a = b.mins
       val n = a.length / 2
       if (n >= k && !lt(v.h, v.id, a(2 * k - 2), a(2 * k - 1))) b
@@ -156,7 +173,8 @@ object KMinAgg {
     */
   def kminBy(hash: Column, id: Column, k: Int): Column = {
     require(k > 0, s"k must be positive, got $k")
-    // the product input encoder flattens to a 2-argument aggregate
-    udaf(new KMinBy(k), Encoders.product[HId])(hash, id)
+    // the product input encoder flattens to a 2-argument aggregate; boxed
+    // fields so a null in either column skips the row instead of becoming 0
+    udaf(new KMinBy(k), Encoders.product[HIdIn])(hash, id)
   }
 }

@@ -39,27 +39,22 @@ object Checkpoints {
     */
   @volatile private var lastSetRoot: Option[String] = None
 
-  /** The RESOLVED path of the dir Spark actually created for our last
-    * setCheckpointDir (root/UUID, fully qualified) — the comparison anchor
-    * for detecting a foreign setCheckpointDir. Comparing against the RAW
-    * configured string would mis-fire on relative roots (Spark qualifies
-    * them against the fs working dir), re-setting a fresh UUID dir per
-    * call.
+  /** The RESOLVED dir Spark actually created for our last setCheckpointDir
+    * (root/UUID, fully qualified, VERBATIM as `getCheckpointDir` reports
+    * it) — the comparison anchor for detecting a foreign setCheckpointDir.
+    * Comparing against the RAW configured string would mis-fire on
+    * relative roots (Spark qualifies them against the fs working dir),
+    * re-setting a fresh UUID dir per call. Both sides of the ownership
+    * comparison come from `getCheckpointDir`, so they carry identical
+    * qualification — compare the FULL string, scheme and authority
+    * included: stripping to the path component (the r13 shape) would treat
+    * `hdfs://nn/x` and `file:/x` as the same dir and miss a foreign
+    * redirect to the same path on a different filesystem.
     */
   @volatile private var lastResolvedDir: Option[String] = None
 
   private def configuredDir: Option[String] =
     dirOverride.orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty))
-
-  /** Path component of a possibly scheme-qualified location (`file:/x`,
-    * `hdfs://nn/x` → `/x`), so root comparisons survive Spark's
-    * qualification of whatever string we handed to setCheckpointDir.
-    */
-  private def pathOf(s: String): String =
-    try {
-      val p = new java.net.URI(s).getPath
-      if (p == null || p.isEmpty) s else p
-    } catch { case _: java.net.URISyntaxException => s }
 
   /** Eager checkpoint of `df` in the configured flavor (see class doc). */
   def stable(df: DataFrame): DataFrame = configuredDir match {
@@ -74,13 +69,13 @@ object Checkpoints {
       // the exact resolved dir Spark created for OUR last set (captured
       // right after setting, so relative roots compare correctly).
       val stillOurs = (lastResolvedDir, sc.getCheckpointDir) match {
-        case (Some(ours), Some(cur)) => pathOf(cur) == ours
+        case (Some(ours), Some(cur)) => cur == ours // full URI, not path-only
         case _ => false
       }
       if (!lastSetRoot.contains(dir) || !stillOurs) {
         sc.setCheckpointDir(dir)
         lastSetRoot = Some(dir)
-        lastResolvedDir = sc.getCheckpointDir.map(pathOf)
+        lastResolvedDir = sc.getCheckpointDir
       }
       df.checkpoint()
     case None => df.localCheckpoint()
