@@ -206,6 +206,70 @@ object BpeQueries {
         .orderBy("round")
   }
 
+  /** Persisted-vocabulary store (r13 verdict "what's wrong" #3): the
+    * trained word→subwords map is a TABLE — train once, persist, encode
+    * from the persisted copy. Without this, every encode run (bench reps
+    * included) silently re-pays the whole training loop (~2 s of
+    * q_bpe_encode's r13 median was training, not encoding), and at
+    * production merge depths the encode face would be unusable.
+    *
+    * Keying: (training-code version, documents-parquet fingerprint,
+    * rounds). The fingerprint is driver-side fs metadata (total bytes +
+    * max mtime of the part files) — cheap, and a testdata regeneration
+    * invalidates the store instead of silently serving a stale vocabulary.
+    * Bump [[VocabVersion]] on any training-algorithm change.
+    *
+    * Oracle-stage mode NEVER reuses a cross-JVM persisted copy: the gate's
+    * DuckDB side reads the staged per-round states, so the staging and the
+    * persisted vocab must come from the same in-JVM training run (the
+    * in-JVM cache still collapses train+encode to one training pass).
+    */
+  private[pipeline] object BpeVocabStore {
+    private val VocabVersion = 1
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    /** Test seam: number of training runs actually executed in this JVM. */
+    @volatile private[pipeline] var trainRuns = 0
+
+    private def fingerprint(dir: String): String = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      val fs = walk(new java.io.File(s"$dir/documents.parquet"))
+      val bytes = fs.map(_.length).sum
+      val mtime = if (fs.isEmpty) 0L else fs.map(_.lastModified).max
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(s"$dir|$bytes|$mtime").toLong
+          & 0xffffffffL)
+    }
+
+    /** The final (word, freq, syms) vocabulary tokenization after `rounds`
+      * merges over `dir`'s documents — persisted parquet, trained at most
+      * once per (version, corpus, rounds) across JVMs (per JVM in
+      * oracle-stage mode; see class doc).
+      */
+    def trainedFinal(spark: org.apache.spark.sql.SparkSession, dir: String,
+        rounds: Int): org.apache.spark.sql.DataFrame = {
+      val key = s"v${VocabVersion}_${fingerprint(dir)}_r$rounds" +
+        (if (graft.OracleStage.enabled) "_staged" else "")
+      val path = new java.io.File(s"target/bpe_vocab/$key").getAbsolutePath
+      val resolved = cache.get(key).getOrElse(synchronized {
+        cache.getOrElse(key, {
+          val onDisk = !graft.OracleStage.enabled &&
+            new java.io.File(s"$path/_SUCCESS").isFile
+          if (!onDisk) {
+            trainRuns += 1
+            trainedState(wordFreq(spark, dir), rounds,
+                stage = graft.OracleStage.enabled)
+              .write.mode("overwrite").parquet(path)
+          }
+          cache.put(key, path)
+          path
+        })
+      })
+      spark.read.parquet(resolved)
+    }
+  }
+
   /** The documents word-frequency dictionary the registered queries train
     * on (letters-only fixture scope — see class doc).
     */
@@ -284,7 +348,9 @@ object BpeQueries {
          |SELECT 'top:' || token AS grp, CAST(0 AS BIGINT), cnt, CAST(0 AS BIGINT)
          |FROM top_tok
          |ORDER BY grp""".stripMargin) { (spark, d) =>
-      val st = trainedState(wordFreq(spark, d), Rounds, stage = true)
+      // the PERSISTED vocabulary table — no live retraining on the encode
+      // path (bench mode included); see BpeVocabStore
+      val st = BpeVocabStore.trainedFinal(spark, d, Rounds)
         .select(col("word"), col("syms"), size(col("syms")).cast("long").as("n_sub"))
       val w = Tables.documents(spark, d)
         .select(col("source"), explode(tokens(col("text"))).as("word"))

@@ -57,6 +57,32 @@ class BpeSpec extends SparkSpec {
     assert(got == referenceTrace(sf("sf0.001"), 8))
   }
 
+  test("persisted-vocab store: trains once, serves identical rows from parquet") {
+    val dir = sf("sf0.001")
+    val runs0 = BpeQueries.BpeVocabStore.trainRuns
+    val first = BpeQueries.BpeVocabStore.trainedFinal(spark, dir, 8)
+      .orderBy("word").collect().map(_.toString).toSeq
+    val runsAfterFirst = BpeQueries.BpeVocabStore.trainRuns
+    // trained at most once (0 extra runs if a previous suite in this JVM
+    // or an on-disk copy already persisted it)
+    assert(runsAfterFirst - runs0 <= 1)
+    val second = BpeQueries.BpeVocabStore.trainedFinal(spark, dir, 8)
+      .orderBy("word").collect().map(_.toString).toSeq
+    // the second call must NOT retrain — persisted table served from cache
+    assert(BpeQueries.BpeVocabStore.trainRuns == runsAfterFirst,
+      "second trainedFinal call retrained instead of reading the store")
+    assert(second == first)
+    // and the persisted rows equal a live training run's final state
+    val live = BpeQueries.trainedState(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("freq")),
+      8, stage = false)
+      .orderBy("word").collect().map(_.toString).toSeq
+    assert(first == live)
+  }
+
   test("greedy fold: overlapping l==r candidates merge non-overlapping") {
     import spark.implicits._
     // "aaaa" with pair (a,a): greedy gives [aa, aa], 2 sites;
