@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.analytics.Tables
 import graft.functions.TextFunctions.{tokens, toksSql}
 import graft.operators.Checkpoints.StableOps
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE (byte-pair-encoding) merge training — the tokenizer-
@@ -206,6 +207,239 @@ object BpeQueries {
         .orderBy("round")
   }
 
+  // ------------- deep (batched) training: r13 verdict item 1 -------------
+  //
+  // The round-serial trainer above costs 2–3 driver-coordinated jobs + one
+  // checkpoint PER MERGE — at production merge depths (30k–50k) that is
+  // ~10⁵ driver round-trips, a wall-clock ceiling bound by ROUND COUNT,
+  // not corpus size. The deep trainer amortizes: each PASS selects a
+  // whole BATCH of merges and applies them in one map-only fold, so
+  // wall-clock grows with passes while merges grow with batch width
+  // (BpeDeepProbe measures exactly that).
+  //
+  // Batch rule (deterministic, bounded, SQL-replayable): rank pairs by
+  // priority (cnt DESC, lsym, rsym), take the top-M ranks (M = DeepScan,
+  // a constant — the driver collect is M rows at ANY corpus size), scan
+  // them in rank order and select a pair iff neither of its symbols is
+  // used by an already-selected pair of this pass, stopping at B
+  // selections. The rank-1 pair is always selected, so every pass yields
+  // ≥ 1 merge, and B = 1 degenerates to the classical greedy trainer
+  // EXACTLY (BpeDeepSpec pins both laws). The oracle replays the same
+  // scan with a recursive CTE over the same top-M ranking.
+  //
+  // Exactness of the batched application: selected pairs are pairwise
+  // symbol-DISJOINT, so a position consumed by one pair's merge can never
+  // host another pair's site — one left-to-right fold with a per-position
+  // batch-map lookup is therefore EQUAL to applying each pair's greedy
+  // fold independently, and each pair's site count keeps the closed-form
+  // run formula evaluated on the PRE-pass state. The driver hard-checks
+  // the identity Σ n_merges == tokens_before − tokens_after every pass;
+  // the DuckDB oracle independently replays selection + closed form +
+  // totals from the staged per-pass states.
+
+  private val DeepPasses = 18
+  private val DeepBatch = 32
+  private val DeepScan = 512 // rank depth of the per-pass selection scan
+  private val DeepMinMerges = 256L // learned merge RULES across all passes
+
+  /** Every adjacent pair's frequency-weighted occurrence count AND its
+    * greedy non-overlapping site count, in one pass over the state. Site
+    * counts use the closed form: consecutive candidate positions (only
+    * possible for l == r) form runs; greedy merges ⌈run/2⌉ per run,
+    * weighted by word frequency.
+    */
+  private def pairStats(state: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pos = state.filter(size(col("syms")) >= 2)
+      .select(col("word"), col("freq"), explode(expr(
+        """transform(sequence(1, size(syms)-1), i ->
+          |  struct(i AS p, element_at(syms, i) AS l, element_at(syms, i+1) AS r))"""
+          .stripMargin)).as("x"))
+      .select(col("word"), col("freq"), col("x.p").as("p"),
+        col("x.l").as("l"), col("x.r").as("r"))
+    // the window partition is (word, pair) — bounded by the word's length,
+    // never corpus-sized
+    val runs = pos
+      .withColumn("grp", col("p") - row_number().over(
+        Window.partitionBy("word", "l", "r").orderBy("p")))
+      .groupBy("word", "freq", "l", "r", "grp").agg(count(lit(1)).as("c"))
+    runs.groupBy("l", "r").agg(
+      sum(expr("freq * c")).as("cnt"),
+      sum(expr("freq * ((c + 1) DIV 2)")).as("n_merges"))
+  }
+
+  /** The pass's batch: scan the top-`scanDepth` pairs in (cnt DESC, l, r)
+    * order and chain-greedily select up to `batch` pairwise
+    * symbol-DISJOINT pairs. The distributed part is a
+    * TakeOrderedAndProject of scanDepth rows (bounded collect at any
+    * corpus size); the scan itself is a driver loop over ≤ scanDepth
+    * rows. Returns (l, r, cnt, n_merges) in selection (= rank) order.
+    */
+  private def selectBatch(stats: org.apache.spark.sql.DataFrame, batch: Int,
+      scanDepth: Int): Seq[(String, String, Long, Long)] = {
+    val ranked = stats
+      .orderBy(col("cnt").desc, col("l"), col("r")).limit(scanDepth)
+      .collect()
+      .map(r => (r.getAs[String]("l"), r.getAs[String]("r"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("n_merges")))
+    val used = scala.collection.mutable.Set.empty[String]
+    val sel = Seq.newBuilder[(String, String, Long, Long)]
+    var n = 0
+    ranked.foreach { case p @ (l, r, _, _) =>
+      if (n < batch && !used(l) && !used(r)) {
+        used += l; used += r; sel += p; n += 1
+      }
+    }
+    sel.result()
+  }
+
+  /** One left-to-right greedy fold applying a whole batch of
+    * symbol-disjoint merges: each position looks its (sym, next-sym) key
+    * up in the batch map (try_element_at — ANSI element_at throws on a
+    * missing map key) and merges on a hit. Disjointness makes this equal
+    * to sequential per-pair greedy application (see the section comment).
+    * `sep` joins the merged symbol's name: "" for character-level BPE
+    * (classical concatenation), " " for phrase-level (so the phrase
+    * "a b"+"c" reads naturally; identical surface forms intentionally
+    * become one symbol, as in classical BPE).
+    */
+  private[pipeline] def applyBatchExpr(pairs: Seq[(String, String)],
+      sep: String): org.apache.spark.sql.Column = {
+    val entries = pairs
+      .flatMap { case (l, r) => Seq(s"'$l|$r'", s"'$l$sep$r'") }.mkString(", ")
+    expr(
+      s"""aggregate(
+         |  sequence(1, size(syms)),
+         |  named_struct('out', CAST(array() AS ARRAY<STRING>), 'sk', 0),
+         |  (acc, i) -> IF(acc.sk = 1,
+         |    named_struct('out', acc.out, 'sk', 0),
+         |    IF(i >= size(syms),
+         |       named_struct('out', concat(acc.out, array(element_at(syms, i))), 'sk', 0),
+         |       IF(try_element_at(map($entries),
+         |            concat(element_at(syms, i), '|', element_at(syms, i+1))) IS NULL,
+         |          named_struct('out', concat(acc.out, array(element_at(syms, i))), 'sk', 0),
+         |          named_struct('out', concat(acc.out, array(try_element_at(map($entries),
+         |            concat(element_at(syms, i), '|', element_at(syms, i+1))))), 'sk', 1)))),
+         |  acc -> acc.out)""".stripMargin)
+  }
+
+  /** The deep training loop over a pre-built (word, freq, syms) symbol
+    * state: `passes` batched passes of up to `batch` merges each. Per
+    * pass: ONE selection job (pair stats + top-M collect + driver chain
+    * scan), one map-only batch application + checkpoint, one totals job
+    * — so driver round-trips scale with PASSES, not merges. Output: one
+    * row per applied merge (pass, lsym, rsym, pair_cnt, n_merges) with
+    * the pass's post-state totals repeated on each row.
+    *
+    * The state is symbol-AGNOSTIC: character symbols give classical BPE
+    * (BpeDeepSpec proves B = 1 equals [[trainTrace]] exactly); word-token
+    * symbols give phrase BPE — the registered gate's face, because the
+    * synthetic corpus's word vocabulary is 30 words (structurally too
+    * small for ≥256 character merges) while its phrase inventory is
+    * unbounded.
+    */
+  private[graft] def trainDeepTrace(state0: org.apache.spark.sql.DataFrame,
+      passes: Int, batch: Int, stage: Boolean, sep: String,
+      minMerges: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val spark = state0.sparkSession
+    import spark.implicits._
+    def staged(name: String, df: org.apache.spark.sql.DataFrame) =
+      if (stage) graft.OracleStage.stage(name, df) else df
+
+    var state = staged("bpe_deep_state_0",
+      state0.select(col("word"), col("freq"), col("syms")))
+      .stableCheckpoint()
+    val t0 = state.agg(sum(expr("freq * size(syms)"))).collect()(0)
+    require(!t0.isNullAt(0), "deep BPE: empty vocabulary after the word filter")
+    var tokensBefore = t0.getLong(0)
+
+    val rows = Seq.newBuilder[(Long, String, String, Long, Long, Long, Long)]
+    var totalRules = 0L
+    for (p <- 0 until passes) {
+      val sel = selectBatch(pairStats(state), batch, DeepScan)
+      require(sel.nonEmpty,
+        s"deep BPE pass $p: no adjacent symbol pairs left — lower the pass count")
+      state = staged(s"bpe_deep_state_${p + 1}",
+        state.select(col("word"), col("freq"),
+          applyBatchExpr(sel.map(x => (x._1, x._2)), sep).as("syms")))
+        .stableCheckpoint() // read ≥ twice per pass: truncate NOW
+      val post = state.select(explode(col("syms")).as("s"), col("freq"))
+        .agg(sum("freq").as("t"), countDistinct("s").as("v")).collect()(0)
+      val (tAfter, vAfter) = (post.getLong(0), post.getLong(1))
+      val applied = sel.map(_._4).sum
+      // the batched-application exactness law, enforced every pass: the
+      // fold must remove exactly the closed-form site total
+      require(tokensBefore - tAfter == applied,
+        s"deep BPE pass $p: fold removed ${tokensBefore - tAfter} tokens, " +
+          s"closed-form site total is $applied")
+      tokensBefore = tAfter
+      totalRules += sel.size
+      sel.foreach { case (l, r, cnt, m) =>
+        rows += ((p.toLong, l, r, cnt, m, tAfter, vAfter))
+      }
+    }
+    require(totalRules >= minMerges,
+      s"deep BPE: only $totalRules merge rules learned in $passes passes " +
+        s"(need ≥ $minMerges) — raise passes/batch")
+    rows.result().toDF("pass", "lsym", "rsym", "pair_cnt", "n_merges",
+        "n_tokens_after", "vocab_after")
+      .orderBy(col("pass"), col("pair_cnt").desc, col("lsym"), col("rsym"))
+  }
+
+  /** Per-pass DuckDB block for the deep gate: recompute pair stats, the
+    * top-M ranking, the chain-greedy disjoint scan (a recursive CTE
+    * stepping one rank per level, carrying the used-symbol list), and
+    * each selected pair's closed-form site count from staged state p;
+    * totals from state p+1.
+    */
+  private def deepRoundSql(p: Int, batch: Int, scanDepth: Int): String = {
+    val stP = graft.OracleStage.pq(s"bpe_deep_state_$p")
+    val stN = graft.OracleStage.pq(s"bpe_deep_state_${p + 1}")
+    val ok = s"s.nsel < $batch AND NOT list_contains(s.used, r.l) " +
+      "AND NOT list_contains(s.used, r.r)"
+    s"""SELECT $p AS pass, b.l AS lsym, b.r AS rsym, b.cnt AS pair_cnt,
+       |       b.n_merges, aft.n_tokens_after, aft.vocab_after
+       |FROM (
+       |  WITH RECURSIVE pos AS (
+       |    SELECT word, freq,
+       |           unnest(list_slice(syms, 1, len(syms)-1)) AS l,
+       |           unnest(list_slice(syms, 2, len(syms))) AS r,
+       |           unnest(generate_series(1, len(syms)-1)) AS p
+       |    FROM $stP WHERE len(syms) >= 2),
+       |  runs AS (
+       |    SELECT word, freq, l, r, COUNT(*) AS c
+       |    FROM (SELECT word, freq, l, r, p,
+       |                 p - ROW_NUMBER() OVER (PARTITION BY word, l, r ORDER BY p) AS grp
+       |          FROM pos)
+       |    GROUP BY word, freq, l, r, grp),
+       |  stats AS (
+       |    SELECT l, r, CAST(SUM(freq * c) AS BIGINT) AS cnt,
+       |           CAST(SUM(freq * ((c + 1) // 2)) AS BIGINT) AS n_merges
+       |    FROM runs GROUP BY l, r),
+       |  ranked AS (
+       |    SELECT l, r, cnt, n_merges,
+       |           ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS rk
+       |    FROM stats QUALIFY rk <= $scanDepth),
+       |  scan AS (
+       |    SELECT CAST(0 AS BIGINT) AS rk, CAST([] AS VARCHAR[]) AS used,
+       |           CAST([] AS BIGINT[]) AS selrk, 0 AS nsel
+       |    UNION ALL
+       |    SELECT r.rk,
+       |           CASE WHEN $ok THEN s.used || [r.l, r.r] ELSE s.used END,
+       |           CASE WHEN $ok THEN s.selrk || [r.rk] ELSE s.selrk END,
+       |           s.nsel + CASE WHEN $ok THEN 1 ELSE 0 END
+       |    FROM scan s JOIN ranked r ON r.rk = s.rk + 1)
+       |  SELECT rr.l, rr.r, rr.cnt, rr.n_merges
+       |  FROM ranked rr
+       |  JOIN (SELECT unnest(selrk) AS rk FROM scan
+       |        WHERE rk = (SELECT MAX(rk) FROM scan)) sp USING (rk)) b
+       |CROSS JOIN (
+       |  SELECT (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) FROM $stN) AS n_tokens_after,
+       |         (SELECT CAST(COUNT(DISTINCT sy) AS BIGINT)
+       |          FROM (SELECT unnest(syms) AS sy FROM $stN)) AS vocab_after) aft"""
+      .stripMargin
+  }
+
   /** Persisted-vocabulary store (r13 verdict "what's wrong" #3): the
     * trained word→subwords map is a TABLE — train once, persist, encode
     * from the persisted copy. Without this, every encode run (bench reps
@@ -312,6 +546,26 @@ object BpeQueries {
         "SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY round")) { (spark, d) =>
       // the one corpus-wide pass: word-frequency dictionary
       trainTrace(wordFreq(spark, d), Rounds, stage = true)
+    },
+
+    // ----- deep batched BPE training: ≥256 merge rules in 14 passes -----
+    // Phrase-level face: symbols are word tokens, merges learn phrases
+    // (the n-gram-vocabulary construction of a training pipeline). Docs
+    // whose tokens are not all letters-only are dropped WHOLE (dropping
+    // individual tokens would glue non-adjacent words into fake pairs);
+    // the fixture corpus is entirely letters-only, so nothing drops.
+    QueryDef(
+      "q_bpe_train_deep",
+      (0 until DeepPasses).map(p => deepRoundSql(p, DeepBatch, DeepScan)).mkString(
+        "SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY pass, pair_cnt DESC, lsym, rsym")) { (spark, d) =>
+      val state0 = Tables.documents(spark, d)
+        .select(col("doc_id").cast("string").as("word"), lit(1L).as("freq"),
+          tokens(col("text")).as("syms"))
+        .filter(size(col("syms")) >= 2 &&
+          forall(col("syms"), t => t.rlike("^[a-z]+$")))
+      trainDeepTrace(state0, DeepPasses, DeepBatch, stage = true,
+        sep = " ", minMerges = DeepMinMerges)
     },
 
     // ----- BPE encode: corpus tokenization via the broadcast vocabulary -----
