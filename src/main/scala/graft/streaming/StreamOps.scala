@@ -594,6 +594,64 @@ object StreamOps {
     }
   }
 
+  // ----- streaming quantile-sketch state: unbounded-domain quantiles -----
+
+  case class QsIn(day_num: Long, v: Long)
+  case class QsCell(day_num: Long, bucket: Int, cnt: Long, n_seen: Long)
+
+  /** Per-day HDR-style quantile sketch maintained across micro-batches —
+    * the UNBOUNDED-domain sibling of [[dailyValueHist]] (r13 verdict
+    * item 2): [[graft.functions.QuantileSketch]]'s exponent/mantissa
+    * bucketing covers every non-negative long with ≤ 1888 additive
+    * counters (≤ 15 KiB per active day at any volume and any value
+    * range), relative value error ≤ 2^−5. Counters are purely additive,
+    * so the state is batch-split/order-invariant and the streaming
+    * snapshot equals the batch face exactly (StreamOpsSpec); quantile
+    * readout cumulates ascending bucket ids (the gated
+    * q_stream_quantile_sketch). Idle-day eviction follows
+    * [[dailyDistinctHll]]'s `idleTtl` contract.
+    */
+  def dailyQuantileSketch(events: Dataset[QsIn],
+      idleTtl: Option[String] = None): Dataset[QsCell] = {
+    import graft.functions.QuantileSketch
+    implicit val stateEnc: Encoder[HistState] = Encoders.product[HistState]
+    implicit val outEnc: Encoder[QsCell] = Encoders.product[QsCell]
+    import events.sparkSession.implicits._
+    if (events.isStreaming)
+      events
+        .groupByKey(_.day_num)
+        .flatMapGroupsWithState(OutputMode.Update(), timeoutConf(idleTtl))(
+          (day: Long, batch: Iterator[QsIn], st: GroupState[HistState]) => {
+            if (st.hasTimedOut) { st.remove(); Iterator.empty }
+            else {
+              val prev = st.getOption.getOrElse(
+                HistState(new Array[Long](QuantileSketch.NumBuckets), 0L))
+              val counters = prev.counters.clone()
+              var nSeen = prev.nSeen
+              val touched = scala.collection.mutable.LinkedHashSet.empty[Int]
+              batch.foreach { e =>
+                nSeen += 1
+                val b = QuantileSketch.bucketOfJvm(e.v) // == column face, spec-proven
+                counters(b) += 1
+                touched += b
+              }
+              st.update(HistState(counters, nSeen))
+              idleTtl.foreach(st.setTimeoutDuration)
+              touched.iterator.map(b => QsCell(day, b, counters(b), nSeen))
+            }
+          })
+    else {
+      val nSeen = events.toDF().groupBy("day_num").agg(count(lit(1)).as("n_seen"))
+      events.toDF()
+        .select(col("day_num"),
+          QuantileSketch.bucketOf(col("v")).cast("int").as("bucket"))
+        .groupBy("day_num", "bucket").agg(count(lit(1)).as("cnt"))
+        .join(nSeen, "day_num")
+        .select(col("day_num"), col("bucket"), col("cnt"), col("n_seen"))
+        .as[QsCell]
+    }
+  }
+
   /** Stream-static enrichment: the unbounded event stream joined to a
     * bounded dimension table, then window-aggregated per dimension
     * attribute. The static side is explicitly `broadcast` — a stream-static

@@ -516,6 +516,81 @@ object StreamShapeQueries {
           col("hist_bin"), ((col("hist_bin") + 1) * 2000000L).as("est_hi_x1m"),
           col("exact_v"))
         .orderBy("day_num", "q_permille")
+    },
+
+    // per-day quantiles from STREAMING UNBOUNDED-DOMAIN SKETCH STATE: the
+    // batch face of StreamOps.dailyQuantileSketch —
+    // graft.functions.QuantileSketch's HDR-style buckets over integer
+    // milli-values (FLOOR(value·1000): [10, 490020] here, any non-negative
+    // long in general — the r13 hist face's [0, 512) pre-bound is gone).
+    // Readout: first bucket whose cumulative count reaches ⌈q·n⌉; that
+    // bucket contains the exact order statistic by construction, so the
+    // gate emits both bucket bounds, the exact discrete percentile, and
+    // the containment flag — every column BIGINT, bit-exact cross-engine
+    // (vs the hist gate's one-double exact_v). ≤ 1888 additive counters
+    // = 15 KiB per day at any volume; StreamOpsSpec proves the streaming
+    // snapshot equals this batch face and the split/order merge law.
+    QueryDef(
+      "q_stream_quantile_sketch", {
+        import graft.functions.QuantileSketch._
+        s"""WITH e AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day_num,
+           |                  CAST(FLOOR(value * 1000) AS BIGINT) AS v
+           |           FROM events),
+           |b AS (SELECT day_num, ${bucketSql("v")} AS id, COUNT(*) AS cnt
+           |      FROM e GROUP BY 1, 2),
+           |cum AS (SELECT day_num, id,
+           |               SUM(cnt) OVER (PARTITION BY day_num ORDER BY id) AS c
+           |        FROM b),
+           |n AS (SELECT day_num, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+           |t AS (SELECT day_num, n, unnest([500, 900, 990]) AS qp,
+           |             (n * unnest([500, 900, 990]) + 999) // 1000 AS kq
+           |      FROM n),
+           |sel AS (SELECT t.day_num, t.qp, t.n, t.kq, CAST(MIN(id) AS BIGINT) AS bucket
+           |        FROM t JOIN cum ON cum.day_num = t.day_num AND cum.c >= t.kq
+           |        GROUP BY 1, 2, 3, 4),
+           |rk AS (SELECT day_num, v, ROW_NUMBER() OVER (PARTITION BY day_num ORDER BY v) AS r
+           |       FROM e),
+           |ex AS (SELECT s.day_num, s.qp, s.n, s.bucket, rk.v AS exact_v
+           |       FROM sel s JOIN rk ON rk.day_num = s.day_num AND rk.r = s.kq),
+           |bd AS (SELECT day_num, qp, n, exact_v,
+           |              CAST(${loSql("bucket")} AS BIGINT) AS est_lo,
+           |              CAST(${hiSql("bucket")} AS BIGINT) AS est_hi
+           |       FROM ex)
+           |SELECT day_num, CAST(qp AS BIGINT) AS q_permille, n, est_lo, est_hi, exact_v,
+           |       CAST(CASE WHEN est_lo <= exact_v AND exact_v <= est_hi
+           |                 THEN 1 ELSE 0 END AS BIGINT) AS within
+           |FROM bd ORDER BY day_num, q_permille""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      import graft.functions.QuantileSketch
+      val e = Tables.events(s, d).select(
+        expr("CAST(CAST(ts AS LONG) DIV 86400 AS BIGINT)").as("day_num"),
+        expr("CAST(FLOOR(value * 1000) AS BIGINT)").as("v"))
+      val cells = StreamOps.dailyQuantileSketch(e.as[StreamOps.QsIn]).toDF()
+      val cum = cells.withColumn("c", sum("cnt").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("day_num").orderBy("bucket")))
+        .select(col("day_num"), col("bucket").as("id"), col("c"))
+      val t = cells.select("day_num", "n_seen").distinct()
+        .select(col("day_num"), col("n_seen").as("n"),
+          explode(expr("array(500, 900, 990)")).as("qp"))
+        .withColumn("kq", expr("(n * qp + 999) DIV 1000"))
+      val sel = t.join(cum, Seq("day_num")).filter(col("c") >= col("kq"))
+        .groupBy("day_num", "qp", "n", "kq")
+        .agg(min("id").cast("long").as("bucket"))
+      val rk = e.withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("day_num").orderBy("v")))
+        .select(col("day_num").as("d2"), col("v").as("exact_v"), col("r"))
+      sel.join(rk, col("day_num") === col("d2") && col("r") === col("kq"))
+        .select(col("day_num"), col("qp").cast("long").as("q_permille"), col("n"),
+          QuantileSketch.bucketLo(col("bucket")).as("est_lo"),
+          QuantileSketch.bucketHi(col("bucket")).as("est_hi"),
+          col("exact_v"))
+        .withColumn("within",
+          when(col("est_lo") <= col("exact_v") && col("exact_v") <= col("est_hi"), 1L)
+            .otherwise(0L))
+        .orderBy("day_num", "q_permille")
     }
   )
 }

@@ -498,6 +498,60 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming quantile-sketch state converges to the batch face across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // unbounded-domain values: several octaves, exact small-value ids,
+    // zero (clamps to bucket 0), and a huge outlier — no pre-bound range
+    val rng = new scala.util.Random(7788)
+    val all = (0 until 1500).map { i =>
+      val day = 300L + (i % 2)
+      val v = i % 50 match {
+        case 0 => 0L
+        case 1 => (1L << 52) + i // far-tail octave
+        case _ => math.abs(rng.nextLong()) % 2000000L
+      }
+      StreamOps.QsIn(day, v)
+    }
+    val chunks = all.grouped(500).toSeq
+
+    val input = MemoryStream[StreamOps.QsIn]
+    val query = StreamOps.dailyQuantileSketch(input.toDS())
+      .writeStream.format("memory").queryName("qsketch_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      chunks.foreach { c => input.addData(c); query.processAllAvailable() }
+      val stream = spark.table("qsketch_out")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("day_num", "bucket").orderBy(col("n_seen").desc)))
+        .filter(col("rk") === 1)
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+
+      val batch = StreamOps.dailyQuantileSketch(all.toDS()).collect()
+        .map(c => ((c.day_num, c.bucket), c.cnt)).toMap
+
+      assert(stream == batch,
+        s"sketch buckets diverge: stream-only=${(stream.toSet -- batch.toSet).take(5)} " +
+          s"batch-only=${(batch.toSet -- stream.toSet).take(5)}")
+      assert(batch.values.sum == all.size.toLong) // counts conserve
+      // the containment law on the streamed state: the bucket selected at
+      // each quantile contains the exact order statistic
+      val day = 300L
+      val vs = all.filter(_.day_num == day).map(_.v).sorted
+      val byBucket = batch.collect { case ((d, b), c) if d == day => b -> c }
+        .toSeq.sortBy(_._1)
+      Seq(0.5, 0.9, 0.99).foreach { q =>
+        val rank = math.ceil(q * vs.size).toLong
+        var cum = 0L
+        val bucket = byBucket.find { case (_, c) => cum += c; cum >= rank }.get._1
+        val exact = vs(rank.toInt - 1)
+        assert(graft.functions.QuantileSketch.bucketOfJvm(exact) == bucket,
+          s"q=$q: selected bucket $bucket does not contain exact $exact")
+      }
+    } finally query.stop()
+  }
+
   test("armed idleTtl evicts an idle day's sketch state (fresh state after timeout)") {
     implicit val sqlCtx = spark.sqlContext
     // TTL armed => ProcessingTimeTimeout; the deployment contract requires a
