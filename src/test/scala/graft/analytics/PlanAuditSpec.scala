@@ -883,4 +883,38 @@ class PlanAuditSpec extends SparkSpec {
     val aggUnderWin = p.indexOf("HashAggregate(keys=[bin", win)
     assert(win >= 0 && aggUnderWin > win, p.take(4000))
   }
+
+  test("batched hybrid retrieval: one corpus tf exchange, bounded top-K, no global windows") {
+    // the postings builder — the lexical arm's ONLY corpus-sized work —
+    // has exactly ONE (doc, term) exchange, with the query-term prune
+    // broadcast into it
+    val t = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val qt = graft.pipeline.RetrievalQueries.batchQueryTerms(t).localCheckpoint()
+    val tfPlan = graft.pipeline.RetrievalQueries.batchTf(t, qt)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(doc_id#\\d+L?, term#\\d+".r.findAllIn(tfPlan).size == 1,
+      tfPlan.take(4000))
+    assert(tfPlan.contains("BroadcastHashJoin"), tfPlan.take(4000))
+
+    // the registered query: postings and query terms enter via their
+    // eager checkpoints, so the final plan has ZERO corpus-sized
+    // (doc, term) exchanges — adding queries widens broadcasts only
+    val p = executedPlanOf("q_hybrid_rrf_batch")
+    assert("hashpartitioning\\(doc_id#\\d+L?, term#\\d+".r.findAllIn(p).isEmpty,
+      p.take(4000))
+    // both arms' per-query top-K ride the BOUNDED kminBy aggregate (≤ K
+    // pairs per partial), partial+final — never a corpus-wide rank window
+    // (AQE prints materialized stage subtrees twice, so count ≥, not ==)
+    assert("partial_kminby".r.findAllIn(p).size >= 2, p.take(4000))
+    // every window is partitioned per query — a batched serving plan must
+    // have NO unpartitioned window anywhere
+    val partitioned = "windowspecdefinition\\((query_id|doc_id)#"
+    assert("windowspecdefinition\\(".r.findAllIn(p).size ==
+      partitioned.r.findAllIn(p).size, p.take(4000))
+    // the only sort-merge join joins the two ≤K-row-per-query shortlists
+    // (≤ 2 matches: AQE prints the one materialized stage subtree twice)
+    assert("SortMergeJoin".r.findAllIn(p).size <= 2, p.take(4000))
+  }
 }
