@@ -33,6 +33,49 @@ class SimilaritySpec extends SparkSpec {
     assert(hn.forall { case (a, _, n, _) => asg(a) == asg(n) }, "cross-cluster negative")
   }
 
+  test("IVF multi-probe hard negatives: superset of pinned, boundary recall >= pinned") {
+    val dir = sf("sf0.01")
+    val e = graft.analytics.Tables.embeddings(spark, dir)
+    // candidate sets, pre-rank: nprobe=1 IS the pinned face's blocking
+    def cand(nprobe: Int): Set[(Long, Long)] =
+      SimilarityQueries.hardNegativeCandidatesIvf(e, k = 8, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pinned = cand(1)
+    val ivf = cand(2)
+    assert(pinned.subsetOf(ivf),
+      s"IVF candidates must contain the pinned set; missing=${(pinned -- ivf).take(5)}")
+
+    // exact all-pairs band (the recall denominator), computed driver-side
+    val vecs = e.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toArray
+    val exact = (for {
+      a <- ids; b <- ids if a != b
+      c = BigDecimal(cos(vecs(a), vecs(b)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.30 && c < 0.42
+    } yield (a, b)).toSet
+    assert(exact.nonEmpty)
+
+    val recallPinned = (pinned & exact).size.toDouble / exact.size
+    val recallIvf = (ivf & exact).size.toDouble / exact.size
+    assert(recallIvf >= recallPinned,
+      s"IVF recall $recallIvf < pinned recall $recallPinned")
+    // non-vacuous: the probe corpus actually HAS boundary pairs, and the
+    // second probe recovered real band pairs the pinned face missed
+    assert((ivf & exact).size > (pinned & exact).size,
+      s"no boundary band pairs recovered (pinned=${(pinned & exact).size}, " +
+        s"ivf=${(ivf & exact).size}) — the multi-probe face is vacuous here")
+  }
+
   test("cosine matches a hand-computed value and self-similarity is 1") {
     val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
     val c = df.select(cosine($"a", $"b").as("c")).collect()(0).getDouble(0)
