@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Adversarial-skew probe for the round-13/14 operators (r13 verdict
+  * item 8) — the three untested skew axes, each with an EXACTNESS check
+  * against an unguarded reference on the same skewed data, plus the
+  * documented per-reducer bound:
+  *
+  *  1. deep BPE with a HYPER-FREQUENT symbol (every 2nd token replaced,
+  *     ~50% of all adjacencies involve it): pair stats are map-side
+  *     combinable so the hot pair never concentrates a reducer, and the
+  *     trainer's internal fold-vs-closed-form identity (Σ n_merges ==
+  *     token delta, hard-required every pass) is the exactness gate —
+  *     the probe run THROWS if skew broke the batched application;
+  *  2. batched retrieval with a term planted in EVERY document (df = n,
+  *     the worst posting list): per-query candidates hit the corpus
+  *     size, and the kminBy shortlist must equal the unguarded rank
+  *     window's top-K pair for pair;
+  *  3. bottom-k sampling with one source holding ~99% of documents: the
+  *     kminBy sample of the hot group must equal the unguarded
+  *     sort-based sample, with ≤ k pairs per partial buffer by
+  *     construction.
+  *
+  * Results → bench/skew_probe_r14.json (gated by SkewProbeR14ArtifactSpec).
+  */
+object SkewProbeR14 {
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SKEW_SRC", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def num(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+
+    // ---- 1. deep BPE under a hyper-frequent symbol ----
+    val bpeState0 = docs.select(col("doc_id").cast("string").as("word"),
+        lit(1L).as("freq"),
+        expr("transform(filter(split(lower(trim(text)), '\\\\s+'), x -> x <> ''), " +
+          "(t, i) -> IF(i % 2 = 0, 'zz', t))").as("syms"))
+      .filter(size(col("syms")) >= 2)
+    val hotShare = bpeState0
+      .select(explode(col("syms")).as("s"))
+      .agg(avg(when(col("s") === "zz", 1.0).otherwise(0.0)) * 100).collect()(0).getDouble(0)
+    val t0 = System.nanoTime()
+    // trainDeepTrace HARD-FAILS if the batched fold diverges from the
+    // closed-form site counts — under this skew that require IS the gate
+    val bpeTrace = pipeline.BpeQueries.trainDeepTrace(
+      bpeState0, passes = 4, batch = 8, stage = false, sep = " ").collect()
+    val bpeSecs = (System.nanoTime() - t0) / 1e9
+    println(f"skew bpe: hot share $hotShare%.1f%%, ${bpeTrace.length} rules, $bpeSecs%.1f s, hard-check passed")
+
+    // ---- 2. batched retrieval with a term in EVERY document ----
+    val tSkew = docs.select(col("doc_id"),
+        expr("concat(array('zz', 'zz', 'zz', 'zz', 'zz'), " +
+          "filter(split(lower(trim(text)), '\\\\s+'), x -> x <> ''))").as("toks"))
+    val lex = pipeline.RetrievalQueries.batchLexScores(tSkew).localCheckpoint()
+    val candPerQ = lex.groupBy("query_id").count()
+      .agg(max("count"), count(lit(1))).collect()(0)
+    val (maxCand, nQueries) = (candPerQ.getLong(0), candPerQ.getLong(1))
+    val nDocs = docs.count()
+    val hotDf = tSkew.select(explode(col("toks")).as("t"))
+      .filter(col("t") === "zz").select(lit(1)).limit(1).count() // planted everywhere
+    val K = 20
+    val viaKmin = lex.groupBy("query_id")
+      .agg(graft.functions.KMinAgg.kminBy(-col("score_x1m"), col("doc_id"), K).as("m"))
+      .select(col("query_id"), posexplode(col("m")))
+      .select(col("query_id"), (col("pos") + 1).as("r"), col("col.id").as("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaWindow = lex.withColumn("r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score_x1m").desc, col("doc_id"))))
+      .filter(col("r") <= K)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("r"),
+        r.getAs[Long]("doc_id"))).toSet
+    val rrfDiff = (viaKmin diff viaWindow).size + (viaWindow diff viaKmin).size
+    println(s"skew rrf: max candidates/query $maxCand of $nDocs docs, shortlist diff $rrfDiff")
+
+    // ---- 3. bottom-k sampling with one source holding ~99% of docs ----
+    import org.apache.spark.sql.graft.SketchExpressions
+    val skewedSrc = docs.select(
+        when(col("doc_id") % 100 === 0, col("source")).otherwise(lit("hot")).as("source"),
+        col("doc_id"),
+        SketchExpressions.md5Hi64(concat(lit("smp:"), col("doc_id").cast("string"))).as("h8"))
+      .select(col("source"), col("doc_id"), expr("shiftrightunsigned(h8, 16)").as("hv"))
+      .localCheckpoint()
+    val hotDocs = skewedSrc.filter(col("source") === "hot").count()
+    val sampleKmin = skewedSrc.groupBy("source")
+      .agg(graft.functions.KMinAgg.kminBy(col("hv"), col("doc_id"), 8).as("m"))
+      .select(col("source"), posexplode(col("m")))
+      .select(col("source"), (col("pos") + 1).as("r"), col("col.id").as("doc_id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val sampleWindow = skewedSrc.withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy("hv", "doc_id")))
+      .filter(col("r") <= 8)
+      .select("source", "r", "doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val sampleDiff = (sampleKmin diff sampleWindow).size + (sampleWindow diff sampleKmin).size
+    println(s"skew bottomk: hot group $hotDocs of $nDocs docs, sample diff $sampleDiff")
+
+    val json =
+      s"""{"metric":"skew_probe_r14","src":"$src",""" +
+        s""""bpe":{"hot_share_pct":${num(hotShare)},"rules":${bpeTrace.length},"passes":4,"secs":${num(bpeSecs)},"hard_check":"passed"},""" +
+        s""""rrf":{"planted_df_hit":$hotDf,"n_docs":$nDocs,"n_queries":$nQueries,"max_cand_per_query":$maxCand,"shortlist_diff":$rrfDiff},""" +
+        s""""bottomk":{"hot_group_docs":$hotDocs,"total_docs":$nDocs,"k":8,"sample_diff":$sampleDiff}}"""
+    println(json)
+    val out = new java.io.PrintWriter("bench/skew_probe_r14.json")
+    try out.println(json) finally out.close()
+    spark.stop()
+  }
+}

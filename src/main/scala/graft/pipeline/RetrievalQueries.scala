@@ -63,6 +63,33 @@ object RetrievalQueries {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .join(broadcast(qt.select("term").distinct()), "term")
 
+  /** The batched lexical arm end-to-end over a (doc_id, toks) corpus:
+    * (query_id, doc_id, score_x1m) for every matched (query, candidate)
+    * pair, own-doc excluded. Shared by the registered gate and
+    * SkewProbeR14 (which drives it with a term planted in EVERY document).
+    */
+  private[graft] def batchLexScores(t: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // qt and tf are each read twice downstream — checkpoint EAGERLY so
+    // the one corpus-sized (doc, term) aggregate runs once (plans don't
+    // share subtrees; the r12 PageRank lesson)
+    val qt = batchQueryTerms(t).stableCheckpoint()
+    val tf = batchTf(t, qt).stableCheckpoint()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dlen = t.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val gl = dlen.agg(sum("dl").as("l"), count(lit(1)).as("n"))
+    tf
+      .join(broadcast(qt), "term").filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfreq), "term")
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(gl))
+      .select(col("query_id"), col("doc_id"),
+        expr("((2*(n - df) + 1) * 1000) DIV (2*df + 1)").as("idf1k"),
+        expr("(22 * tf * l * 1000) DIV (10*l*tf + 3*l + 9*dl*n)").as("tfn1k"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(expr("idf1k * tfn1k")).as("score_x1m"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- Hybrid BM25 + dense-cosine retrieval, RRF-fused top-10 -----
@@ -250,26 +277,7 @@ object RetrievalQueries {
 
       val t = Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
-      // qt and tf are each read TWICE downstream (tf→{df, scoring};
-      // qt→{term prune, scoring join}) — checkpoint EAGERLY so the one
-      // corpus-sized (doc, term) aggregate runs ONCE, not once per
-      // consumer (plans don't share subtrees; the r12 PageRank lesson).
-      // tf is MATCHED postings only (query-term-pruned), qt is ≤300 rows.
-      val qt = batchQueryTerms(t).stableCheckpoint()
-      val tf = batchTf(t, qt).stableCheckpoint()
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val dlen = t.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-      val gl = dlen.agg(sum("dl").as("l"), count(lit(1)).as("n"))
-      val lex = tf
-        .join(broadcast(qt), "term").filter(col("doc_id") =!= col("query_id"))
-        .join(broadcast(dfreq), "term")
-        .join(dlen, "doc_id")
-        .crossJoin(broadcast(gl))
-        .select(col("query_id"), col("doc_id"),
-          expr("((2*(n - df) + 1) * 1000) DIV (2*df + 1)").as("idf1k"),
-          expr("(22 * tf * l * 1000) DIV (10*l*tf + 3*l + 9*dl*n)").as("tfn1k"))
-        .groupBy("query_id", "doc_id")
-        .agg(sum(expr("idf1k * tfn1k")).as("score_x1m"))
+      val lex = batchLexScores(t)
       // bounded per-query top-K: kminBy on (−score, doc) — never a
       // corpus-sized sort or window
       val lexr = lex.groupBy("query_id")
