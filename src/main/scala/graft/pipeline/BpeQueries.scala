@@ -243,10 +243,16 @@ object BpeQueries {
   private val DeepMinMerges = 256L // learned merge RULES across all passes
 
   /** Every adjacent pair's frequency-weighted occurrence count AND its
-    * greedy non-overlapping site count, in one pass over the state. Site
-    * counts use the closed form: consecutive candidate positions (only
-    * possible for l == r) form runs; greedy merges ⌈run/2⌉ per run,
-    * weighted by word frequency.
+    * greedy non-overlapping site count, in one pass over the state.
+    *
+    * For l ≠ r two sites can NEVER overlap (a site at p and p+1 would
+    * force syms[p+1] = l = r), so every site merges and n_merges = cnt —
+    * a plain map-side-combinable groupBy, no window. Only l == r pairs
+    * can run together ("a a a"): those few positions get the closed-form
+    * run grouping (⌈run/2⌉ greedy merges per run), with the sort window
+    * confined to the l == r SUBSET of positions instead of the whole
+    * position stream. The DuckDB oracle keeps the uniform run formula
+    * (for l ≠ r every site is its own run, so the two forms agree).
     */
   private def pairStats(state: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -257,43 +263,59 @@ object BpeQueries {
           .stripMargin)).as("x"))
       .select(col("word"), col("freq"), col("x.p").as("p"),
         col("x.l").as("l"), col("x.r").as("r"))
-    // the window partition is (word, pair) — bounded by the word's length,
-    // never corpus-sized
-    val runs = pos
+    val neq = pos.filter(col("l") =!= col("r"))
+      .groupBy("l", "r").agg(sum("freq").as("cnt"))
+      .withColumn("n_merges", col("cnt"))
+    val eq = pos.filter(col("l") === col("r"))
       .withColumn("grp", col("p") - row_number().over(
-        Window.partitionBy("word", "l", "r").orderBy("p")))
-      .groupBy("word", "freq", "l", "r", "grp").agg(count(lit(1)).as("c"))
-    runs.groupBy("l", "r").agg(
-      sum(expr("freq * c")).as("cnt"),
-      sum(expr("freq * ((c + 1) DIV 2)")).as("n_merges"))
+        Window.partitionBy("word", "l").orderBy("p")))
+      .groupBy("word", "freq", "l", "grp").agg(count(lit(1)).as("c"))
+      .groupBy("l").agg(
+        sum(expr("freq * c")).as("cnt"),
+        sum(expr("freq * ((c + 1) DIV 2)")).as("n_merges"))
+      .select(col("l"), col("l").as("r"), col("cnt"), col("n_merges"))
+    neq.unionByName(eq)
   }
 
-  /** The pass's batch: scan the top-`scanDepth` pairs in (cnt DESC, l, r)
-    * order and chain-greedily select up to `batch` pairwise
-    * symbol-DISJOINT pairs. The distributed part is a
-    * TakeOrderedAndProject of scanDepth rows (bounded collect at any
-    * corpus size); the scan itself is a driver loop over ≤ scanDepth
-    * rows. Returns (l, r, cnt, n_merges) in selection (= rank) order.
+  /** The pass's batch AND the current state's totals in ONE action: the
+    * top-`scanDepth` ranked pairs (bounded collect at any corpus size)
+    * unioned with a tagged totals row (token count + vocab size of the
+    * state the pairs were counted on — which is the PREVIOUS pass's
+    * "after" totals, so the loop needs no separate totals job per pass).
+    * The chain-greedy scan then selects up to `batch` pairwise
+    * symbol-DISJOINT pairs driver-side. Returns the selection in rank
+    * order plus (n_tokens, vocab) of the scanned state.
     */
-  private def selectBatch(stats: org.apache.spark.sql.DataFrame, batch: Int,
-      scanDepth: Int): Seq[(String, String, Long, Long)] = {
-    val ranked = stats
+  private def selectBatchAndTotals(state: org.apache.spark.sql.DataFrame,
+      batch: Int, scanDepth: Int)
+      : (Seq[(String, String, Long, Long)], Long, Long) = {
+    val ranked = pairStats(state)
       .orderBy(col("cnt").desc, col("l"), col("r")).limit(scanDepth)
-      .collect()
-      .map(r => (r.getAs[String]("l"), r.getAs[String]("r"),
-        r.getAs[Long]("cnt"), r.getAs[Long]("n_merges")))
+      .select(lit(0).as("tag"), col("l"), col("r"), col("cnt"), col("n_merges"))
+    val totals = state.select(explode(col("syms")).as("s"), col("freq"))
+      .agg(sum("freq").as("cnt"), countDistinct("s").as("n_merges"))
+      .select(lit(1).as("tag"), lit("").as("l"), lit("").as("r"),
+        col("cnt"), col("n_merges"))
+    val rows = ranked.unionByName(totals).collect()
+    val tot = rows.find(_.getInt(0) == 1).get
+    require(!tot.isNullAt(3),
+      "deep BPE: empty vocabulary — nothing to train on")
+    // union order is not guaranteed: restore rank order driver-side
+    val pairs = rows.filter(_.getInt(0) == 0)
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .sortBy { case (l, r, c, _) => (-c, l, r) }
     val used = scala.collection.mutable.Set.empty[String]
     val sel = Seq.newBuilder[(String, String, Long, Long)]
     var n = 0
-    ranked.foreach { case p @ (l, r, _, _) =>
+    pairs.foreach { case p @ (l, r, _, _) =>
       if (n < batch && !used(l) && !used(r)) {
         used += l; used += r; sel += p; n += 1
       }
     }
-    sel.result()
+    (sel.result(), tot.getLong(3), tot.getLong(4))
   }
 
-  /** One left-to-right greedy fold applying a whole batch of
+  /** One left-to-right greedy pass applying a whole batch of
     * symbol-disjoint merges: each position looks its (sym, next-sym) key
     * up in the batch map (try_element_at — ANSI element_at throws on a
     * missing map key) and merges on a hit. Disjointness makes this equal
@@ -302,8 +324,52 @@ object BpeQueries {
     * (classical concatenation), " " for phrase-level (so the phrase
     * "a b"+"c" reads naturally; identical surface forms intentionally
     * become one symbol, as in classical BPE).
+    *
+    * Two implementations, chosen by the batch's shape:
+    *
+    *  - NO l == r pair (the common phrase-level case): consecutive match
+    *    positions are impossible (they would force a shared symbol), so
+    *    the greedy skip state never chains — a position is CONSUMED iff
+    *    the previous position matched, and the whole application is a
+    *    per-position mask over a precomputed match array: transform +
+    *    filter, O(L) per word, fully codegen, no accumulator;
+    *  - any l == r pair: runs ("a a a") make the skip genuinely
+    *    sequential — fall back to the left-to-right fold (O(L²) array
+    *    accumulation, acceptable because char-level batches are small).
+    *    BpeDeepSpec proves the two paths equal on run-free batches.
     */
   private[pipeline] def applyBatchExpr(pairs: Seq[(String, String)],
+      sep: String): org.apache.spark.sql.Column = {
+    val entries = pairs
+      .flatMap { case (l, r) => Seq(s"'$l|$r'", s"'$l$sep$r'") }.mkString(", ")
+    val mtc = // match array: mtc[i] = merged token starting at i, or null
+      s"""transform(sequence(1, size(syms)), i ->
+         |  IF(i < size(syms),
+         |     try_element_at(map($entries),
+         |       concat(element_at(syms, i), '|', element_at(syms, i+1))),
+         |     CAST(NULL AS STRING)))""".stripMargin
+    // let-binding idiom: wrap the match array in a 1-element array and
+    // transform over it, so `mt` is computed ONCE per row — inlining $mtc
+    // at both use sites is NOT CSE'd through lambda scopes and would
+    // recompute the whole array per position (measured 3× slower than the
+    // fold it was meant to replace)
+    if (!pairs.exists(p => p._1 == p._2))
+      expr(
+        s"""element_at(transform(array($mtc), mt ->
+           |  filter(
+           |    zip_with(mt, sequence(1, size(syms)), (m, i) ->
+           |      IF(i > 1 AND element_at(mt, i - 1) IS NOT NULL,
+           |         CAST(NULL AS STRING),
+           |         IF(m IS NOT NULL, m, element_at(syms, i)))),
+           |    x -> x IS NOT NULL)), 1)""".stripMargin)
+    else applyBatchFoldExpr(pairs, sep)
+  }
+
+  /** The sequential fold path of [[applyBatchExpr]] — exposed separately
+    * so BpeDeepSpec can prove the mask path equal to it on run-free
+    * batches.
+    */
+  private[pipeline] def applyBatchFoldExpr(pairs: Seq[(String, String)],
       sep: String): org.apache.spark.sql.Column = {
     val entries = pairs
       .flatMap { case (l, r) => Seq(s"'$l|$r'", s"'$l$sep$r'") }.mkString(", ")
@@ -349,35 +415,41 @@ object BpeQueries {
     var state = staged("bpe_deep_state_0",
       state0.select(col("word"), col("freq"), col("syms")))
       .stableCheckpoint()
-    val t0 = state.agg(sum(expr("freq * size(syms)"))).collect()(0)
-    require(!t0.isNullAt(0), "deep BPE: empty vocabulary after the word filter")
-    var tokensBefore = t0.getLong(0)
 
+    // 2 actions per pass (combined select+totals, checkpoint write) + one
+    // final totals job: pass p's "after" totals arrive with pass p+1's
+    // selection, so rows are emitted one pass behind
     val rows = Seq.newBuilder[(Long, String, String, Long, Long, Long, Long)]
     var totalRules = 0L
+    var tokensBefore = -1L
+    var pending: Seq[(String, String, Long, Long)] = Seq.empty
+    def emit(pass: Int, tAfter: Long, vAfter: Long): Unit = {
+      val applied = pending.map(_._4).sum
+      // the batched-application exactness law, enforced every pass: the
+      // fold must remove exactly the closed-form site total
+      require(tokensBefore - tAfter == applied,
+        s"deep BPE pass $pass: fold removed ${tokensBefore - tAfter} tokens, " +
+          s"closed-form site total is $applied")
+      pending.foreach { case (l, r, cnt, m) =>
+        rows += ((pass.toLong, l, r, cnt, m, tAfter, vAfter))
+      }
+      tokensBefore = tAfter
+    }
     for (p <- 0 until passes) {
-      val sel = selectBatch(pairStats(state), batch, DeepScan)
+      val (sel, tokens, vocab) = selectBatchAndTotals(state, batch, DeepScan)
+      if (p == 0) tokensBefore = tokens else emit(p - 1, tokens, vocab)
       require(sel.nonEmpty,
         s"deep BPE pass $p: no adjacent symbol pairs left — lower the pass count")
+      totalRules += sel.size
+      pending = sel
       state = staged(s"bpe_deep_state_${p + 1}",
         state.select(col("word"), col("freq"),
           applyBatchExpr(sel.map(x => (x._1, x._2)), sep).as("syms")))
         .stableCheckpoint() // read ≥ twice per pass: truncate NOW
-      val post = state.select(explode(col("syms")).as("s"), col("freq"))
-        .agg(sum("freq").as("t"), countDistinct("s").as("v")).collect()(0)
-      val (tAfter, vAfter) = (post.getLong(0), post.getLong(1))
-      val applied = sel.map(_._4).sum
-      // the batched-application exactness law, enforced every pass: the
-      // fold must remove exactly the closed-form site total
-      require(tokensBefore - tAfter == applied,
-        s"deep BPE pass $p: fold removed ${tokensBefore - tAfter} tokens, " +
-          s"closed-form site total is $applied")
-      tokensBefore = tAfter
-      totalRules += sel.size
-      sel.foreach { case (l, r, cnt, m) =>
-        rows += ((p.toLong, l, r, cnt, m, tAfter, vAfter))
-      }
     }
+    val post = state.select(explode(col("syms")).as("s"), col("freq"))
+      .agg(sum("freq").as("t"), countDistinct("s").as("v")).collect()(0)
+    emit(passes - 1, post.getLong(0), post.getLong(1))
     require(totalRules >= minMerges,
       s"deep BPE: only $totalRules merge rules learned in $passes passes " +
         s"(need ≥ $minMerges) — raise passes/batch")

@@ -108,6 +108,28 @@ class BpeDeepSpec extends SparkSpec {
       "B=1 deep trainer diverged from the classical greedy trainer")
   }
 
+  test("run-free mask path equals the sequential fold on random words") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // symbol-disjoint run-free batch over a 6-symbol alphabet
+    val batch = Seq(("a", "b"), ("c", "d"), ("e", "f"))
+    // non-empty words only: state syms are never empty (merges keep ≥1
+    // symbol), and sequence(1, 0) counts DOWN (the documented gotcha)
+    val gen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.toSeq))
+    val prop = Prop.forAllNoShrink(gen) { words =>
+      val df = words.toDF("syms")
+      val got = df.select(
+          BpeQueries.applyBatchExpr(batch, sep = " ").as("mask"),
+          BpeQueries.applyBatchFoldExpr(batch, sep = " ").as("fold"))
+        .collect()
+      got.forall(r => r.getSeq[String](0) == r.getSeq[String](1))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("batch fold: disjoint merges, l==r runs, bounds at the last position") {
     import spark.implicits._
     val df = Seq(
