@@ -449,7 +449,33 @@ object FamilyScaleProbe {
         pipeline.BpeQueries.trainTrace(wf, 8, stage = false)
       },
       "pca_project" -> registered("q_pca_project"),
-      "hybrid_rrf" -> registered("q_hybrid_rrf"))
+      "hybrid_rrf" -> registered("q_hybrid_rrf"),
+      // round-14 additions. bpe_train_deep restates the registered phrase
+      // face with a digit-tolerant token filter so the r<k>-prefixed
+      // replica tokens COUNT: replica phrase spaces are disjoint, so pair
+      // diversity grows ×k while per-pass cost should track corpus
+      // POSITIONS linearly (the selection stays a 512-row bounded
+      // collect, the apply stays map-only) — the passes-not-merges law
+      // measured on a growing corpus. hybrid_rrf_batch: queries stay the
+      // 100 base docs (replica tokens never match base query terms), so
+      // the matched postings stay ×1-sized while the corpus tf exchange
+      // and the dense scan grow ×k under constant per-query K.
+      // quantile_sketch rides ×k orders: the bucket state is ≤1888 rows
+      // per group at any size; only the bucketing scan and the
+      // VERIFICATION side's exact rank window grow.
+      "bpe_train_deep" -> { (d: String) =>
+        import org.apache.spark.sql.functions.{col, forall, lit, size}
+        val state0 = analytics.Tables.documents(spark, d)
+          .select(col("doc_id").cast("string").as("word"), lit(1L).as("freq"),
+            graft.functions.TextFunctions.tokens(col("text")).as("syms"))
+          .filter(size(col("syms")) >= 2 &&
+            forall(col("syms"), t => t.rlike("^[a-z0-9]+$")))
+        pipeline.BpeQueries.trainDeepTrace(state0, passes = 6, batch = 32,
+          stage = false, sep = " ")
+      },
+      "hybrid_rrf_batch" -> registered("q_hybrid_rrf_batch"),
+      "quantile_sketch" -> registered("q_quantile_sketch"),
+      "stream_quantile_sketch" -> registered("q_stream_quantile_sketch"))
     familyFilter.foreach { names =>
       val unknown = names.diff(allFamilies.map(_._1).toSet + "incremental")
       require(unknown.isEmpty, s"unknown families: ${unknown.mkString(", ")}")
