@@ -29,11 +29,8 @@ object BpeDeepProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def state0 = spark.read.parquet(s"$src/documents.parquet")
-      .select(col("doc_id").cast("string").as("word"), lit(1L).as("freq"),
-        graft.functions.TextFunctions.tokens(col("text")).as("syms"))
-      .filter(size(col("syms")) >= 2 &&
-        forall(col("syms"), t => t.rlike("^[a-z]+$")))
+    def state0 = pipeline.BpeQueries.deepPhraseState(
+      spark.read.parquet(s"$src/documents.parquet"))
     // JIT/IO warmup so batch=1 (measured first) isn't charged startup cost
     state0.count()
 

@@ -464,14 +464,10 @@ object FamilyScaleProbe {
       // per group at any size; only the bucketing scan and the
       // VERIFICATION side's exact rank window grow.
       "bpe_train_deep" -> { (d: String) =>
-        import org.apache.spark.sql.functions.{col, forall, lit, size}
-        val state0 = analytics.Tables.documents(spark, d)
-          .select(col("doc_id").cast("string").as("word"), lit(1L).as("freq"),
-            graft.functions.TextFunctions.tokens(col("text")).as("syms"))
-          .filter(size(col("syms")) >= 2 &&
-            forall(col("syms"), t => t.rlike("^[a-z0-9]+$")))
-        pipeline.BpeQueries.trainDeepTrace(state0, passes = 6, batch = 32,
-          stage = false, sep = " ")
+        pipeline.BpeQueries.trainDeepTrace(
+          pipeline.BpeQueries.deepPhraseState(
+            analytics.Tables.documents(spark, d), tokenPattern = "^[a-z0-9]+$"),
+          passes = 6, batch = 32, stage = false, sep = " ")
       },
       "hybrid_rrf_batch" -> registered("q_hybrid_rrf_batch"),
       "quantile_sketch" -> registered("q_quantile_sketch"),

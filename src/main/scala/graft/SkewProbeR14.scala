@@ -41,14 +41,13 @@ object SkewProbeR14 {
     def num(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    val toks = graft.functions.TextFunctions.tokens(col("text"))
 
     // ---- 1. deep BPE under a hyper-frequent symbol ----
-    val bpeState0 = docs.select(col("doc_id").cast("string").as("word"),
-        lit(1L).as("freq"),
-        expr("transform(filter(split(lower(trim(text)), '\\\\s+'), x -> x <> ''), " +
-          "(t, i) -> IF(i % 2 = 0, 'zz', t))").as("syms"))
-      .filter(size(col("syms")) >= 2)
+    // built THROUGH the shared phrase-state face (whole-doc alphabet
+    // filter included), then every 2nd token replaced with the hot symbol
+    val bpeState0 = pipeline.BpeQueries.deepPhraseState(docs)
+      .select(col("word"), col("freq"),
+        expr("transform(syms, (t, i) -> IF(i % 2 = 0, 'zz', t))").as("syms"))
     val hotShare = bpeState0
       .select(explode(col("syms")).as("s"))
       .agg(avg(when(col("s") === "zz", 1.0).otherwise(0.0)) * 100).collect()(0).getDouble(0)
@@ -69,8 +68,9 @@ object SkewProbeR14 {
       .agg(max("count"), count(lit(1))).collect()(0)
     val (maxCand, nQueries) = (candPerQ.getLong(0), candPerQ.getLong(1))
     val nDocs = docs.count()
-    val hotDf = tSkew.select(explode(col("toks")).as("t"))
-      .filter(col("t") === "zz").select(lit(1)).limit(1).count() // planted everywhere
+    // the REAL document frequency of the planted term — the artifact must
+    // prove df = n, not merely that the term exists somewhere
+    val hotDf = tSkew.filter(array_contains(col("toks"), "zz")).count()
     val K = 20
     val viaKmin = lex.groupBy("query_id")
       .agg(graft.functions.KMinAgg.kminBy(-col("score_x1m"), col("doc_id"), K).as("m"))
@@ -110,7 +110,7 @@ object SkewProbeR14 {
     val json =
       s"""{"metric":"skew_probe_r14","src":"$src",""" +
         s""""bpe":{"hot_share_pct":${num(hotShare)},"rules":${bpeTrace.length},"passes":4,"secs":${num(bpeSecs)},"hard_check":"passed"},""" +
-        s""""rrf":{"planted_df_hit":$hotDf,"n_docs":$nDocs,"n_queries":$nQueries,"max_cand_per_query":$maxCand,"shortlist_diff":$rrfDiff},""" +
+        s""""rrf":{"planted_df":$hotDf,"n_docs":$nDocs,"n_queries":$nQueries,"max_cand_per_query":$maxCand,"shortlist_diff":$rrfDiff},""" +
         s""""bottomk":{"hot_group_docs":$hotDocs,"total_docs":$nDocs,"k":8,"sample_diff":$sampleDiff}}"""
     println(json)
     val out = new java.io.PrintWriter("bench/skew_probe_r14.json")

@@ -620,59 +620,19 @@ object ProfileQueries {
     // here to VERIFY the bound, like q_stream_quantile_hist's exact twin.
     QueryDef(
       "q_quantile_sketch", {
-        import graft.functions.QuantileSketch._
-        s"""WITH v AS (SELECT o_orderpriority AS grp,
-           |                  CAST(FLOOR(o_totalprice) AS BIGINT) AS v
-           |           FROM orders),
-           |b AS (SELECT grp, ${bucketSql("v")} AS id, COUNT(*) AS cnt
-           |      FROM v GROUP BY 1, 2),
-           |cum AS (SELECT grp, id, SUM(cnt) OVER (PARTITION BY grp ORDER BY id) AS c
-           |        FROM b),
-           |n AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
-           |t AS (SELECT grp, n, unnest([500, 900, 990]) AS qp,
-           |             (n * unnest([500, 900, 990]) + 999) // 1000 AS kq
-           |      FROM n),
-           |sel AS (SELECT t.grp, t.qp, t.n, t.kq, CAST(MIN(id) AS BIGINT) AS bucket
-           |        FROM t JOIN cum ON cum.grp = t.grp AND cum.c >= t.kq
-           |        GROUP BY 1, 2, 3, 4),
-           |rk AS (SELECT grp, v, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS r
-           |       FROM v),
-           |ex AS (SELECT s.grp, s.qp, s.n, s.bucket, rk.v AS exact_v
-           |       FROM sel s JOIN rk ON rk.grp = s.grp AND rk.r = s.kq),
-           |bd AS (SELECT grp, qp, n, exact_v,
-           |              CAST(${loSql("bucket")} AS BIGINT) AS est_lo,
-           |              CAST(${hiSql("bucket")} AS BIGINT) AS est_hi
-           |       FROM ex)
-           |SELECT grp, CAST(qp AS BIGINT) AS q_permille, n, est_lo, est_hi, exact_v,
-           |       CAST(CASE WHEN est_lo <= exact_v AND exact_v <= est_hi
-           |                 THEN 1 ELSE 0 END AS BIGINT) AS within
-           |FROM bd ORDER BY grp, q_permille""".stripMargin
+        import graft.functions.QuantileSketch
+        s"""WITH qsv AS (SELECT o_orderpriority AS grp,
+           |                    CAST(FLOOR(o_totalprice) AS BIGINT) AS v
+           |             FROM orders),
+           |${QuantileSketch.readoutSql("grp")}""".stripMargin
       }) { (s, d) =>
       import graft.functions.QuantileSketch
       val v = Tables.orders(s, d).select(col("o_orderpriority").as("grp"),
         floor(col("o_totalprice")).cast("long").as("v"))
-      val b = v.groupBy(col("grp"), QuantileSketch.bucketOf(col("v")).as("id"))
+      val counts = v.groupBy(col("grp"), QuantileSketch.bucketOf(col("v")).as("id"))
         .agg(count(lit(1)).as("cnt"))
-      val cum = b.withColumn("c",
-        sum("cnt").over(Window.partitionBy("grp").orderBy("id")))
-      val n = v.groupBy("grp").agg(count(lit(1)).as("n"))
-      val t = n.select(col("grp"), col("n"),
-          explode(expr("array(500, 900, 990)")).as("qp"))
-        .withColumn("kq", expr("(n * qp + 999) DIV 1000"))
-      val sel = t.join(cum, Seq("grp")).filter(col("c") >= col("kq"))
-        .groupBy("grp", "qp", "n", "kq").agg(min("id").cast("long").as("bucket"))
-      val rk = v.withColumn("r",
-          row_number().over(Window.partitionBy("grp").orderBy("v")))
-        .select(col("grp").as("g2"), col("v").as("exact_v"), col("r"))
-      sel.join(rk, col("grp") === col("g2") && col("r") === col("kq"))
-        .select(col("grp"), col("qp").cast("long").as("q_permille"), col("n"),
-          QuantileSketch.bucketLo(col("bucket")).as("est_lo"),
-          QuantileSketch.bucketHi(col("bucket")).as("est_hi"),
-          col("exact_v"))
-        .withColumn("within",
-          when(col("est_lo") <= col("exact_v") && col("exact_v") <= col("est_hi"), 1L)
-            .otherwise(0L))
-        .orderBy("grp", "q_permille")
+      val totals = v.groupBy("grp").agg(count(lit(1)).as("n"))
+      QuantileSketch.readout(counts, totals, v, "grp")
     }
   )
 }

@@ -108,4 +108,75 @@ object QuantileSketch {
     s"""CASE WHEN $id < ${2 * SubBuckets} THEN $id
        |     ELSE (${loSql(id)})
        |          + ((1::BIGINT << CAST($id // $SubBuckets - 1 AS INT)) - 1) END""".stripMargin
+
+  // ----- shared p50/p90/p99 readout (the one law, four call sites) -----
+
+  /** DuckDB readout over a prior CTE named `qsv` with columns
+    * ($grpCol, v BIGINT): bucket counts, cumulative selection at
+    * ⌈q·n⌉, the exact discrete percentile via a rank window (the
+    * VERIFICATION side — production reads only the bucket counts), the
+    * bucket bounds, and the containment flag. Shared verbatim by
+    * q_quantile_sketch and q_stream_quantile_sketch so the readout law
+    * lives in exactly one place per engine.
+    */
+  def readoutSql(grpCol: String): String =
+    s"""b AS (SELECT $grpCol, ${bucketSql("v")} AS id, COUNT(*) AS cnt
+       |      FROM qsv GROUP BY 1, 2),
+       |cum AS (SELECT $grpCol, id,
+       |               SUM(cnt) OVER (PARTITION BY $grpCol ORDER BY id) AS c
+       |        FROM b),
+       |n AS (SELECT $grpCol, CAST(COUNT(*) AS BIGINT) AS n FROM qsv GROUP BY 1),
+       |t AS (SELECT $grpCol, n, unnest([500, 900, 990]) AS qp,
+       |             (n * unnest([500, 900, 990]) + 999) // 1000 AS kq
+       |      FROM n),
+       |sel AS (SELECT t.$grpCol, t.qp, t.n, t.kq, CAST(MIN(id) AS BIGINT) AS bucket
+       |        FROM t JOIN cum ON cum.$grpCol = t.$grpCol AND cum.c >= t.kq
+       |        GROUP BY 1, 2, 3, 4),
+       |rk AS (SELECT $grpCol, v, ROW_NUMBER() OVER (PARTITION BY $grpCol ORDER BY v) AS r
+       |       FROM qsv),
+       |ex AS (SELECT s.$grpCol, s.qp, s.n, s.bucket, rk.v AS exact_v
+       |       FROM sel s JOIN rk ON rk.$grpCol = s.$grpCol AND rk.r = s.kq),
+       |bd AS (SELECT $grpCol, qp, n, exact_v,
+       |              CAST(${loSql("bucket")} AS BIGINT) AS est_lo,
+       |              CAST(${hiSql("bucket")} AS BIGINT) AS est_hi
+       |       FROM ex)
+       |SELECT $grpCol, CAST(qp AS BIGINT) AS q_permille, n, est_lo, est_hi, exact_v,
+       |       CAST(CASE WHEN est_lo <= exact_v AND exact_v <= est_hi
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS within
+       |FROM bd ORDER BY $grpCol, q_permille""".stripMargin
+
+  /** Spark readout twin of [[readoutSql]]. Inputs are decomposed so the
+    * streaming gate can feed counts/totals FROM ITS STATE FACE's cells
+    * (proving the maintained counters drive the readout) while the batch
+    * gate derives them from raw values:
+    *   - `counts`: ($grpCol, id, cnt) — the sketch state;
+    *   - `totals`: ($grpCol, n) — per-group row counts;
+    *   - `values`: ($grpCol, v) — raw values, used ONLY for the exact
+    *     verification rank window.
+    */
+  def readout(counts: org.apache.spark.sql.DataFrame,
+      totals: org.apache.spark.sql.DataFrame,
+      values: org.apache.spark.sql.DataFrame,
+      grpCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = counts.withColumn("c",
+      sum("cnt").over(Window.partitionBy(grpCol).orderBy("id")))
+    val t = totals.select(col(grpCol), col("n"),
+        explode(expr("array(500, 900, 990)")).as("qp"))
+      .withColumn("kq", expr("(n * qp + 999) DIV 1000"))
+    val sel = t.join(cum, Seq(grpCol)).filter(col("c") >= col("kq"))
+      .groupBy(grpCol, "qp", "n", "kq").agg(min("id").cast("long").as("bucket"))
+    val rk = values.withColumn("r",
+        row_number().over(Window.partitionBy(grpCol).orderBy("v")))
+      .select(col(grpCol).as("__g2"), col("v").as("exact_v"), col("r"))
+    sel.join(rk, col(grpCol) === col("__g2") && col("r") === col("kq"))
+      .select(col(grpCol), col("qp").cast("long").as("q_permille"), col("n"),
+        bucketLo(col("bucket")).as("est_lo"),
+        bucketHi(col("bucket")).as("est_hi"),
+        col("exact_v"))
+      .withColumn("within",
+        when(col("est_lo") <= col("exact_v") && col("exact_v") <= col("est_hi"), 1L)
+          .otherwise(0L))
+      .orderBy(grpCol, "q_permille")
+  }
 }

@@ -98,7 +98,9 @@ object BpeQueries {
     * consumed position. Exposed for BpeSpec's edge cases (overlapping
     * candidates, l == r runs).
     */
-  private[pipeline] def greedyCountExpr(l: String, r: String) = expr(
+  private[pipeline] def greedyCountExpr(l: String, r: String) = {
+    requireCleanSymbols(Seq((l, r)))
+    expr(
     s"""aggregate(
        |  IF(size(syms) < 2, CAST(array() AS ARRAY<INT>),
        |     filter(sequence(1, size(syms)-1), p ->
@@ -108,12 +110,15 @@ object BpeQueries {
        |                 named_struct('pe', p + 1, 'c', acc.c + 1L),
        |                 acc),
        |  acc -> acc.c)""".stripMargin)
+  }
 
   /** Greedy left-to-right application of merge (l, r) to a `syms` array
     * column. Nested IFs so element_at(syms, i+1) is only reached when
     * i < size — If branches are lazy, AND operands may not be.
     */
-  private[pipeline] def applyMergeExpr(l: String, r: String) = expr(
+  private[pipeline] def applyMergeExpr(l: String, r: String) = {
+    requireCleanSymbols(Seq((l, r)))
+    expr(
     s"""aggregate(
        |  sequence(1, size(syms)),
        |  named_struct('out', CAST(array() AS ARRAY<STRING>), 'sk', 0),
@@ -125,6 +130,7 @@ object BpeQueries {
        |          named_struct('out', concat(acc.out, array('$l$r')), 'sk', 1),
        |          named_struct('out', concat(acc.out, array(element_at(syms, i))), 'sk', 0)))),
        |  acc -> acc.out)""".stripMargin)
+  }
 
   /** One round's argmax — the most frequent adjacent pair, lexicographic
     * ties — shared by [[trainTrace]] and [[trainedState]] so the two loops
@@ -338,8 +344,23 @@ object BpeQueries {
     *    accumulation, acceptable because char-level batches are small).
     *    BpeDeepSpec proves the two paths equal on run-free batches.
     */
+  /** Symbols are interpolated into generated SQL map literals and '|'-keyed
+    * lookup strings, so the alphabet is a hard contract: lowercase
+    * letters, digits, and the phrase separator space ONLY. A quote would
+    * make the expr unparseable; a '|' would silently corrupt lookup keys
+    * (`a|b|c` is ambiguous). Every state-0 builder filters to this
+    * alphabet; this require makes a missed filter loud instead of wrong.
+    */
+  private def requireCleanSymbols(pairs: Seq[(String, String)]): Unit =
+    pairs.foreach { case (l, r) =>
+      Seq(l, r).foreach(s => require(s.matches("^[a-z0-9 ]+$"),
+        s"BPE symbol '$s' outside the [a-z0-9 ] contract — " +
+          "filter the corpus tokens before training"))
+    }
+
   private[pipeline] def applyBatchExpr(pairs: Seq[(String, String)],
       sep: String): org.apache.spark.sql.Column = {
+    requireCleanSymbols(pairs)
     val entries = pairs
       .flatMap { case (l, r) => Seq(s"'$l|$r'", s"'$l$sep$r'") }.mkString(", ")
     val mtc = // match array: mtc[i] = merged token starting at i, or null
@@ -371,6 +392,7 @@ object BpeQueries {
     */
   private[pipeline] def applyBatchFoldExpr(pairs: Seq[(String, String)],
       sep: String): org.apache.spark.sql.Column = {
+    requireCleanSymbols(pairs)
     val entries = pairs
       .flatMap { case (l, r) => Seq(s"'$l|$r'", s"'$l$sep$r'") }.mkString(", ")
     expr(
@@ -458,6 +480,21 @@ object BpeQueries {
       .orderBy(col("pass"), col("pair_cnt").desc, col("lsym"), col("rsym"))
   }
 
+  /** The phrase-level state-0 builder shared by the registered gate,
+    * BpeDeepProbe, SkewProbeR14, FamilyScaleProbe, and BpeDeepSpec: one
+    * (word = doc key, freq = 1, syms = token sequence) row per document,
+    * docs dropped WHOLE unless every token matches `tokenPattern`
+    * (dropping individual tokens would glue non-adjacent words into fake
+    * pairs; the pattern also enforces [[requireCleanSymbols]]' alphabet
+    * at the source).
+    */
+  private[graft] def deepPhraseState(docs: org.apache.spark.sql.DataFrame,
+      tokenPattern: String = "^[a-z]+$"): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id").cast("string").as("word"), lit(1L).as("freq"),
+        tokens(col("text")).as("syms"))
+      .filter(size(col("syms")) >= 2 &&
+        forall(col("syms"), t => t.rlike(tokenPattern)))
+
   /** Per-pass DuckDB block for the deep gate: recompute pair stats, the
     * top-M ranking, the chain-greedy disjoint scan (a recursive CTE
     * stepping one rank per level, carrying the used-symbol list), and
@@ -536,6 +573,13 @@ object BpeQueries {
     /** Test seam: number of training runs actually executed in this JVM. */
     @volatile private[pipeline] var trainRuns = 0
 
+    /** Sanitized VERBATIM key material (dir + total bytes + max mtime), not
+      * a hash: a 32-bit hash collision would silently serve the wrong
+      * corpus's vocabulary — embedding the values makes collisions
+      * impossible instead of merely unlikely. mtime in millis; an
+      * in-place regeneration inside one mtime tick with identical bytes
+      * is the residual (documented) staleness window.
+      */
     private def fingerprint(dir: String): String = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
@@ -543,9 +587,9 @@ object BpeQueries {
       val fs = walk(new java.io.File(s"$dir/documents.parquet"))
       val bytes = fs.map(_.length).sum
       val mtime = if (fs.isEmpty) 0L else fs.map(_.lastModified).max
-      java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(s"$dir|$bytes|$mtime").toLong
-          & 0xffffffffL)
+      val sanitizedDir = new java.io.File(dir).getAbsolutePath
+        .replaceAll("[^a-zA-Z0-9]+", "_").takeRight(80)
+      s"${sanitizedDir}_${bytes}_$mtime"
     }
 
     /** The final (word, freq, syms) vocabulary tokenization after `rounds`
@@ -620,7 +664,7 @@ object BpeQueries {
       trainTrace(wordFreq(spark, d), Rounds, stage = true)
     },
 
-    // ----- deep batched BPE training: ≥256 merge rules in 14 passes -----
+    // ----- deep batched BPE training: ≥256 merge rules in 18 passes -----
     // Phrase-level face: symbols are word tokens, merges learn phrases
     // (the n-gram-vocabulary construction of a training pipeline). Docs
     // whose tokens are not all letters-only are dropped WHOLE (dropping
@@ -631,13 +675,9 @@ object BpeQueries {
       (0 until DeepPasses).map(p => deepRoundSql(p, DeepBatch, DeepScan)).mkString(
         "SELECT * FROM (\n", "\nUNION ALL\n",
         "\n) ORDER BY pass, pair_cnt DESC, lsym, rsym")) { (spark, d) =>
-      val state0 = Tables.documents(spark, d)
-        .select(col("doc_id").cast("string").as("word"), lit(1L).as("freq"),
-          tokens(col("text")).as("syms"))
-        .filter(size(col("syms")) >= 2 &&
-          forall(col("syms"), t => t.rlike("^[a-z]+$")))
-      trainDeepTrace(state0, DeepPasses, DeepBatch, stage = true,
-        sep = " ", minMerges = DeepMinMerges)
+      trainDeepTrace(deepPhraseState(Tables.documents(spark, d)),
+        DeepPasses, DeepBatch, stage = true, sep = " ",
+        minMerges = DeepMinMerges)
     },
 
     // ----- BPE encode: corpus tokenization via the broadcast vocabulary -----

@@ -537,6 +537,56 @@ object StreamOps {
     least(lit((HistBins - 1).toDouble),
       greatest(lit(0.0), floor(v / HistBinWidth))).cast("int")
 
+  /** The executor-side twin of [[histBin]]: NaN → top bin, matching the
+    * column face's least/greatest NaN ordering (java Math.min/max would
+    * propagate NaN → 0).
+    */
+  private[streaming] def histBinJvm(v: Double): Int = {
+    val f = math.floor(v / HistBinWidth)
+    if (f.isNaN || f >= HistBins - 1) HistBins - 1
+    else if (f <= 0.0) 0
+    else f.toInt
+  }
+
+  /** The shared streaming skeleton of every per-day ADDITIVE-counter
+    * sketch state ([[dailyValueHist]], [[dailyQuantileSketch]]): a
+    * fixed-size counter array per day, `+=` merge (order- and
+    * batch-split-invariant), touched-cells-only emission, idleTtl
+    * eviction per [[dailyDistinctHll]]'s contract. Emits raw
+    * (day, bucket, count, n_seen) tuples; each face maps them onto its
+    * cell type.
+    */
+  private def dailyCounterState[I](events: Dataset[I], numBuckets: Int,
+      key: I => Long, bucket: I => Int, idleTtl: Option[String])
+      : Dataset[(Long, Int, Long, Long)] = {
+    implicit val stateEnc: Encoder[HistState] = Encoders.product[HistState]
+    implicit val outEnc: Encoder[(Long, Int, Long, Long)] =
+      Encoders.product[(Long, Int, Long, Long)]
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(key)
+      .flatMapGroupsWithState(OutputMode.Update(), timeoutConf(idleTtl))(
+        (day: Long, batch: Iterator[I], st: GroupState[HistState]) => {
+          if (st.hasTimedOut) { st.remove(); Iterator.empty }
+          else {
+            val prev = st.getOption.getOrElse(
+              HistState(new Array[Long](numBuckets), 0L))
+            val counters = prev.counters.clone()
+            var nSeen = prev.nSeen
+            val touched = scala.collection.mutable.LinkedHashSet.empty[Int]
+            batch.foreach { e =>
+              nSeen += 1
+              val b = bucket(e)
+              counters(b) += 1
+              touched += b
+            }
+            st.update(HistState(counters, nSeen))
+            idleTtl.foreach(st.setTimeoutDuration)
+            touched.iterator.map(b => (day, b, counters(b), nSeen))
+          }
+        })
+  }
+
   /** Per-day fixed-bin value histogram maintained across micro-batches —
     * the value-DISTRIBUTION sibling of the distinct (HLL/KMV) and
     * frequency (CMS) state faces: 256 additive bin counters = 2 KiB per
@@ -551,38 +601,12 @@ object StreamOps {
     */
   def dailyValueHist(events: Dataset[HistIn],
       idleTtl: Option[String] = None): Dataset[HistCell] = {
-    implicit val stateEnc: Encoder[HistState] = Encoders.product[HistState]
     implicit val outEnc: Encoder[HistCell] = Encoders.product[HistCell]
     import events.sparkSession.implicits._
     if (events.isStreaming)
-      events
-        .groupByKey(_.day_num)
-        .flatMapGroupsWithState(OutputMode.Update(), timeoutConf(idleTtl))(
-          (day: Long, batch: Iterator[HistIn], st: GroupState[HistState]) => {
-            if (st.hasTimedOut) { st.remove(); Iterator.empty }
-            else {
-              val prev = st.getOption.getOrElse(
-                HistState(new Array[Long](HistBins), 0L))
-              val counters = prev.counters.clone()
-              var nSeen = prev.nSeen
-              val touched = scala.collection.mutable.LinkedHashSet.empty[Int]
-              batch.foreach { e =>
-                nSeen += 1
-                // NaN → top bin, matching the column face's least/greatest
-                // NaN ordering (java Math.min/max would propagate NaN → 0)
-                val f = math.floor(e.v / HistBinWidth)
-                val b =
-                  if (f.isNaN || f >= HistBins - 1) HistBins - 1
-                  else if (f <= 0.0) 0
-                  else f.toInt
-                counters(b) += 1
-                touched += b
-              }
-              st.update(HistState(counters, nSeen))
-              idleTtl.foreach(st.setTimeoutDuration)
-              touched.iterator.map(b => HistCell(day, b, counters(b), nSeen))
-            }
-          })
+      dailyCounterState[HistIn](events, HistBins, _.day_num,
+          e => histBinJvm(e.v), idleTtl)
+        .map { case (d, b, c, n) => HistCell(d, b, c, n) }
     else {
       val nSeen = events.toDF().groupBy("day_num").agg(count(lit(1)).as("n_seen"))
       events.toDF()
@@ -614,32 +638,13 @@ object StreamOps {
   def dailyQuantileSketch(events: Dataset[QsIn],
       idleTtl: Option[String] = None): Dataset[QsCell] = {
     import graft.functions.QuantileSketch
-    implicit val stateEnc: Encoder[HistState] = Encoders.product[HistState]
     implicit val outEnc: Encoder[QsCell] = Encoders.product[QsCell]
     import events.sparkSession.implicits._
     if (events.isStreaming)
-      events
-        .groupByKey(_.day_num)
-        .flatMapGroupsWithState(OutputMode.Update(), timeoutConf(idleTtl))(
-          (day: Long, batch: Iterator[QsIn], st: GroupState[HistState]) => {
-            if (st.hasTimedOut) { st.remove(); Iterator.empty }
-            else {
-              val prev = st.getOption.getOrElse(
-                HistState(new Array[Long](QuantileSketch.NumBuckets), 0L))
-              val counters = prev.counters.clone()
-              var nSeen = prev.nSeen
-              val touched = scala.collection.mutable.LinkedHashSet.empty[Int]
-              batch.foreach { e =>
-                nSeen += 1
-                val b = QuantileSketch.bucketOfJvm(e.v) // == column face, spec-proven
-                counters(b) += 1
-                touched += b
-              }
-              st.update(HistState(counters, nSeen))
-              idleTtl.foreach(st.setTimeoutDuration)
-              touched.iterator.map(b => QsCell(day, b, counters(b), nSeen))
-            }
-          })
+      dailyCounterState[QsIn](events, QuantileSketch.NumBuckets, _.day_num,
+          e => QuantileSketch.bucketOfJvm(e.v), // == column face, spec-proven
+          idleTtl)
+        .map { case (d, b, c, n) => QsCell(d, b, c, n) }
     else {
       val nSeen = events.toDF().groupBy("day_num").agg(count(lit(1)).as("n_seen"))
       events.toDF()

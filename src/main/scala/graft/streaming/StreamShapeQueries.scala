@@ -532,65 +532,25 @@ object StreamShapeQueries {
     // snapshot equals this batch face and the split/order merge law.
     QueryDef(
       "q_stream_quantile_sketch", {
-        import graft.functions.QuantileSketch._
-        s"""WITH e AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day_num,
-           |                  CAST(FLOOR(value * 1000) AS BIGINT) AS v
-           |           FROM events),
-           |b AS (SELECT day_num, ${bucketSql("v")} AS id, COUNT(*) AS cnt
-           |      FROM e GROUP BY 1, 2),
-           |cum AS (SELECT day_num, id,
-           |               SUM(cnt) OVER (PARTITION BY day_num ORDER BY id) AS c
-           |        FROM b),
-           |n AS (SELECT day_num, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
-           |t AS (SELECT day_num, n, unnest([500, 900, 990]) AS qp,
-           |             (n * unnest([500, 900, 990]) + 999) // 1000 AS kq
-           |      FROM n),
-           |sel AS (SELECT t.day_num, t.qp, t.n, t.kq, CAST(MIN(id) AS BIGINT) AS bucket
-           |        FROM t JOIN cum ON cum.day_num = t.day_num AND cum.c >= t.kq
-           |        GROUP BY 1, 2, 3, 4),
-           |rk AS (SELECT day_num, v, ROW_NUMBER() OVER (PARTITION BY day_num ORDER BY v) AS r
-           |       FROM e),
-           |ex AS (SELECT s.day_num, s.qp, s.n, s.bucket, rk.v AS exact_v
-           |       FROM sel s JOIN rk ON rk.day_num = s.day_num AND rk.r = s.kq),
-           |bd AS (SELECT day_num, qp, n, exact_v,
-           |              CAST(${loSql("bucket")} AS BIGINT) AS est_lo,
-           |              CAST(${hiSql("bucket")} AS BIGINT) AS est_hi
-           |       FROM ex)
-           |SELECT day_num, CAST(qp AS BIGINT) AS q_permille, n, est_lo, est_hi, exact_v,
-           |       CAST(CASE WHEN est_lo <= exact_v AND exact_v <= est_hi
-           |                 THEN 1 ELSE 0 END AS BIGINT) AS within
-           |FROM bd ORDER BY day_num, q_permille""".stripMargin
+        import graft.functions.QuantileSketch
+        s"""WITH qsv AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day_num,
+           |                    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+           |             FROM events),
+           |${QuantileSketch.readoutSql("day_num")}""".stripMargin
       }) { (s, d) =>
       import s.implicits._
       import graft.functions.QuantileSketch
       val e = Tables.events(s, d).select(
         expr("CAST(CAST(ts AS LONG) DIV 86400 AS BIGINT)").as("day_num"),
         expr("CAST(FLOOR(value * 1000) AS BIGINT)").as("v"))
+      // counts and totals come from the STATE FACE's cells — the gate
+      // proves the maintained counters drive the readout; only the exact
+      // verification side reads raw values
       val cells = StreamOps.dailyQuantileSketch(e.as[StreamOps.QsIn]).toDF()
-      val cum = cells.withColumn("c", sum("cnt").over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("day_num").orderBy("bucket")))
-        .select(col("day_num"), col("bucket").as("id"), col("c"))
-      val t = cells.select("day_num", "n_seen").distinct()
-        .select(col("day_num"), col("n_seen").as("n"),
-          explode(expr("array(500, 900, 990)")).as("qp"))
-        .withColumn("kq", expr("(n * qp + 999) DIV 1000"))
-      val sel = t.join(cum, Seq("day_num")).filter(col("c") >= col("kq"))
-        .groupBy("day_num", "qp", "n", "kq")
-        .agg(min("id").cast("long").as("bucket"))
-      val rk = e.withColumn("r", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("day_num").orderBy("v")))
-        .select(col("day_num").as("d2"), col("v").as("exact_v"), col("r"))
-      sel.join(rk, col("day_num") === col("d2") && col("r") === col("kq"))
-        .select(col("day_num"), col("qp").cast("long").as("q_permille"), col("n"),
-          QuantileSketch.bucketLo(col("bucket")).as("est_lo"),
-          QuantileSketch.bucketHi(col("bucket")).as("est_hi"),
-          col("exact_v"))
-        .withColumn("within",
-          when(col("est_lo") <= col("exact_v") && col("exact_v") <= col("est_hi"), 1L)
-            .otherwise(0L))
-        .orderBy("day_num", "q_permille")
+      val counts = cells.select(col("day_num"), col("bucket").as("id"), col("cnt"))
+      val totals = cells.select("day_num", "n_seen").distinct()
+        .select(col("day_num"), col("n_seen").as("n"))
+      QuantileSketch.readout(counts, totals, e, "day_num")
     }
   )
 }

@@ -25,6 +25,8 @@ class SkewProbeR14ArtifactSpec extends AnyFunSuite {
     assert(root.get("bpe").get("hot_share_pct").asDouble() >= 40.0,
       "BPE axis: the planted symbol is not hyper-frequent")
     val rrf = root.get("rrf")
+    assert(rrf.get("planted_df").asLong() == rrf.get("n_docs").asLong(),
+      "retrieval axis: the planted term is not in EVERY document (df < n)")
     assert(rrf.get("max_cand_per_query").asLong() >=
       (rrf.get("n_docs").asLong() * 9) / 10,
       "retrieval axis: the planted term did not saturate the posting list")

@@ -77,11 +77,8 @@ class BpeDeepSpec extends SparkSpec {
 
   test("phrase-level deep trace equals the single-threaded batched reference") {
     val dir = sf("sf0.001")
-    val state0 = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id").cast("string").as("word"), lit(1L).as("freq"),
-        graft.functions.TextFunctions.tokens(col("text")).as("syms"))
-      .filter(size(col("syms")) >= 2 &&
-        forall(col("syms"), t => t.rlike("^[a-z]+$")))
+    val state0 = BpeQueries.deepPhraseState(
+      spark.read.parquet(s"$dir/documents.parquet"))
     val got = collectTrace(
       BpeQueries.trainDeepTrace(state0, passes = 4, batch = 8,
         stage = false, sep = " "))
