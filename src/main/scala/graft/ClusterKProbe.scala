@@ -40,8 +40,21 @@ object ClusterKProbe {
       s""""k$k":{"secs":${BigDecimal(secs).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"rows":$rows,"clusters":$nc,""" +
         s""""max_cluster":$maxC,"pair_budget":$sumSq}"""
     }
+    // the r14 IVF multi-probe face under the SAME k ∝ n scaling: nprobe=2
+    // doubles the anchor-side lists, so candidates stay ≤ 2× the pinned
+    // budget while the boundary pairs the finer clustering would hide are
+    // recovered — k∝n and multi-probe COMPOSE (the production setting)
+    val ivfCells = Seq(8, 64).map { k =>
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val rows = pipeline.SimilarityQueries.hardNegativesIvf(e, k, nprobe = 2).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"cluster-k probe ivf k=$k nprobe=2: $secs%.1f s, $rows rows")
+      s""""ivf_k$k":{"secs":${BigDecimal(secs).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"rows":$rows}"""
+    }
     val json =
-      s"""{"metric":"cluster_k_probe","src":"$src","n_vectors":$n,${cells.mkString(",")}}"""
+      s"""{"metric":"cluster_k_probe","src":"$src","n_vectors":$n,""" +
+        s"""${(cells ++ ivfCells).mkString(",")}}"""
     println(json)
     val out = new java.io.PrintWriter("bench/cluster_k_probe_x10.json")
     try out.println(json) finally out.close()
