@@ -31,8 +31,12 @@ object BpeDeepProbe {
 
     def state0 = pipeline.BpeQueries.deepPhraseState(
       spark.read.parquet(s"$src/documents.parquet"))
-    // JIT/IO warmup so batch=1 (measured first) isn't charged startup cost
-    state0.count()
+    // JIT/IO warmup so batch=1 (measured first) isn't charged startup
+    // cost: one UNTIMED short trainer run — count() alone warms IO but
+    // not the trainer's expr-heavy codegen, which would bill its JIT to
+    // the first measured cell and flatter the secs ratio (r14 advice)
+    pipeline.BpeQueries.trainDeepTrace(
+      state0, passes = 2, batch = 32, stage = false, sep = " ").collect()
 
     val cells = Seq(1, 32).map { batch =>
       spark.catalog.clearCache(); System.gc()

@@ -379,7 +379,7 @@ object BpeQueries {
         s"""element_at(transform(array($mtc), mt ->
            |  filter(
            |    zip_with(mt, sequence(1, size(syms)), (m, i) ->
-           |      IF(i > 1 AND element_at(mt, i - 1) IS NOT NULL,
+           |      IF(IF(i > 1, element_at(mt, i - 1), CAST(NULL AS STRING)) IS NOT NULL,
            |         CAST(NULL AS STRING),
            |         IF(m IS NOT NULL, m, element_at(syms, i)))),
            |    x -> x IS NOT NULL)), 1)""".stripMargin)
@@ -425,10 +425,46 @@ object BpeQueries {
     * synthetic corpus's word vocabulary is 30 words (structurally too
     * small for ≥256 character merges) while its phrase inventory is
     * unbounded.
+    *
+    * CONTRACT: `state0`'s `word` keys must be UNIQUE rows — pairStats'
+    * l == r run window partitions by (word, l), so a duplicate key would
+    * glue runs across rows and corrupt the closed-form site counts (the
+    * per-pass hard check would catch it, but with a confusing message).
+    * Every shipped state-0 builder satisfies it structurally:
+    * [[deepPhraseState]] keys by doc_id, the char-level faces by a
+    * groupBy("word") dictionary.
+    *
+    * `passWall`, when supplied, receives each pass's wall-clock seconds
+    * (selection + application + checkpoint) — the depth probe's
+    * per-pass-flatness instrumentation; gates never set it.
     */
   private[graft] def trainDeepTrace(state0: org.apache.spark.sql.DataFrame,
       passes: Int, batch: Int, stage: Boolean, sep: String,
-      minMerges: Long = 0L): org.apache.spark.sql.DataFrame = {
+      minMerges: Long = 0L,
+      passWall: Option[scala.collection.mutable.Buffer[Double]] = None)
+      : org.apache.spark.sql.DataFrame =
+    deepLoop(state0, passes, batch, stage, sep, minMerges, passWall)._1
+
+  /** The deep loop's FINAL (word, freq, syms) state — the phrase-vocabulary
+    * serving artifact ([[BpeVocabStore.deepTrainedFinal]] persists it).
+    * Runs the same loop as [[trainDeepTrace]] (per-pass selection is
+    * driver-coordinated either way), staging the same `bpe_deep_state_*`
+    * names, so whichever deep-gated query runs first materializes
+    * identical states and the other reads them back.
+    */
+  private[graft] def trainDeepFinalState(state0: org.apache.spark.sql.DataFrame,
+      passes: Int, batch: Int, stage: Boolean, sep: String,
+      minMerges: Long = 0L): org.apache.spark.sql.DataFrame =
+    deepLoop(state0, passes, batch, stage, sep, minMerges, None)._2
+
+  private def deepLoop(state0: org.apache.spark.sql.DataFrame,
+      passes: Int, batch: Int, stage: Boolean, sep: String,
+      minMerges: Long,
+      passWall: Option[scala.collection.mutable.Buffer[Double]])
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    require(passes > 0, s"deep BPE: passes = $passes, need >= 1 " +
+      "(the trace is emitted one pass behind, so a 0-pass loop would " +
+      "fail late with tokensBefore = -1)")
     val spark = state0.sparkSession
     import spark.implicits._
     def staged(name: String, df: org.apache.spark.sql.DataFrame) =
@@ -458,6 +494,7 @@ object BpeQueries {
       tokensBefore = tAfter
     }
     for (p <- 0 until passes) {
+      val tPass = System.nanoTime()
       val (sel, tokens, vocab) = selectBatchAndTotals(state, batch, DeepScan)
       if (p == 0) tokensBefore = tokens else emit(p - 1, tokens, vocab)
       require(sel.nonEmpty,
@@ -468,6 +505,7 @@ object BpeQueries {
         state.select(col("word"), col("freq"),
           applyBatchExpr(sel.map(x => (x._1, x._2)), sep).as("syms")))
         .stableCheckpoint() // read ≥ twice per pass: truncate NOW
+      passWall.foreach(_ += (System.nanoTime() - tPass) / 1e9)
     }
     val post = state.select(explode(col("syms")).as("s"), col("freq"))
       .agg(sum("freq").as("t"), countDistinct("s").as("v")).collect()(0)
@@ -475,9 +513,10 @@ object BpeQueries {
     require(totalRules >= minMerges,
       s"deep BPE: only $totalRules merge rules learned in $passes passes " +
         s"(need ≥ $minMerges) — raise passes/batch")
-    rows.result().toDF("pass", "lsym", "rsym", "pair_cnt", "n_merges",
-        "n_tokens_after", "vocab_after")
+    val trace = rows.result().toDF("pass", "lsym", "rsym", "pair_cnt",
+        "n_merges", "n_tokens_after", "vocab_after")
       .orderBy(col("pass"), col("pair_cnt").desc, col("lsym"), col("rsym"))
+    (trace, state)
   }
 
   /** The phrase-level state-0 builder shared by the registered gate,
@@ -556,11 +595,12 @@ object BpeQueries {
     * q_bpe_encode's r13 median was training, not encoding), and at
     * production merge depths the encode face would be unusable.
     *
-    * Keying: (training-code version, documents-parquet fingerprint,
-    * rounds). The fingerprint is driver-side fs metadata (total bytes +
-    * max mtime of the part files) — cheap, and a testdata regeneration
-    * invalidates the store instead of silently serving a stale vocabulary.
-    * Bump [[VocabVersion]] on any training-algorithm change.
+    * Keying: (training-code version, documents-parquet CONTENT digest,
+    * training parameters). The digest hashes every part file's full path,
+    * length, and parquet FOOTER bytes (driver-side, metadata-sized reads)
+    * — a testdata regeneration invalidates the store even when byte count
+    * and mtime tick are unchanged, instead of silently serving a stale
+    * vocabulary. Bump [[VocabVersion]] on any training-algorithm change.
     *
     * Oracle-stage mode NEVER reuses a cross-JVM persisted copy: the gate's
     * DuckDB side reads the staged per-round states, so the staging and the
@@ -573,33 +613,85 @@ object BpeQueries {
     /** Test seam: number of training runs actually executed in this JVM. */
     @volatile private[pipeline] var trainRuns = 0
 
-    /** Sanitized VERBATIM key material (dir + total bytes + max mtime), not
-      * a hash: a 32-bit hash collision would silently serve the wrong
-      * corpus's vocabulary — embedding the values makes collisions
-      * impossible instead of merely unlikely. mtime in millis; an
-      * in-place regeneration inside one mtime tick with identical bytes
-      * is the residual (documented) staleness window.
+    /** SHA-256 over (full absolute path, length, parquet FOOTER bytes) of
+      * every part file, sorted by path. The footer carries the row-group
+      * and column metadata plus min/max stats, so ANY data change flips
+      * the digest — including an in-place same-size regeneration within
+      * one mtime tick (the r14 staleness window of the old (bytes, mtime)
+      * scheme, now closed and spec-gated). The FULL path participates in
+      * the digest, so two corpora whose sanitized suffixes collide still
+      * get distinct keys; a readable truncated suffix is kept only for
+      * humans browsing target/bpe_vocab.
       */
-    private def fingerprint(dir: String): String = {
+    private[pipeline] def fingerprint(dir: String): String = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
         else Seq(f)
-      val fs = walk(new java.io.File(s"$dir/documents.parquet"))
-      val bytes = fs.map(_.length).sum
-      val mtime = if (fs.isEmpty) 0L else fs.map(_.lastModified).max
-      val sanitizedDir = new java.io.File(dir).getAbsolutePath
-        .replaceAll("[^a-zA-Z0-9]+", "_").takeRight(80)
-      s"${sanitizedDir}_${bytes}_$mtime"
+      val fs = walk(new java.io.File(s"$dir/documents.parquet")).sortBy(_.getPath)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      fs.foreach { f =>
+        md.update(f.getAbsolutePath.getBytes("UTF-8"))
+        md.update(java.nio.ByteBuffer.allocate(8).putLong(f.length).array)
+        // parquet tail layout: [footer thrift][4-byte footer len LE]["PAR1"]
+        val len = f.length
+        if (f.getName.endsWith(".parquet") && len >= 12) {
+          val raf = new java.io.RandomAccessFile(f, "r")
+          try {
+            raf.seek(len - 8)
+            val lb = new Array[Byte](4); raf.readFully(lb)
+            val fl = java.nio.ByteBuffer.wrap(lb)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+            val take = math.min(math.max(fl.toLong, 0L), len - 8).toInt
+            raf.seek(len - 8 - take)
+            val fb = new Array[Byte](take); raf.readFully(fb)
+            md.update(fb)
+          } finally raf.close()
+        }
+      }
+      val digest = md.digest().map("%02x".format(_)).mkString
+      val suffix = new java.io.File(dir).getAbsolutePath
+        .replaceAll("[^a-zA-Z0-9]+", "_").takeRight(40)
+      s"${suffix}_$digest"
     }
 
-    /** The final (word, freq, syms) vocabulary tokenization after `rounds`
-      * merges over `dir`'s documents — persisted parquet, trained at most
-      * once per (version, corpus, rounds) across JVMs (per JVM in
-      * oracle-stage mode; see class doc).
+    /** Publish a trained artifact ATOMICALLY: write to a temp dir next to
+      * the target, then rename into place — a concurrent reader never sees
+      * a half-written store (the r14-advice non-atomic-overwrite window).
+      * If another JVM published first, its complete copy wins and ours is
+      * discarded.
       */
-    def trainedFinal(spark: org.apache.spark.sql.SparkSession, dir: String,
-        rounds: Int): org.apache.spark.sql.DataFrame = {
-      val key = s"v${VocabVersion}_${fingerprint(dir)}_r$rounds" +
+    private[pipeline] def writeAtomic(df: org.apache.spark.sql.DataFrame,
+        path: String): Unit = {
+      val tmp = s"${path}_tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+      df.write.mode("overwrite").parquet(tmp)
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      val dst = new java.io.File(path)
+      if (dst.exists() && !new java.io.File(dst, "_SUCCESS").isFile)
+        rm(dst) // crashed half-write from a dead JVM: clear and replace
+      if (!new java.io.File(tmp).renameTo(dst)) {
+        // a concurrent trainer published a COMPLETE copy first (same key
+        // => same deterministic content) — keep theirs, drop ours
+        require(new java.io.File(dst, "_SUCCESS").isFile,
+          s"BpeVocabStore: could not publish $path and no complete copy exists")
+        rm(new java.io.File(tmp))
+      }
+    }
+
+    /** Generic keyed artifact: train-once-then-serve for any deterministic
+      * training computation over `dir`'s documents. `keyPart` must
+      * uniquely describe the computation (the corpus digest + code version
+      * are prepended here). Cross-JVM reuse is disabled in oracle-stage
+      * mode (class doc); the in-JVM cache still collapses repeat calls.
+      */
+    private[pipeline] def artifact(spark: org.apache.spark.sql.SparkSession,
+        dir: String, keyPart: String)(
+        train: => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val key = s"v${VocabVersion}_${fingerprint(dir)}_$keyPart" +
         (if (graft.OracleStage.enabled) "_staged" else "")
       val path = new java.io.File(s"target/bpe_vocab/$key").getAbsolutePath
       val resolved = cache.get(key).getOrElse(synchronized {
@@ -608,9 +700,7 @@ object BpeQueries {
             new java.io.File(s"$path/_SUCCESS").isFile
           if (!onDisk) {
             trainRuns += 1
-            trainedState(wordFreq(spark, dir), rounds,
-                stage = graft.OracleStage.enabled)
-              .write.mode("overwrite").parquet(path)
+            writeAtomic(train, path)
           }
           cache.put(key, path)
           path
@@ -618,6 +708,31 @@ object BpeQueries {
       })
       spark.read.parquet(resolved)
     }
+
+    /** The final (word, freq, syms) vocabulary tokenization after `rounds`
+      * merges over `dir`'s documents — persisted parquet, trained at most
+      * once per (version, corpus, rounds) across JVMs (per JVM in
+      * oracle-stage mode; see class doc).
+      */
+    def trainedFinal(spark: org.apache.spark.sql.SparkSession, dir: String,
+        rounds: Int): org.apache.spark.sql.DataFrame =
+      artifact(spark, dir, s"r$rounds")(
+        trainedState(wordFreq(spark, dir), rounds,
+          stage = graft.OracleStage.enabled))
+
+    /** The DEEP trainer's final phrase-tokenized state (r14 verdict item
+      * 2): one (word = doc key, freq, syms = phrase tokens) row per
+      * document after [[DeepPasses]]×[[DeepBatch]] batched merges —
+      * persisted once, served by q_bpe_encode_deep. Stages the same
+      * `bpe_deep_state_*` names as q_bpe_train_deep's trace run, so in
+      * oracle-stage mode whichever runs first materializes the states.
+      */
+    def deepTrainedFinal(spark: org.apache.spark.sql.SparkSession,
+        dir: String): org.apache.spark.sql.DataFrame =
+      artifact(spark, dir, s"deep_p${DeepPasses}_b$DeepBatch")(
+        trainDeepFinalState(deepPhraseState(Tables.documents(spark, dir)),
+          DeepPasses, DeepBatch, stage = graft.OracleStage.enabled,
+          sep = " ", minMerges = DeepMinMerges))
   }
 
   /** The documents word-frequency dictionary the registered queries train
