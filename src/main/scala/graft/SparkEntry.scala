@@ -27,6 +27,7 @@ object SparkEntry {
       pipeline.RetrievalQueries.defs ++
       pipeline.PcaQueries.defs ++
       pipeline.BpeQueries.defs ++
+      pipeline.BpeOovQueries.defs ++
       pipeline.ChunkingQueries.defs ++
       pipeline.QualityGateQueries.defs ++
       pipeline.EvalQueries.defs ++

@@ -736,13 +736,18 @@ object BpeQueries {
   }
 
   /** The documents word-frequency dictionary the registered queries train
-    * on (letters-only fixture scope — see class doc).
+    * on (letters-only fixture scope — see class doc). `source` restricts
+    * the dictionary to one corpus source — the OOV encode gate's
+    * train-on-A face (BpeOovQueries).
     */
-  private def wordFreq(spark: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.documents(spark, d)
+  private[pipeline] def wordFreq(spark: org.apache.spark.sql.SparkSession,
+      d: String, source: Option[String] = None) = {
+    val docs = Tables.documents(spark, d)
+    source.map(s => docs.filter(col("source") === s)).getOrElse(docs)
       .select(explode(tokens(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("freq"))
+  }
 
   /** Run the merge rounds and return only the FINAL (word, freq, syms)
     * vocabulary tokenization — the encode path's input. 2 jobs per round
