@@ -854,5 +854,62 @@ object BpeQueries {
         .select(concat(lit("top:"), col("s")).as("grp"), lit(0L).as("n_words"),
           col("cnt").as("n_tokens"), lit(0L).as("tokens_per_word_x1k"))
       perSource.unionByName(topTok).orderBy("grp")
+    },
+
+    // ----- encode from the DEEP (phrase) vocabulary (r14 verdict item 2) -----
+    // Composes r14's two halves: the deep trainer's final phrase-tokenized
+    // state is PERSISTED once (BpeVocabStore.deepTrainedFinal) and the
+    // serving path reads it back — per-source phrase accounting plus the
+    // corpus-weighted top-5 learned phrases, with no live retraining on
+    // the encode path (bench reps included). The oracle reads the SAME
+    // staged final state q_bpe_train_deep's gate already proves
+    // pass-by-pass, re-joins it to the documents table for source
+    // attribution, and re-aggregates — covering the join + accounting
+    // arithmetic end to end. Scale shape: the state is one row per doc
+    // (linear), the join is doc-keyed (shuffle-on-key, no broadcast of a
+    // corpus-sized side), top-5 is TakeOrderedAndProject.
+    QueryDef(
+      "q_bpe_encode_deep",
+      s"""WITH st AS (SELECT word, syms FROM ${graft.OracleStage.pq(s"bpe_deep_state_$DeepPasses")}),
+         |d AS (SELECT CAST(doc_id AS VARCHAR) AS word, source FROM documents),
+         |j AS (SELECT source, syms FROM st JOIN d USING (word)),
+         |per_source AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(len(list_filter(syms, s -> contains(s, ' ')))) AS BIGINT) AS n_phrases
+         |  FROM j GROUP BY 1),
+         |top_tok AS (
+         |  SELECT s AS phrase, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(syms) AS s FROM j)
+         |  WHERE contains(s, ' ') GROUP BY 1
+         |  ORDER BY cnt DESC, phrase LIMIT 5)
+         |SELECT source AS grp, n_docs, n_tokens, n_phrases,
+         |       (n_tokens * 1000) // n_docs AS tokens_per_doc_x1k
+         |FROM per_source
+         |UNION ALL
+         |SELECT 'top:' || phrase AS grp, CAST(0 AS BIGINT), cnt,
+         |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |FROM top_tok
+         |ORDER BY grp""".stripMargin) { (spark, d) =>
+      val st = BpeVocabStore.deepTrainedFinal(spark, d)
+      val docs = Tables.documents(spark, d)
+        .select(col("doc_id").cast("string").as("word"), col("source"))
+      val j = st.join(docs, "word")
+      val perSource = j.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("syms"))).cast("long").as("n_tokens"),
+          sum(size(filter(col("syms"), s => s.contains(" "))))
+            .cast("long").as("n_phrases"))
+        .select(col("source").as("grp"), col("n_docs"), col("n_tokens"),
+          col("n_phrases"),
+          expr("n_tokens * 1000 DIV n_docs").as("tokens_per_doc_x1k"))
+      val topPhrase = j.select(explode(col("syms")).as("s"))
+        .filter(col("s").contains(" "))
+        .groupBy("s").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("s")).limit(5)
+        .select(concat(lit("top:"), col("s")).as("grp"), lit(0L).as("n_docs"),
+          col("cnt").as("n_tokens"), lit(0L).as("n_phrases"),
+          lit(0L).as("tokens_per_doc_x1k"))
+      perSource.unionByName(topPhrase).orderBy("grp")
     })
 }

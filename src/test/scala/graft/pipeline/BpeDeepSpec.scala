@@ -127,6 +127,38 @@ class BpeDeepSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("deep vocab store: trains at most once, serves persisted phrase state") {
+    val d = sf("sf0.001")
+    val before = BpeQueries.BpeVocabStore.trainRuns
+    val a = BpeQueries.BpeVocabStore.deepTrainedFinal(spark, d)
+    val n1 = a.count()
+    val afterFirst = BpeQueries.BpeVocabStore.trainRuns
+    // a pre-existing cross-JVM persisted copy makes even the first call
+    // free; a fresh target trains exactly once
+    assert(afterFirst - before <= 1)
+    val b = BpeQueries.BpeVocabStore.deepTrainedFinal(spark, d)
+    assert(b.count() == n1)
+    assert(BpeQueries.BpeVocabStore.trainRuns == afterFirst,
+      "second deepTrainedFinal call retrained instead of serving the store")
+    // the persisted state really carries learned PHRASE symbols
+    assert(a.select(explode(col("syms")).as("s"))
+      .filter(col("s").contains(" ")).count() > 0)
+  }
+
+  test("q_bpe_encode_deep: per-source accounting + top phrases served") {
+    val rows = graft.SparkEntry.queries("q_bpe_encode_deep")(spark, sf("sf0.001"))
+      .collect()
+    val src = rows.filter(!_.getString(0).startsWith("top:"))
+    val top = rows.filter(_.getString(0).startsWith("top:"))
+    assert(src.length == 20 && top.length == 5, rows.map(_.getString(0)).mkString(","))
+    src.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: tokens < docs")
+    }
+    assert(src.map(_.getLong(3)).sum > 0, "no phrases in the served encoding")
+    top.foreach(r => assert(r.getString(0).contains(" ") && r.getLong(2) > 0))
+  }
+
   test("batch fold: disjoint merges, l==r runs, bounds at the last position") {
     import spark.implicits._
     val df = Seq(
