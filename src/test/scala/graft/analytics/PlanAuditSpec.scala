@@ -917,4 +917,22 @@ class PlanAuditSpec extends SparkSpec {
     // (≤ 2 matches: AQE prints the one materialized stage subtree twice)
     assert("SortMergeJoin".r.findAllIn(p).size <= 2, p.take(4000))
   }
+
+  test("IVFPQ: the ADC codes scan is list-pruned by a broadcast of the probed lists") {
+    val p = executedPlanOf("q_ann_ivfpq_topk")
+    // the ADC aggregate is the partial sum of broadcast distance-table
+    // lookups — find it, then check its SUBTREE (plans print top-down):
+    // the codes feed through a label-keyed BroadcastHashJoin — the
+    // nprobe prune — so the scan that reaches ADC covers the probed
+    // lists only, never the whole codes index
+    val adcAgg = p.indexOf("partial_sum(d#")
+    assert(adcAgg >= 0, p.take(4000))
+    val labJoin = "BroadcastHashJoin \\[label#\\d+".r
+      .findFirstMatchIn(p.substring(adcAgg))
+    assert(labJoin.isDefined,
+      "no label-keyed broadcast prune under the ADC aggregate\n" + p.take(4000))
+    // and the probed-lists side is a 2-row broadcast, never a shuffle:
+    // no sort-merge join anywhere on the serving path
+    assert(!p.substring(adcAgg).contains("SortMergeJoin"), p.take(4000))
+  }
 }

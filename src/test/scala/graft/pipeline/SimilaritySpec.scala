@@ -389,4 +389,77 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(out.length == 10)
   }
+
+  test("IVFPQ: exact within probed lists, self first, results confined to nprobe lists") {
+    val out = graft.SparkEntry.queries("q_ann_ivfpq_topk")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("label").longValue, r.getLong(2)))
+    assert(out.length == 10)
+    // the refine stage outputs EXACT quantized-L2 distances
+    val comp = quantized(sf())
+    val qv = comp.filter($"vec_id" === 42L).select($"i", $"v".as("qv"))
+    val exact = comp.join(qv, "i")
+      .groupBy("vec_id")
+      .agg(sum(($"v" - $"qv") * ($"v" - $"qv")).as("dist"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, _, dist) =>
+      assert(exact(id) == dist, s"vec $id: refine dist $dist != exact ${exact(id)}")
+    }
+    // the codes scan was pruned: every result comes from <= nprobe=2 lists
+    val lists = out.map(_._2).toSet
+    assert(lists.size <= 2, s"results from ${lists.size} lists: $lists")
+    // self-first holds WHEN the query's own list survives the coarse
+    // prune (on isotropic noise the coarse ordering is a data property —
+    // the planted-cluster test below pins the unconditional form)
+    val labels = graft.analytics.Tables.embeddings(spark, sf())
+      .select($"vec_id", $"label".cast("long").as("label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (lists.contains(labels(42L)))
+      assert(out.head._1 == 42L && out.head._3 == 0L,
+        s"own list probed but self not first: ${out.head}")
+    // within the probed lists the composition is near-exact: the ADC
+    // shortlist (R=50) contains the true in-list neighborhood and refine
+    // re-ranks it exactly (measured 1.0 at sf0.01; floor at 0.8)
+    val inListTop10 = exact.toSeq
+      .filter { case (id, _) => lists.contains(labels(id)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val inListRecall = (inListTop10 & out.map(_._1).toSet).size.toDouble / 10
+    assert(inListRecall >= 0.8, s"in-list recall $inListRecall")
+  }
+
+  test("IVFPQ recall matches-or-beats plain PQ on clustered data (IVF's premise)") {
+    // on the near-isotropic gate corpus nprobe=2 of 10 lists CAPS recall
+    // (the exact top-10 spreads over 8 labels: 0.3 vs flat PQ's 0.7 — a
+    // data property). On clustered data — what IVF assumes — the probed
+    // lists hold the whole neighborhood, so the composition must match or
+    // beat the flat scan while reading ~nprobe/nlists of the codes.
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    def member(axis: Int): Array[Float] =
+      Array.tabulate(dim)(i => (if (i == axis * 8) 5f else 0f) + (rnd.nextFloat() - 0.5f) * 0.2f)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    (0L until 200L).map(i => (i, member((i % 4).toInt), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val exact = quantized(dir).join(
+        quantized(dir).filter($"vec_id" === 42L).select($"i", $"v".as("qv")), "i")
+      .groupBy("vec_id")
+      .agg(sum(($"v" - $"qv") * ($"v" - $"qv")).as("dist"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactTop10 = exact.toSeq.sortBy { case (id, d) => (d, id) }
+      .take(10).map(_._1).toSet
+    val ivfpq = graft.SparkEntry.queries("q_ann_ivfpq_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val pq = graft.SparkEntry.queries("q_ann_pq_adc")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivfpq.head == ((42L, 0L)), s"self not first: ${ivfpq.head}")
+    ivfpq.foreach { case (id, _) =>
+      assert(id % 4 == 2, s"vec $id from cluster ${id % 4} leaked through the prune")
+    }
+    val recallIvfpq = (exactTop10 & ivfpq.map(_._1).toSet).size.toDouble / 10
+    val recallPq = (exactTop10 & pq.map(_._1).toSet).size.toDouble / 10
+    assert(recallIvfpq >= recallPq,
+      s"IVFPQ recall $recallIvfpq < flat-PQ recall $recallPq on clustered data")
+    assert(recallIvfpq >= 0.9, s"IVFPQ recall $recallIvfpq on clustered data")
+  }
 }
