@@ -22,7 +22,13 @@ import org.apache.spark.sql.functions._
   *  3. bottom-k sampling with one source holding ~99% of documents: the
   *     kminBy sample of the hot group must equal the unguarded
   *     sort-based sample, with ≤ k pairs per partial buffer by
-  *     construction.
+  *     construction;
+  *  4. quantile sketch at the degenerate extremes (r14 verdict item 8):
+  *     one value repeated for ~100% of a group (all count mass in one
+  *     bucket cell) and max-domain values at the top-octave boundary
+  *     (Long.MaxValue lands in the LAST bucket, where an exclusive hi
+  *     bound would overflow) — the readout's containment flag must hold
+  *     on every row.
   *
   * Results → bench/skew_probe_r14.json (gated by SkewProbeR14ArtifactSpec).
   */
@@ -107,11 +113,46 @@ object SkewProbeR14 {
     val sampleDiff = (sampleKmin diff sampleWindow).size + (sampleWindow diff sampleKmin).size
     println(s"skew bottomk: hot group $hotDocs of $nDocs docs, sample diff $sampleDiff")
 
+    // ---- 4. quantile sketch at the degenerate extremes (r14 item 8) ----
+    // axis A: ONE value repeated for ~100% of a large group — the whole
+    // count mass lands in a single bucket cell, the worst case for the
+    // cumulate-and-select readout; axis B: max-domain values at the
+    // top-octave boundary (Long.MaxValue and neighbors), where an
+    // exclusive hi bound would overflow (and throw under ANSI). Exactness
+    // = the `within` containment flag on EVERY readout row: the selected
+    // bucket must contain the exact discrete order statistic (rank error
+    // 0) at both extremes.
+    import graft.functions.QuantileSketch
+    import spark.implicits._
+    val constVals = docs.select(lit("const").as("grp"),
+        lit(12345L).as("v"))
+      .unionByName(Seq(0L, Long.MaxValue).toDF("v")
+        .select(lit("const").as("grp"), col("v")))
+    val topVals = Seq(Long.MaxValue, Long.MaxValue - 1, (1L << 62) - 1,
+        1L << 62, 3L << 61, 63L, 64L, 0L)
+      .toDF("v").select(lit("top").as("grp"), col("v"))
+    val vals = constVals.unionByName(topVals).localCheckpoint()
+    val counts = vals.groupBy(col("grp"), QuantileSketch.bucketOf(col("v")).as("id"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = vals.groupBy("grp").agg(count(lit(1)).as("n"))
+    val ro = QuantileSketch.readout(counts, totals, vals, "grp").collect()
+    val withinViolations = ro.count(_.getAs[Long]("within") == 0L)
+    val constRows = nDocs + 2
+    val constBuckets = counts.filter(col("grp") === "const").count()
+    val topMaxId = counts.filter(col("grp") === "top")
+      .agg(max("id")).collect()(0).getLong(0)
+    println(s"skew sketch: const group $constRows rows in $constBuckets buckets, " +
+      s"top bucket id $topMaxId of ${QuantileSketch.NumBuckets}, " +
+      s"within violations $withinViolations of ${ro.length}")
+
     val json =
       s"""{"metric":"skew_probe_r14","src":"$src",""" +
         s""""bpe":{"hot_share_pct":${num(hotShare)},"rules":${bpeTrace.length},"passes":4,"secs":${num(bpeSecs)},"hard_check":"passed"},""" +
         s""""rrf":{"planted_df":$hotDf,"n_docs":$nDocs,"n_queries":$nQueries,"max_cand_per_query":$maxCand,"shortlist_diff":$rrfDiff},""" +
-        s""""bottomk":{"hot_group_docs":$hotDocs,"total_docs":$nDocs,"k":8,"sample_diff":$sampleDiff}}"""
+        s""""bottomk":{"hot_group_docs":$hotDocs,"total_docs":$nDocs,"k":8,"sample_diff":$sampleDiff},""" +
+        s""""sketch":{"const_rows":$constRows,"const_buckets":$constBuckets,""" +
+        s""""readout_rows":${ro.length},"within_violations":$withinViolations,""" +
+        s""""top_max_id":$topMaxId,"num_buckets":${graft.functions.QuantileSketch.NumBuckets}}}"""
     println(json)
     val out = new java.io.PrintWriter("bench/skew_probe_r14.json")
     try out.println(json) finally out.close()

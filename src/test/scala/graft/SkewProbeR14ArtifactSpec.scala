@@ -34,6 +34,16 @@ class SkewProbeR14ArtifactSpec extends AnyFunSuite {
     assert(bk.get("hot_group_docs").asLong() * 10 >=
       bk.get("total_docs").asLong() * 9,
       "bottom-k axis: the hot group does not dominate")
+    val sk = root.get("sketch")
+    assert(sk != null, "sketch axis missing — re-run graft.SkewProbeR14")
+    // ~100% of the const group sits in ONE bucket (value + 2 outliers)
+    assert(sk.get("const_rows").asLong() >= 500 &&
+      sk.get("const_buckets").asLong() <= 3,
+      "sketch axis: the constant group is not degenerate enough")
+    // and the max-domain value reaches the sketch's TOP bucket exactly
+    assert(sk.get("top_max_id").asLong() ==
+      sk.get("num_buckets").asLong() - 1,
+      "sketch axis: Long.MaxValue did not land in the top bucket")
   }
 
   test("exactness preserved under every skew axis") {
@@ -46,5 +56,11 @@ class SkewProbeR14ArtifactSpec extends AnyFunSuite {
       "kminBy retrieval shortlist diverged from the rank window under skew")
     assert(root.get("bottomk").get("sample_diff").asLong() == 0,
       "kminBy bottom-k sample diverged from the sort-based sample under skew")
+    // every readout row's selected bucket contains the exact discrete
+    // order statistic (rank error 0) at both degenerate extremes
+    assert(root.get("sketch").get("within_violations").asLong() == 0,
+      "quantile-sketch readout lost containment at a degenerate extreme")
+    assert(root.get("sketch").get("readout_rows").asLong() == 6,
+      "expected 2 groups x 3 quantiles of sketch readout rows")
   }
 }

@@ -8,8 +8,10 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
   * JVM face over the whole long range, bucketing is monotone with
   * bounded ids, every value lies inside its bucket's [lo, hi) bounds
   * (the basis of the rank-0/value-≤2^−S error claim), and the sketch
-  * state obeys the merge law — any batch split and order yields the
-  * same counters (ScalaCheck, through the streaming state face).
+  * state obeys the merge law on BOTH faces — the batch aggregate under
+  * any partitioning (partial/merge tree), and the streaming state under
+  * any micro-batch chunking (the flatMapGroupsWithState counter merge),
+  * each ScalaCheck'd against a single-partition reference.
   */
 class QuantileSketchSpec extends SparkSpec {
 
@@ -50,7 +52,7 @@ class QuantileSketchSpec extends SparkSpec {
     assert(ids.zip(ids.tail).forall { case (a, b) => a <= b })
   }
 
-  test("merge law: any split/order of the input yields the same counters") {
+  test("merge law, batch face: any split/order of the input yields the same counters") {
     import spark.implicits._
     val gen = for {
       vs <- Gen.nonEmptyListOf(Gen.choose(0L, 1L << 50))
@@ -69,6 +71,61 @@ class QuantileSketchSpec extends SparkSpec {
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(8).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("merge law, streaming face: any micro-batch chunking yields the batch counters") {
+    // the actual flatMapGroupsWithState counter-merge path: values arrive
+    // through a MemoryStream in ScalaCheck-varied chunkings/orders, and
+    // the final state snapshot must equal the batch face over the whole
+    // input — the batch-face test above can't see this path (a toDS()
+    // input takes the batch groupBy branch)
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamOps
+    implicit val sqlCtx = spark.sqlContext
+    val gen = for {
+      vs <- Gen.nonEmptyListOf(Gen.choose(0L, 1L << 50))
+      seed <- Gen.choose(0L, Long.MaxValue)
+      nChunks <- Gen.choose(1, 5)
+    } yield (vs, seed, nChunks)
+    var trial = 0
+    val prop = Prop.forAllNoShrink(gen) { case (vs, seed, nChunks) =>
+      trial += 1
+      val qn = s"qs_mergelaw_$trial"
+      val shuffled = new scala.util.Random(seed).shuffle(vs)
+        .map(v => StreamOps.QsIn(v % 3, v))
+      val chunkSize = math.max(1, (shuffled.size + nChunks - 1) / nChunks)
+      val input = MemoryStream[StreamOps.QsIn]
+      val query = StreamOps.dailyQuantileSketch(input.toDS())
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Update()).start()
+      val streamed =
+        try {
+          shuffled.grouped(chunkSize).foreach { c =>
+            input.addData(c); query.processAllAvailable()
+          }
+          // latest snapshot per cell: n_seen grows strictly within a day,
+          // so the freshest update of each (day, bucket) has the max
+          spark.table(qn)
+            .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("day_num", "bucket")
+                .orderBy(col("n_seen").desc)))
+            .filter(col("rk") === 1)
+            .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+        } finally {
+          query.stop()
+          spark.catalog.dropTempView(qn)
+        }
+      val batch = StreamOps.dailyQuantileSketch(
+          vs.map(v => StreamOps.QsIn(v % 3, v)).toDS())
+        .collect().map(c => ((c.day_num, c.bucket), c.cnt)).toMap
+      streamed == batch
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6).withWorkers(1), prop)
     assert(res.passed, res.status.toString)
   }
 }
