@@ -929,6 +929,105 @@ object SimilarityQueries {
         .limit(10)
     },
 
+    // ----- batched IVFPQ serving: one pruned codes scan, many queries ----
+    // The production serving shape (q_hybrid_rrf_batch's law applied to
+    // ANN): a BATCH of queries (every 25th vector — corpus-derived so the
+    // oracle replays it at any sf; production Q is workload-driven) rides
+    // ONE codes scan. Everything query-sided stays broadcast-size — the
+    // per-query probed lists (Q×nprobe rows) and ADC distance tables
+    // (Q×m×16 rows) — so adding queries widens broadcasts, never adds
+    // corpus passes. Per-query shortlists (R=20) and final top-10 ride
+    // the BOUNDED kminBy aggregate (≤ R (key,id) pairs per partial, the
+    // key IS the distance so the refine rank needs no re-join) — never a
+    // corpus-wide rank window; the only windows partition by query_id
+    // over nlists coarse rows. Serving cost: Q · n·nprobe/nlists · m code
+    // lookups, embarrassingly parallel in BOTH the query batch and the
+    // corpus.
+    QueryDef(
+      "q_ann_ivfpq_batch",
+      s"""WITH $pqCtes,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |cc AS (SELECT label, q.i, (SUM(q.v) * 100) // COUNT(*) AS c
+         |       FROM q JOIN lab USING (vec_id) GROUP BY 1, 2),
+         |qb AS (SELECT vec_id AS query_id, sub, i, v FROM q WHERE vec_id % 25 = 0),
+         |cdq AS (SELECT qb.query_id, cc.label,
+         |               SUM((qb.v*100 - cc.c) * (qb.v*100 - cc.c)) AS dist
+         |        FROM qb JOIN cc ON qb.i = cc.i GROUP BY 1, 2),
+         |prb AS (SELECT query_id, label FROM (
+         |          SELECT query_id, label,
+         |                 ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                    ORDER BY dist, label) AS rn
+         |          FROM cdq) WHERE rn <= 2),
+         |dtq AS (SELECT qb.query_id, c1.sub, c1.cluster,
+         |               SUM((qb.v*100 - c1.c) * (qb.v*100 - c1.c)) AS d
+         |        FROM qb JOIN c1 ON qb.sub = c1.sub AND qb.i = c1.i
+         |        GROUP BY 1, 2, 3),
+         |adcb AS (SELECT dtq.query_id, codes.vec_id, SUM(dtq.d) AS adc_dist
+         |         FROM codes
+         |         JOIN lab ON codes.vec_id = lab.vec_id
+         |         JOIN prb ON lab.label = prb.label
+         |         JOIN dtq ON prb.query_id = dtq.query_id
+         |                AND codes.sub = dtq.sub AND codes.cluster = dtq.cluster
+         |         GROUP BY 1, 2),
+         |shortb AS (SELECT query_id, vec_id FROM (
+         |             SELECT query_id, vec_id,
+         |                    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                       ORDER BY adc_dist, vec_id) AS rn
+         |             FROM adcb) WHERE rn <= 20),
+         |rerb AS (SELECT s.query_id, q.vec_id, SUM((q.v - qb.v) * (q.v - qb.v)) AS dist
+         |         FROM q JOIN shortb s ON q.vec_id = s.vec_id
+         |         JOIN qb ON qb.query_id = s.query_id AND q.i = qb.i
+         |         GROUP BY 1, 2)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id,
+         |       CAST(dist AS BIGINT) AS l2q_dist
+         |FROM (SELECT query_id, vec_id, dist,
+         |             ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                ORDER BY dist, vec_id) AS rk
+         |      FROM rerb)
+         |WHERE rk <= 10
+         |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val comp = quantizedComponents(e)
+      val lab = e.select(col("vec_id"), col("label"))
+      val cc = comp.join(lab, "vec_id")
+        .groupBy("label", "i")
+        .agg(expr("(SUM(v) * 100) DIV COUNT(1)").as("c"))
+      val qb = comp.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("sub"), col("i"),
+          col("v").as("qv"))
+      // coarse probe per query — the window is per query over nlists rows
+      val cdq = qb.join(broadcast(cc), Seq("i"))
+        .groupBy("query_id", "label")
+        .agg(sum((col("qv") * 100L - col("c")) * (col("qv") * 100L - col("c"))).as("dist"))
+      val prb = cdq.withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy("dist", "label")))
+        .filter(col("rn") <= 2).select("query_id", "label")
+      val (c1, codes) = pqTrain(comp)
+      val listed = codes.join(lab, "vec_id")
+      val dtq = qb.join(broadcast(c1), Seq("sub", "i"))
+        .groupBy("query_id", "sub", "cluster")
+        .agg(sum((col("qv") * 100L - col("c")) * (col("qv") * 100L - col("c"))).as("d"))
+      // ONE pass over the listed codes serves the whole query batch
+      val adc = listed.join(broadcast(prb), Seq("label"))
+        .join(broadcast(dtq), Seq("query_id", "sub", "cluster"))
+        .groupBy("query_id", "vec_id").agg(sum(col("d")).as("adc_dist"))
+      val short = adc.groupBy("query_id")
+        .agg(graft.functions.KMinAgg.kminBy(col("adc_dist"), col("vec_id"), 20).as("m"))
+        .select(col("query_id"), explode(col("m")).as("x"))
+        .select(col("query_id"), col("x.id").as("vec_id"))
+      val rq = qb.select(col("query_id"), col("i"), col("qv"))
+      val rer = comp.join(broadcast(short), Seq("vec_id"))
+        .join(broadcast(rq), Seq("query_id", "i"))
+        .groupBy("query_id", "vec_id")
+        .agg(sum((col("v") - col("qv")) * (col("v") - col("qv"))).as("l2q_dist"))
+      rer.groupBy("query_id")
+        .agg(graft.functions.KMinAgg.kminBy(col("l2q_dist"), col("vec_id"), 10).as("m"))
+        .select(col("query_id"), posexplode(col("m")).as(Seq("pos", "x")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+          col("x.id").as("vec_id"), col("x.h").as("l2q_dist"))
+        .orderBy("query_id", "rk")
+    },
+
     // ----- int8 scalar quantization (per-dimension min-max) -----
     // The storage face of vector search: embeddings compressed 4× by
     // mapping each dimension's [min, max] onto 0..255 — the standard

@@ -935,4 +935,21 @@ class PlanAuditSpec extends SparkSpec {
     // no sort-merge join anywhere on the serving path
     assert(!p.substring(adcAgg).contains("SortMergeJoin"), p.take(4000))
   }
+
+  test("batched IVFPQ: query sides broadcast, bounded kminBy shortlists, per-query windows only") {
+    val p = executedPlanOf("q_ann_ivfpq_batch")
+    // the codes scan is list-pruned by a label-keyed broadcast of the
+    // per-query probed lists — queries ride the scan, never re-scan it
+    assert("BroadcastHashJoin \\[label#\\d+".r.findFirstIn(p).isDefined,
+      p.take(4000))
+    // both the ADC shortlist and the refine top-10 ride the bounded
+    // kminBy aggregate (≤ R pairs per partial), partial+final — never a
+    // corpus-wide rank window (AQE prints stage subtrees twice: ≥, not ==)
+    assert("partial_kminby".r.findAllIn(p).size >= 2, p.take(4000))
+    // every window partitions per query (the coarse probe over nlists
+    // rows) — a batched serving plan has NO unpartitioned window
+    val partitioned = "windowspecdefinition\\(query_id#"
+    assert("windowspecdefinition\\(".r.findAllIn(p).size ==
+      partitioned.r.findAllIn(p).size, p.take(4000))
+  }
 }

@@ -462,4 +462,41 @@ class SimilaritySpec extends SparkSpec {
       s"IVFPQ recall $recallIvfpq < flat-PQ recall $recallPq on clustered data")
     assert(recallIvfpq >= 0.9, s"IVFPQ recall $recallIvfpq on clustered data")
   }
+
+  test("batched IVFPQ: per-query top-10s with exact refine distances, ranks consistent") {
+    val out = graft.SparkEntry.queries("q_ann_ivfpq_batch")(spark, sf())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nVecs = graft.analytics.Tables.embeddings(spark, sf()).count()
+    val queries = out.map(_._1).distinct.sorted
+    assert(queries.length == ((nVecs + 24) / 25).toInt,
+      s"expected every 25th vector as a query, got ${queries.length} of $nVecs")
+    // every refine distance is the EXACT quantized L2 to its query
+    val comp = quantized(sf())
+    val qcomp = comp.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("query_id"), $"i", $"v".as("qv"))
+    val exact = comp.join(qcomp, "i")
+      .groupBy("query_id", "vec_id")
+      .agg(sum(($"v" - $"qv") * ($"v" - $"qv")).as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out.foreach { case (q, _, id, dist) =>
+      assert(exact((q, id)) == dist,
+        s"query $q vec $id: batch dist $dist != exact ${exact((q, id))}")
+    }
+    // per query: contiguous ranks from 1, distances nondecreasing in rank
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"query $q ranks not contiguous: ${sorted.map(_._2).toSeq}")
+      val keys = sorted.map(r => (r._4, r._3)).toSeq
+      assert(keys.zip(keys.drop(1)).forall { case (a, b) =>
+        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+      }, s"query $q not ordered by (dist, vec)")
+      // a query surviving its own coarse prune must rank itself first
+      if (rows.exists(_._3 == q)) {
+        assert(sorted.head._3 == q && sorted.head._4 == 0L,
+          s"query $q present but not first at 0: ${sorted.head}")
+      }
+    }
+  }
 }
