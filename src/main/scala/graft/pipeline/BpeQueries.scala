@@ -911,5 +911,148 @@ object BpeQueries {
           col("cnt").as("n_tokens"), lit(0L).as("n_phrases"),
           lit(0L).as("tokens_per_doc_x1k"))
       perSource.unionByName(topPhrase).orderBy("grp")
+    },
+
+    // ----- deep OOV: phrase-encode UNSEEN documents by pass-batch replay --
+    // The composition BpeOovQueries' scaladoc promises for deep rule
+    // counts: instead of one [[applyMergeExpr]] fold per RULE (the
+    // char-level OOV face), serving replays one [[applyBatchExpr]] per
+    // PASS — the deep trainer's own exactness law (symbol-disjoint
+    // batches equal rule-serial application) makes the pass-batched
+    // replay the same function at 1/batch the projection depth.
+    //
+    // Train/serve split: the phrase vocabulary is trained ONLY on the
+    // single-digit sources (src0–src9, 250 docs) and persisted; the gate
+    // encodes the double-digit sources (src10–src19) the trainer NEVER
+    // saw. The output is the generalization ledger: per unseen source,
+    // raw vs encoded token counts (compress_x1k — how much the learned
+    // phrases compress text they were not trained on) and the
+    // corpus-weighted top-5 firing phrases.
+    //
+    // Exactness: the DuckDB oracle replays every pass independently from
+    // the STAGED rule table — per pass: join each adjacent pair against
+    // the pass's rules (disjoint symbols ⇒ at most one rule matches a
+    // position, and consecutive matches are only possible within one
+    // l = r run), group consecutive matches into runs, keep odd run
+    // ranks (the greedy ⌈run/2⌉ parity), emit merged symbols, drop
+    // consumed positions — so a wrong batch map, wrong pass order, or a
+    // broken fold breaks the hash.
+    //
+    // Scale shape (100 TB): rules collect driver-side once (R rows,
+    // tokenizer-spec-bounded); the replay is `passes` chained MAP-ONLY
+    // projections over the unseen docs — no shuffle until the final
+    // per-source aggregate; training amortizes through the vocab store.
+    QueryDef(
+      "q_bpe_encode_deep_oov",
+      s"""WITH rules AS (SELECT pass, lsym, rsym FROM ${graft.OracleStage.pq("bpe_deep_oov_rules")}),
+         |dd AS (SELECT CAST(doc_id AS VARCHAR) AS word, source,
+         |              ${graft.functions.TextFunctions.toksSql} AS toks
+         |       FROM documents WHERE len(source) = 5),
+         |w AS (SELECT word, source, toks FROM dd
+         |      WHERE len(toks) >= 2
+         |        AND len(list_filter(toks, t -> NOT regexp_matches(t, '^[a-z]+$$'))) = 0),
+         |s0 AS (SELECT word, toks AS syms FROM w),
+         |${(0 until DeepPasses).map(deepOovStepSql).mkString(",\n")},
+         |j AS (SELECT w.source, w.word, len(w.toks) AS n_raw, sN.syms
+         |      FROM s$DeepPasses sN JOIN w USING (word)),
+         |per_source AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_raw) AS BIGINT) AS n_raw,
+         |         CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(len(list_filter(syms, s -> contains(s, ' ')))) AS BIGINT) AS n_phrases
+         |  FROM j GROUP BY 1),
+         |top_tok AS (
+         |  SELECT s AS phrase, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(syms) AS s FROM j)
+         |  WHERE contains(s, ' ') GROUP BY 1
+         |  ORDER BY cnt DESC, phrase LIMIT 5)
+         |SELECT source AS grp, n_docs, n_raw, n_tokens, n_phrases,
+         |       (n_tokens * 1000) // n_raw AS compress_x1k
+         |FROM per_source
+         |UNION ALL
+         |SELECT 'top:' || phrase AS grp, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |       cnt, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |FROM top_tok
+         |ORDER BY grp""".stripMargin) { (spark, d) =>
+      val docs = Tables.documents(spark, d)
+      val rulesDf = graft.OracleStage.stage("bpe_deep_oov_rules",
+        BpeVocabStore.artifact(spark, d, s"deepoov_p${DeepPasses}_b$DeepBatch")(
+          trainDeepTrace(
+            deepPhraseState(docs.filter(length(col("source")) === 4)),
+            DeepPasses, DeepBatch, stage = false, sep = " ")
+            .select(col("pass"), col("lsym"), col("rsym"))))
+      // bounded driver collect: R rows, R = learned rule count
+      val batches = rulesDf.collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.map(_._2).toSeq)
+      val unseen = docs.filter(length(col("source")) === 5)
+      val st0 = deepPhraseState(unseen)
+        .withColumn("n_raw", size(col("syms")).cast("long"))
+      // checkpoint EAGERLY before fanning out: the 18-deep alias chain of
+      // array exprs analyzes fine as one linear pipeline, but feeding it
+      // UN-truncated into two consumers (per-source agg + phrase explode)
+      // lets optimizer inlining duplicate the per-fold syms references —
+      // each fold references syms ~6x, so the tree goes exponential and
+      // analysis OOMs the driver (measured; the depth-18 chain alone
+      // collects in 0.1 s). The encoded corpus is the natural serving
+      // materialization point anyway — it is read twice below.
+      val encoded = batches.foldLeft(st0) { (df, b) =>
+        df.select(col("word"), col("freq"), col("n_raw"),
+          applyBatchExpr(b, " ").as("syms"))
+      }.stableCheckpoint()
+      val j = encoded.join(
+        unseen.select(col("doc_id").cast("string").as("word"), col("source")),
+        "word")
+      val perSource = j.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_raw").as("n_raw"),
+          sum(size(col("syms"))).cast("long").as("n_tokens"),
+          sum(size(filter(col("syms"), s => s.contains(" "))))
+            .cast("long").as("n_phrases"))
+        .select(col("source").as("grp"), col("n_docs"), col("n_raw"),
+          col("n_tokens"), col("n_phrases"),
+          expr("n_tokens * 1000 DIV n_raw").as("compress_x1k"))
+      val top = j.select(explode(col("syms")).as("s"))
+        .filter(col("s").contains(" "))
+        .groupBy("s").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("s")).limit(5)
+        .select(concat(lit("top:"), col("s")).as("grp"), lit(0L).as("n_docs"),
+          lit(0L).as("n_raw"), col("cnt").as("n_tokens"),
+          lit(0L).as("n_phrases"), lit(0L).as("compress_x1k"))
+      perSource.unionByName(top).orderBy("grp")
     })
+
+  /** One deep-OOV pass, DuckDB side — [[applyBatchExpr]]'s law over the
+    * staged rules of pass `k`: each adjacent (sym, next) pair joins the
+    * pass's rule batch (symbol-DISJOINT, so at most one rule matches a
+    * position and consecutive matches only arise within an l = r run),
+    * consecutive matches group into runs, the odd run ranks merge (greedy
+    * ⌈run/2⌉ parity), consumed positions drop, the sequence reassembles
+    * in position order. Mirrors BpeOovQueries.oovStepSql generalized from
+    * one scalar rule to a per-pass rule TABLE with ' '-joined outputs.
+    */
+  private def deepOovStepSql(k: Int): String =
+    s"""rl$k AS (SELECT lsym AS l, rsym AS r, lsym || ' ' || rsym AS m
+       |         FROM rules WHERE pass = $k),
+       |e$k AS (SELECT word, unnest(syms) AS sym,
+       |               unnest(generate_series(1, len(syms))) AS pos FROM s$k),
+       |x$k AS (SELECT e.word, e.pos, e.sym, rl.m AS mg
+       |        FROM (SELECT word, pos, sym,
+       |                     LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |              FROM e$k) e
+       |        LEFT JOIN rl$k rl ON e.sym = rl.l AND e.nxt = rl.r),
+       |g$k AS (SELECT *, (mg IS NOT NULL) AS mtch,
+       |               pos - ROW_NUMBER() OVER (PARTITION BY word, (mg IS NOT NULL)
+       |                                        ORDER BY pos) AS grp
+       |        FROM x$k),
+       |k$k AS (SELECT *, mtch AND (ROW_NUMBER() OVER (PARTITION BY word, mtch, grp
+       |                                               ORDER BY pos) % 2 = 1) AS kept
+       |        FROM g$k),
+       |s${k + 1} AS (
+       |  SELECT word, list(CASE WHEN kept THEN mg ELSE sym END ORDER BY pos) AS syms
+       |  FROM (SELECT *, COALESCE(LAG(kept) OVER (PARTITION BY word ORDER BY pos), FALSE) AS pk
+       |        FROM k$k)
+       |  WHERE kept OR NOT pk
+       |  GROUP BY word)""".stripMargin
 }

@@ -159,6 +159,55 @@ class BpeDeepSpec extends SparkSpec {
     top.foreach(r => assert(r.getString(0).contains(" ") && r.getLong(2) > 0))
   }
 
+  test("deep OOV serving law: pass-batch replay of traced rules == trained final state") {
+    // the q_bpe_encode_deep_oov contract: applying each pass's traced
+    // rule batch with applyBatchExpr (the serving fold) to the TRAINING
+    // state-0 must land exactly on the trainer's own final state — the
+    // replay and the trainer are the same function, so unseen docs get
+    // the same treatment seen docs got
+    val d = sf("sf0.001")
+    val trainDocs = graft.analytics.Tables.documents(spark, d)
+      .filter(length(col("source")) === 4)
+    def st0 = BpeQueries.deepPhraseState(trainDocs)
+    val trace = BpeQueries.trainDeepTrace(st0, passes = 4, batch = 8,
+      stage = false, sep = " ").collect()
+    val batches = trace.map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
+      .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2).toSeq)
+    assert(batches.size == 4 && batches.map(_.size).sum == trace.length)
+    val replayed = batches.foldLeft(st0.select(col("word"), col("syms"))) {
+      (df, b) => df.select(col("word"), BpeQueries.applyBatchExpr(b, " ").as("syms"))
+    }.collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    val trained = BpeQueries.trainDeepFinalState(st0, passes = 4, batch = 8,
+        stage = false, sep = " ")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2).toSeq).toMap
+    assert(replayed == trained,
+      s"replay diverged on ${replayed.keySet.filter(k => replayed(k) != trained(k)).take(3)}")
+  }
+
+  test("q_bpe_encode_deep_oov: unseen sources compressed by phrases trained on seen ones") {
+    val rows = graft.SparkEntry.queries("q_bpe_encode_deep_oov")(spark, sf("sf0.001"))
+      .collect()
+    val src = rows.filter(!_.getString(0).startsWith("top:"))
+    val top = rows.filter(_.getString(0).startsWith("top:"))
+    // exactly the 10 UNSEEN sources (src10..src19) and 5 top phrases
+    assert(src.length == 10 && src.forall(_.getString(0).matches("src1\\d")),
+      rows.map(_.getString(0)).mkString(","))
+    assert(top.length == 5)
+    src.foreach { r =>
+      val (docs, raw, toks, phrases) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(docs > 0 && raw >= toks, s"${r.getString(0)}: encoding grew the text")
+      // every phrase symbol of k words removes k-1 tokens (k >= 2), so
+      // the token delta must cover at least one removal per phrase
+      assert(raw - toks >= phrases,
+        s"${r.getString(0)}: $phrases phrases but only ${raw - toks} tokens removed")
+    }
+    // the learned phrases actually FIRE on text the trainer never saw
+    assert(src.map(_.getLong(4)).sum > 0, "no phrase generalized to unseen sources")
+    assert(src.exists(_.getLong(5) < 1000L), "no source was compressed at all")
+    top.foreach(r => assert(r.getString(0).contains(" ") && r.getLong(3) > 0))
+  }
+
   test("batch fold: disjoint merges, l==r runs, bounds at the last position") {
     import spark.implicits._
     val df = Seq(
