@@ -997,9 +997,17 @@ object BpeQueries {
       // analysis OOMs the driver (measured; the depth-18 chain alone
       // collects in 0.1 s). The encoded corpus is the natural serving
       // materialization point anyway — it is read twice below.
-      val encoded = batches.foldLeft(st0) { (df, b) =>
-        df.select(col("word"), col("freq"), col("n_raw"),
+      // ... and checkpoint every 6 passes inside the chain too: each
+      // .select eagerly re-analyzes the whole accumulated plan, so an
+      // unbroken k-deep chain pays O(k²) analyzer visits of these large
+      // array exprs — measured 5.5 s of single-threaded driver time per
+      // serving run at k=18 (execution itself is ~0.1 s/pass). Interval
+      // truncation makes plan work linear in k; the materialized frame
+      // is one row per doc either way.
+      val encoded = batches.zipWithIndex.foldLeft(st0) { case (df, (b, i)) =>
+        val next = df.select(col("word"), col("freq"), col("n_raw"),
           applyBatchExpr(b, " ").as("syms"))
+        if ((i + 1) % 6 == 0) next.stableCheckpoint() else next
       }.stableCheckpoint()
       val j = encoded.join(
         unseen.select(col("doc_id").cast("string").as("word"), col("source")),
