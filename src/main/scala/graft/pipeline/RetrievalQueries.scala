@@ -37,6 +37,9 @@ object RetrievalQueries {
   private val BatchQ = 100 // batched face: queries 1..BatchQ (doc/vec ids)
   private val QueryTerms = 3 // lexical terms per batched query
   private val Top = 10 // fused results returned per query
+  private val MmrN = 24 // MMR relevance shortlist depth feeding the greedy
+  private val MmrK = 8 // MMR diversified results returned per query
+  private val MmrEvery = 50 // MMR query batch: every MmrEvery-th vec_id
 
   /** Batched-face query terms: each query doc's top-[[QueryTerms]] tokens
     * (tf DESC, token). Aggregates only the PRE-FILTERED query docs — the
@@ -315,5 +318,155 @@ object RetrievalQueries {
         .filter(col("rn") <= Top)
         .select("query_id", "doc_id", "r_lex", "r_dense", "rrf_x1m")
         .orderBy(col("query_id"), col("rrf_x1m").desc, col("doc_id"))
+    },
+
+    // ----- MMR: diversified top-k (Carbonell & Goldstein 1998) -----
+    // Post-retrieval diversification — the standard RAG re-rank that stops
+    // k near-duplicate passages from filling the context window: greedily
+    // select argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), λ = 0.7, k = 8,
+    // over a 24-deep relevance shortlist per query (batch: every 50th
+    // vec_id, own vector excluded).
+    //
+    // Scale shape: corpus-sized work is exactly TWO broadcast-side scans —
+    // the relevance pass (query batch broadcast, bounded kminBy(24)
+    // shortlist, no corpus window) and one row-fetch of shortlist vectors
+    // (broadcast semi-join). The greedy refinement then runs on
+    // Q×24-bounded frames: pairwise sims are Q×24×23 rows, and each of the
+    // 7 selection rounds is a join+argmax over ≤ Q×24 rows, eagerly
+    // checkpointed so the union plan stays linear in k (the PageRank
+    // round-lineage lesson). At 100 TB only the two scans grow.
+    //
+    // Cross-engine exactness: relevance and pairwise cosines enter the
+    // greedy as ×10⁹ fixed-point BIGINTs (the q_hybrid_rrf_batch law), so
+    // every MMR score is the integer 7·rel − 3·maxsim (= ×10¹⁰ fixed
+    // point) and every argmax, tie (score DESC, vec_id), and step is
+    // bit-identical in DuckDB's unrolled 8-step replay below.
+    QueryDef(
+      "q_retrieval_mmr",
+      s"""WITH qv AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |            WHERE vec_id % $MmrEvery = 0),
+         |rel0 AS MATERIALIZED (SELECT query_id, e.vec_id,
+         |                CAST(ROUND((${SimilarityQueries.cosSql("e.embedding", "qv")})
+         |                           * 1000000000) AS BIGINT) AS rel
+         |         FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
+         |c AS MATERIALIZED (SELECT query_id, vec_id, rel FROM (
+         |        SELECT query_id, vec_id, rel,
+         |               ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                  ORDER BY rel DESC, vec_id) AS rn
+         |        FROM rel0) WHERE rn <= $MmrN),
+         |p AS MATERIALIZED (SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+         |             CAST(ROUND((${SimilarityQueries.cosSql("ea.embedding", "eb.embedding")})
+         |                        * 1000000000) AS BIGINT) AS sim
+         |      FROM c a JOIN c b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+         |           JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |           JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         |s1 AS MATERIALIZED (SELECT query_id, vec_id, 7 * rel AS mmr_x1e10, 1 AS step FROM (
+         |         SELECT query_id, vec_id, rel,
+         |                ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                   ORDER BY rel DESC, vec_id) AS rn
+         |         FROM c) WHERE rn = 1),
+         |sel1 AS MATERIALIZED (SELECT query_id, vec_id FROM s1),
+         |$mmrStepCtes
+         |SELECT query_id, CAST(step AS BIGINT) AS step, vec_id, mmr_x1e10
+         |FROM (${(1 to MmrK).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")})
+         |ORDER BY query_id, step""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      // relevance pass: ONE corpus scan, queries broadcast, bounded top-N
+      val shortlist = mmrShortlist(e).stableCheckpoint()
+      // one row-fetch of shortlist vectors (broadcast semi-join on the
+      // corpus), then the Q×24×23 pairwise sim frame — both bounded
+      val sims = mmrSims(e, shortlist).stableCheckpoint()
+
+      val step1 = shortlist
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("rel").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"),
+          (lit(7L) * col("rel")).as("mmr_x1e10"), lit(1L).as("step"))
+      // greedy rounds 2..k over the bounded frames; eager checkpoint per
+      // round keeps the growing union's plan linear in k
+      var sel = step1.stableCheckpoint()
+      for (i <- 2 to MmrK) {
+        val ms = sims.join(sel.select(col("query_id"), col("vec_id").as("vb")),
+            Seq("query_id", "vb"))
+          .groupBy(col("query_id"), col("va").as("vec_id"))
+          .agg(max(col("sim")).as("ms"))
+        val next = shortlist
+          .join(sel.select("query_id", "vec_id"), Seq("query_id", "vec_id"), "left_anti")
+          .join(ms, Seq("query_id", "vec_id"))
+          .select(col("query_id"), col("vec_id"),
+            (lit(7L) * col("rel") - lit(3L) * col("ms")).as("mmr_x1e10"))
+          .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("mmr_x1e10").desc, col("vec_id"))))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("vec_id"), col("mmr_x1e10"),
+            lit(i.toLong).as("step"))
+        sel = sel.union(next).stableCheckpoint()
+      }
+      sel.select("query_id", "step", "vec_id", "mmr_x1e10")
+        .orderBy("query_id", "step")
     })
+
+  /** MMR relevance shortlist: ×10⁹ fixed-point cosine of every corpus row
+    * against the broadcast query batch, bounded kminBy top-[[MmrN]] per
+    * query — the ONE corpus-sized scan of the operator (PlanAuditSpec
+    * audits exactly this frame).
+    */
+  private[graft] def mmrShortlist(e: org.apache.spark.sql.DataFrame,
+      queryPred: org.apache.spark.sql.Column = col("vec_id") % MmrEvery === 0)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.KMinAgg
+    val qv = broadcast(e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("nq")))
+    e.withColumn("na", norm(col("embedding")))
+      .crossJoin(qv).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qv")) / (col("na") * col("nq"))
+          * 1000000000L, 0).cast("long").as("rel"))
+      .groupBy("query_id")
+      .agg(KMinAgg.kminBy(-col("rel"), col("vec_id"), MmrN).as("mins"))
+      .select(col("query_id"), explode(col("mins")).as("x"))
+      .select(col("query_id"), col("x.id").as("vec_id"), (-col("x.h")).as("rel"))
+  }
+
+  /** Pairwise ×10⁹ fixed-point sims between shortlist members of the same
+    * query: one broadcast row-fetch of member vectors off the corpus, then
+    * a Q×[[MmrN]]²-bounded self-join.
+    */
+  private[graft] def mmrSims(e: org.apache.spark.sql.DataFrame,
+      shortlist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val vecs = e.join(broadcast(shortlist.select("query_id", "vec_id")), "vec_id")
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("na"))
+    vecs.select(col("query_id"), col("vec_id").as("va"),
+        col("embedding").as("ea"), col("na").as("naa"))
+      .join(broadcast(vecs.select(col("query_id"), col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("na").as("nab"))), Seq("query_id"))
+      .filter(col("va") =!= col("vb"))
+      .select(col("query_id"), col("va"), col("vb"),
+        round(dot(col("ea"), col("eb")) / (col("naa") * col("nab"))
+          * 1000000000L, 0).cast("long").as("sim"))
+  }
+
+  /** Unrolled DuckDB CTEs for MMR greedy rounds 2..[[MmrK]]: each round
+    * computes max-sim-to-selected for the remaining shortlist members and
+    * takes the (score DESC, vec_id) argmax — the exact fold the Spark loop
+    * runs, in the same ×10⁹/×10¹⁰ integer fixed point.
+    */
+  private def mmrStepCtes: String = (2 to MmrK).map { i =>
+    s"""m$i AS MATERIALIZED (SELECT p.query_id, p.va AS vec_id, MAX(p.sim) AS ms
+       |        FROM p JOIN sel${i - 1} s ON p.query_id = s.query_id AND p.vb = s.vec_id
+       |        GROUP BY 1, 2),
+       |s$i AS MATERIALIZED (SELECT query_id, vec_id, mmr_x1e10, $i AS step FROM (
+       |          SELECT c.query_id, c.vec_id, 7 * c.rel - 3 * m.ms AS mmr_x1e10,
+       |                 ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |                                    ORDER BY 7 * c.rel - 3 * m.ms DESC, c.vec_id) AS rn
+       |          FROM c JOIN m$i m ON c.query_id = m.query_id AND c.vec_id = m.vec_id
+       |          WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+       |                            WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id))
+       |        WHERE rn = 1),
+       |sel$i AS MATERIALIZED (SELECT query_id, vec_id FROM sel${i - 1}
+       |          UNION ALL SELECT query_id, vec_id FROM s$i)""".stripMargin
+  }.mkString(",\n")
 }

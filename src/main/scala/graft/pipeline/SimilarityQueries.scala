@@ -1068,6 +1068,333 @@ object SimilarityQueries {
           sum(col("code")).cast("long").as("sum_codes"),
           countDistinct(col("code")).as("n_codes"))
         .orderBy("dim")
+    },
+
+    // ----- 1-bit binary quantization + Hamming shortlist + exact rerank --
+    // The 32× compression point of the vector-search storage ladder
+    // (int8 = 4×, PQ = 64×): each dimension collapses to its sign against
+    // the per-dimension midrange (mn+mx)/2, packed 32 bits per BIGINT word
+    // (two words for the 64-dim corpus — never 1<<63, whose sign bit would
+    // invite cross-engine overflow drift). Serving is the standard
+    // two-stage shape (e.g. FAISS binary index + refine): Hamming distance
+    // = popcount(xor) over the packed words prunes the corpus to a
+    // `depth`-deep shortlist per query, then exact float cosine reranks
+    // the survivors.
+    //
+    // Recall honesty: one bit per dimension is a COARSE filter — with only
+    // 64 dims there are 64 code bits, which mostly identify the cluster,
+    // not the within-cluster ordering, so recall@10 at a FIXED depth
+    // decays as the corpus grows (measured on the gaussian-cluster
+    // corpus: depth 50 → 0.64 mean at n=500, 0.42 at n=2000; depth 200 →
+    // 0.95 / 0.75; depth 400 → 1.00 / 0.88 — BinaryHammingSpec gates the
+    // monotone depth law). Production sizing is depth = oversample × k
+    // with oversample chosen from this curve (or ≥4 bits/dim codes for
+    // high-dim embeddings); the gate pins depth 50 = 5×k for a bounded,
+    // DuckDB-replayable fixture.
+    //
+    // Cross-engine exactness: min/max are order-independent, the midrange
+    // threshold and strict `>` compare identical doubles, the packed words
+    // and Hamming counts are integers, and the rerank reuses the rounded
+    // cosSql law. Scale: the code table is 2 BIGINTs/vector (3 % of the
+    // float payload); the query batch broadcasts; the Hamming pass is ONE
+    // map-side scan of the codes with a bounded kminBy(depth) shortlist —
+    // no per-query corpus shuffle, ties broken (ham, vec_id) identically
+    // to the oracle's window; rerank touches depth rows per query.
+    QueryDef(
+      "q_ann_binary_hamming",
+      s"""WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS xv,
+         |                  CAST(unnest(range(1, len(embedding)+1)) AS INT) AS dim
+         |           FROM embeddings),
+         |st AS (SELECT dim, (MIN(xv) + MAX(xv)) / 2 AS thr FROM x GROUP BY dim),
+         |b AS (SELECT vec_id,
+         |        CAST(SUM(CASE WHEN dim <= 32 AND xv > thr
+         |                      THEN (CAST(1 AS BIGINT) << (dim - 1)) ELSE 0 END) AS BIGINT) AS w0,
+         |        CAST(SUM(CASE WHEN dim > 32 AND xv > thr
+         |                      THEN (CAST(1 AS BIGINT) << (dim - 33)) ELSE 0 END) AS BIGINT) AS w1
+         |      FROM x JOIN st USING (dim) GROUP BY vec_id),
+         |q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM b WHERE vec_id % 25 = 0),
+         |h AS (SELECT query_id, vec_id,
+         |             CAST(bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)) AS BIGINT) AS ham
+         |      FROM b, q WHERE vec_id <> query_id),
+         |sl AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ham, vec_id) AS rn
+         |         FROM h) WHERE rn <= 50),
+         |qe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 25 = 0),
+         |r AS (SELECT sl.query_id, sl.vec_id,
+         |             ROUND(${cosSql("e.embedding", "qv")}, 9) AS cosine
+         |      FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id
+         |              JOIN qe ON qe.query_id = sl.query_id)
+         |SELECT query_id, rk, vec_id, cosine FROM (
+         |  SELECT query_id, vec_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM r) WHERE rk <= 10
+         |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      binaryHammingTopK(Tables.embeddings(s, d), depth = 50)
+    },
+
+    // ----- Matryoshka / truncated-prefix ANN + full-dim rerank -----------
+    // The LATENCY rung of the ladder (binary = storage, PQ = both): MRL
+    // (Kusupati et al. 2022) trains embeddings whose PREFIX is itself a
+    // valid embedding, so search runs on the first 16 of 64 dims (4× less
+    // arithmetic and bandwidth per candidate) and only the shortlist pays
+    // full-dim cosine. Serving shape is identical to the binary face: one
+    // corpus pass scoring prefix cosine against the broadcast query batch
+    // in ×10⁹ fixed point, bounded kminBy(60) shortlist with (−cos, id)
+    // ties, exact full-dim rerank of 60 rows per query. Cross-engine:
+    // slice(embedding, 1, 16) == embedding[1:16] (1-based, 16 elements),
+    // fixed-point prefix scores are BIGINTs, the rerank reuses the
+    // rounded cosSql law. Scale: at 100 TB the prefix scan moves 25 % of
+    // the vector bytes (or reads a separate 16-dim column — column
+    // pruning makes truncation free in parquet); MatryoshkaSpec gates the
+    // recall-vs-prefix-length monotone law.
+    QueryDef(
+      "q_ann_matryoshka",
+      s"""WITH qe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |            WHERE vec_id % 25 = 0),
+         |h AS (SELECT query_id, e.vec_id,
+         |             CAST(ROUND((${cosSql("(e.embedding[1:16])", "(qv[1:16])")})
+         |                        * 1000000000) AS BIGINT) AS pcos
+         |      FROM embeddings e CROSS JOIN qe WHERE e.vec_id <> query_id),
+         |sl AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |                ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                   ORDER BY pcos DESC, vec_id) AS rn
+         |         FROM h) WHERE rn <= 60),
+         |r AS (SELECT sl.query_id, sl.vec_id,
+         |             ROUND(${cosSql("e.embedding", "qv")}, 9) AS cosine
+         |      FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id
+         |              JOIN qe ON qe.query_id = sl.query_id)
+         |SELECT query_id, rk, vec_id, cosine FROM (
+         |  SELECT query_id, vec_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM r) WHERE rk <= 10
+         |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      matryoshkaTopK(Tables.embeddings(s, d), prefix = 16, depth = 60)
+    },
+
+    // ----- PCA-rotated 16-dim prefix ANN + exact rerank (OPQ stage 1) ----
+    // What helps the raw-prefix face on embeddings that are NOT
+    // matryoshka-trained: rotate into the eigenbasis first, THEN truncate —
+    // the leading principal directions concentrate the between-cluster
+    // variance a raw prefix spreads across all 64 dims (exactly OPQ's
+    // rotation idea, with PCA as the rotation). Measured on this corpus at
+    // the same depth-60 shortlist: recall@10 0.55 → 0.675 at 16 dims,
+    // 0.805 → 0.945 at 32, and 1.0 at the full rotated 64 (so the residual
+    // 16-dim miss is pure truncation: the clusters here are ISOTROPIC
+    // gaussians, whose within-cluster neighbor ordering genuinely lives in
+    // all 64 dims — no rotation can compress it; anisotropic real
+    // embeddings compress better). MatryoshkaSpec gates the lift.
+    //
+    // Integer exactness: inputs quantized q = FLOOR(v·1024+0.5) (the
+    // q_pca_project law), rotation rows quantized ×2⁸ and STAGED via
+    // OracleStage (the eigen step is driver-side Jacobi — not
+    // DuckDB-expressible, same contract as q_pca_project); rotated
+    // coordinate r_c = ⟨p_c, q⟩ is a BIGINT, the shortlist criterion is
+    // UNcentered 16-dim squared L2 (centering shifts every vector equally
+    // and cancels in differences — dropping it keeps magnitudes ≤ 2⁵⁸,
+    // overflow-safe) with (dist, vec_id) ties, and the rerank is the
+    // rounded full-dim cosSql. Scale: covariance = d(d+1)/2 bounded
+    // aggregate (the PCA contract), rotation broadcast, ONE map pass to
+    // 16 coords per vector, bounded kminBy shortlist, 60-row rerank.
+    QueryDef(
+      "q_ann_pca_prefix",
+      s"""WITH q AS (SELECT vec_id, i,
+         |                  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS qv
+         |           FROM embeddings, generate_series(1, 64) AS t(i)),
+         |p AS (SELECT component, dim, p_q FROM ${graft.OracleStage.pq("pca_prefix_proj")}),
+         |r AS (SELECT q.vec_id, p.component, CAST(SUM(qv * p_q) AS BIGINT) AS rc
+         |      FROM q JOIN p ON p.dim = q.i GROUP BY 1, 2),
+         |qr AS (SELECT vec_id AS query_id, component, rc AS qc FROM r
+         |       WHERE vec_id % 25 = 0),
+         |h AS (SELECT r.vec_id, qr.query_id,
+         |             CAST(SUM((rc - qc) * (rc - qc)) AS BIGINT) AS dist16
+         |      FROM r JOIN qr USING (component) WHERE r.vec_id <> qr.query_id
+         |      GROUP BY 1, 2),
+         |sl AS (SELECT query_id, vec_id FROM (
+         |         SELECT query_id, vec_id,
+         |                ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                   ORDER BY dist16, vec_id) AS rn
+         |         FROM h) WHERE rn <= 60),
+         |qe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |       WHERE vec_id % 25 = 0),
+         |re AS (SELECT sl.query_id, sl.vec_id,
+         |              ROUND(${cosSql("e.embedding", "qv")}, 9) AS cosine
+         |       FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id
+         |               JOIN qe ON qe.query_id = sl.query_id)
+         |SELECT query_id, rk, vec_id, cosine FROM (
+         |  SELECT query_id, vec_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM re) WHERE rk <= 10
+         |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      pcaPrefixTopK(s, Tables.embeddings(s, d), components = 16, depth = 60)
     }
   )
+
+  /** PCA-rotated `components`-dim prefix search + exact rerank with the
+    * knobs exposed (MatryoshkaSpec compares it against the raw prefix at
+    * equal depth). The rotation is computed from the corpus each run —
+    * covariance assembly is the bounded-aggregate PCA contract.
+    */
+  private[graft] def pcaPrefixTopK(spark: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame, components: Int, depth: Int,
+      queryPred: org.apache.spark.sql.Column = col("vec_id") % 25 === 0)
+      : org.apache.spark.sql.DataFrame = {
+    val dim = 64
+    val pScale = 256L // 8-bit rotation rows: |r_c| ≤ 2²⁶, dist16 ≤ 2⁵⁸
+    val q = e.select(col("vec_id"), expr(
+      "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1024 + 0.5D) AS BIGINT))")
+      .as("q"))
+    // bounded corpus aggregates: Gramian upper triangle + sums + count
+    val gram = q.select(explode(expr(
+        s"""flatten(transform(sequence(0, ${dim - 1}), i ->
+           |  transform(sequence(i, ${dim - 1}), j ->
+           |    struct(i AS i, j AS j, element_at(q, i+1) * element_at(q, j+1) AS p))))"""
+          .stripMargin)).as("c"))
+      .groupBy(col("c.i"), col("c.j")).agg(sum(col("c.p")).as("g"))
+      .collect()
+    val sums = q.select(posexplode(col("q")).as(Seq("i", "qv")))
+      .groupBy("i").agg(sum("qv").as("s")).collect()
+    val n = e.count()
+    val g = Array.ofDim[Double](dim, dim)
+    gram.foreach { r =>
+      val (i, j, x) = (r.getInt(0), r.getInt(1), r.getLong(2).toDouble)
+      g(i)(j) = x; g(j)(i) = x
+    }
+    val sArr = Array.ofDim[Long](dim)
+    sums.foreach(r => sArr(r.getInt(0)) = r.getLong(1))
+    val nd = n.toDouble
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      g(i)(j) / nd - (sArr(i) / nd) * (sArr(j) / nd))
+    val (_, vecs) = PcaQueries.jacobiEigen(cov)
+    val pQ = (0 until components).flatMap { c =>
+      (0 until dim).map(i =>
+        (c, i + 1, math.floor(vecs(c)(i) * pScale + 0.5).toLong))
+    }
+    import spark.implicits._
+    val p = graft.OracleStage.stage("pca_prefix_proj",
+      pQ.toDF("component", "dim", "p_q"))
+    // ONE map pass: 16 rotated BIGINT coords per vector
+    val r = q.select(col("vec_id"), posexplode(col("q")).as(Seq("i0", "qv")))
+      .withColumn("dim", col("i0") + 1)
+      .join(broadcast(p), "dim")
+      .groupBy("vec_id", "component").agg(sum(expr("qv * p_q")).as("rc"))
+    val qr = broadcast(r.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("component"), col("rc").as("qc")))
+    val short = r.join(qr, Seq("component"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum((col("rc") - col("qc")) * (col("rc") - col("qc"))).as("dist16"))
+      .groupBy("query_id")
+      .agg(graft.functions.KMinAgg.kminBy(col("dist16"), col("vec_id"), depth).as("m"))
+      .select(col("query_id"), explode(col("m")).as("x"))
+      .select(col("query_id"), col("x.id").as("vec_id"))
+    val qe = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("nq"))
+    e.join(broadcast(short), "vec_id")
+      .join(broadcast(qe), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qv")) / (norm(col("embedding")) * col("nq")), 9)
+          .as("cosine"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Truncated-prefix search + full-dim rerank with the prefix length and
+    * shortlist depth exposed — MatryoshkaSpec sweeps both to gate the
+    * recall laws (longer prefix → better shortlist at fixed depth).
+    */
+  private[graft] def matryoshkaTopK(e: org.apache.spark.sql.DataFrame,
+      prefix: Int, depth: Int,
+      queryPred: org.apache.spark.sql.Column = col("vec_id") % 25 === 0)
+      : org.apache.spark.sql.DataFrame = {
+    val qe = broadcast(e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(slice(col("embedding"), 1, prefix)).as("pnq"),
+        norm(col("embedding")).as("nq")))
+    val short = e
+      .select(col("vec_id"), slice(col("embedding"), 1, prefix).as("pe"),
+        norm(slice(col("embedding"), 1, prefix)).as("pna"))
+      .crossJoin(qe).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("pe"), slice(col("qv"), 1, prefix)) / (col("pna") * col("pnq"))
+          * 1000000000L, 0).cast("long").as("pcos"))
+      .groupBy("query_id")
+      .agg(graft.functions.KMinAgg.kminBy(-col("pcos"), col("vec_id"), depth).as("m"))
+      .select(col("query_id"), explode(col("m")).as("x"))
+      .select(col("query_id"), col("x.id").as("vec_id"))
+    e.join(broadcast(short), "vec_id")
+      .join(broadcast(qe.select(col("query_id"), col("qv"), col("nq"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qv")) / (norm(col("embedding")) * col("nq")), 9)
+          .as("cosine"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Packed 1-bit codes of the corpus: (vec_id, w0, w1) with bit d−1 of
+    * the appropriate word set iff component d exceeds the per-dimension
+    * midrange (mn+mx)/2 — 32 bits per BIGINT word, sign bit never used.
+    */
+  private[pipeline] def binaryCodes(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val x = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("dim"),
+        col("vf").cast("double").as("xv"))
+    val st = x.groupBy("dim")
+      .agg(((min(col("xv")) + max(col("xv"))) / 2).as("thr"))
+    x.join(broadcast(st), "dim")
+      .groupBy("vec_id")
+      .agg(
+        sum(when(col("dim") <= 32 && col("xv") > col("thr"),
+          expr("shiftleft(CAST(1 AS BIGINT), dim - 1)")).otherwise(lit(0L))).as("w0"),
+        sum(when(col("dim") > 32 && col("xv") > col("thr"),
+          expr("shiftleft(CAST(1 AS BIGINT), dim - 33)")).otherwise(lit(0L))).as("w1"))
+  }
+
+  /** Binary pre-filter + exact rerank at shortlist depth `depth`: the
+    * q_ann_binary_hamming pipeline with the oversampling knob exposed —
+    * BinaryHammingSpec sweeps it to gate the recall-vs-depth law, and
+    * AnnLadderProbe pins `queryPred` to a FIXED batch so the ×10 corpus
+    * axis scales the scan without also scaling the query side.
+    */
+  private[graft] def binaryHammingTopK(e: org.apache.spark.sql.DataFrame,
+      depth: Int,
+      queryPred: org.apache.spark.sql.Column = col("vec_id") % 25 === 0)
+      : org.apache.spark.sql.DataFrame = {
+    val b = binaryCodes(e)
+    val q = b.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("w0").as("q0"), col("w1").as("q1"))
+    val short = b.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (expr("bit_count(w0 ^ q0)") + expr("bit_count(w1 ^ q1)")).cast("long").as("ham"))
+      .groupBy("query_id")
+      .agg(graft.functions.KMinAgg.kminBy(col("ham"), col("vec_id"), depth).as("m"))
+      .select(col("query_id"), explode(col("m")).as("x"))
+      .select(col("query_id"), col("x.id").as("vec_id"))
+    val qe = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("nq"))
+    e.join(broadcast(short), "vec_id")
+      .join(broadcast(qe), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qv")) / (norm(col("embedding")) * col("nq")), 9)
+          .as("cosine"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("cosine"))
+      .orderBy("query_id", "rk")
+  }
 }

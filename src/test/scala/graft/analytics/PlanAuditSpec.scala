@@ -952,4 +952,52 @@ class PlanAuditSpec extends SparkSpec {
     assert("windowspecdefinition\\(".r.findAllIn(p).size ==
       partitioned.r.findAllIn(p).size, p.take(4000))
   }
+
+  test("binary Hamming ANN: one broadcast codes pass, bounded shortlist, no shuffle joins") {
+    val p = executedPlanOf("q_ann_binary_hamming")
+    // the Hamming pass rides the codes scan with the query codes
+    // broadcast (non-equi self-pair → nested-loop against a ≤Q-row side)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    // per-query shortlist is the bounded kminBy aggregate, partial+final
+    assert("partial_kminby".r.findAllIn(p).size >= 1, p.take(4000))
+    // rerank windows partition per query; nothing sorts the corpus
+    val partitioned = "windowspecdefinition\\(query_id#"
+    assert("windowspecdefinition\\(".r.findAllIn(p).size ==
+      partitioned.r.findAllIn(p).size, p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
+
+  test("matryoshka ANN: prefix scan broadcast-joined, bounded shortlist, no shuffle joins") {
+    val p = executedPlanOf("q_ann_matryoshka")
+    // prefix scoring rides the corpus scan with the query batch broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert("partial_kminby".r.findAllIn(p).size >= 1, p.take(4000))
+    val partitioned = "windowspecdefinition\\(query_id#"
+    assert("windowspecdefinition\\(".r.findAllIn(p).size ==
+      partitioned.r.findAllIn(p).size, p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
+
+  test("MMR: corpus-sized work is the kminBy shortlist scan and one broadcast row-fetch") {
+    val e = graft.analytics.Tables.embeddings(spark, sf())
+    // relevance pass: query batch broadcast into ONE parquet scan, the
+    // per-query shortlist bounded by kminBy — never a corpus rank window
+    val short = graft.pipeline.RetrievalQueries.mmrShortlist(e)
+    short.collect()
+    val sp = short.queryExecution.executedPlan.toString
+    assert(sp.contains("BroadcastNestedLoopJoin"), sp.take(4000))
+    assert("partial_kminby".r.findAllIn(sp).size >= 1, sp.take(4000))
+    assert(!"windowspecdefinition\\(".r.findFirstIn(sp).isDefined, sp.take(4000))
+    assert(!sp.contains("SortMergeJoin"), sp.take(4000))
+    // pairwise sims: member vectors fetched off the corpus via a
+    // BROADCAST of the bounded shortlist — the corpus never shuffles
+    val sims = graft.pipeline.RetrievalQueries.mmrSims(e, short.localCheckpoint())
+    sims.collect()
+    // assert on the FINAL plan only — AQE's toString appends the initial
+    // (pre-reoptimization) plan, which is not what executed
+    val pp = sims.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(pp.contains("BroadcastHashJoin"), pp.take(4000))
+    assert(!pp.contains("SortMergeJoin"), pp.take(4000))
+  }
 }
