@@ -28,6 +28,8 @@ object SparkEntry {
       pipeline.PcaQueries.defs ++
       pipeline.BpeQueries.defs ++
       pipeline.BpeOovQueries.defs ++
+      pipeline.WordPieceQueries.defs ++
+      pipeline.UnigramQueries.defs ++
       pipeline.ChunkingQueries.defs ++
       pipeline.QualityGateQueries.defs ++
       pipeline.EvalQueries.defs ++
