@@ -32,6 +32,7 @@ object SparkEntry {
       pipeline.UnigramQueries.defs ++
       pipeline.ChunkingQueries.defs ++
       pipeline.QualityGateQueries.defs ++
+      pipeline.SelectionQueries.defs ++
       pipeline.EvalQueries.defs ++
       operators.RangeJoin.defs ++
       plans.RollupRewrite.defs ++

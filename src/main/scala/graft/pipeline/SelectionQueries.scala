@@ -1,0 +1,264 @@
+package graft.pipeline
+
+import graft.QueryDef
+import graft.analytics.Tables
+import graft.functions.TextFunctions.{tokens, toksSql}
+import graft.operators.Checkpoints.StableOps
+import graft.operators.PrefixRank
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data SELECTION for pretraining — which documents (and how many tokens
+  * of them) make the training mix. Three first-class faces:
+  *
+  *  - `q_dsir_weights` — DSIR importance weights (Xie et al. 2023, "Data
+  *    Selection for Language Models via Importance Resampling"): hashed
+  *    n-gram bag-of-words models of a TARGET domain vs the RAW pool;
+  *    a document's weight is Σ over its gram instances of
+  *    log p_target(bucket) − log p_raw(bucket).
+  *  - `q_select_budget` — greedy token-budget fill: order the pool by
+  *    weight, take documents while the running token total fits the
+  *    budget (the "training mix holds N tokens" contract).
+  *  - `q_prune_prototypes` — SSL-prototype pruning (Sorscher et al. 2022,
+  *    "Beyond neural scaling laws"): k-means over the embeddings, drop
+  *    the most PROTOTYPICAL half of every cluster (smallest distance to
+  *    centroid), keep the hard examples.
+  *
+  * Reference scope: `/root/reference` ships no selection pipeline —
+  * engine-own-claim territory extending SURVEY.md §2's pipeline block.
+  *
+  * Exactness across engines:
+  *  - gram → bucket is `pmod(xxhash64(gram), 4096)` — not DuckDB-
+  *    expressible, so the oracle consumes a STAGED (gram, lam) table
+  *    ([[graft.OracleStage]]) and re-verifies everything downstream of
+  *    the hash (gram extraction, the join, the integer weight sums, the
+  *    ranking, the budget cut);
+  *  - λ values are INTEGERS round(10⁶·(ln p_t − ln p_q)) computed ONCE
+  *    driver-side from one bounded bucket-count aggregate (2×4096 cells)
+  *    — ln never runs in either engine's SQL (the q_unigram_encode
+  *    staged-cost discipline), so weights are BIGINT-exact;
+  *  - the k-means face reuses the integer-exact Lloyd rounds of
+  *    q_kmeans_assign ([[SimilarityQueries.kmeansAssignments]]) — its
+  *    distances are already BIGINT.
+  *
+  * Scale shape (100 TB):
+  *  - feature hashing is STATELESS — no vocabulary table in the served
+  *    plan (the staged gram table exists only for the oracle); the
+  *    corpus streams once per job through tokenize → window-lead bigrams
+  *    → stack, inheriting ONE doc_id exchange;
+  *  - λ is trained once and persisted ([[BpeQueries.BpeVocabStore]]'s
+  *    keyed artifact store — train-once-serve-forever), and is 4096 rows
+  *    — always broadcast;
+  *  - per-doc weights are one map-side-combinable aggregate keyed by
+  *    doc_id; the top-k is TakeOrderedAndProject;
+  *  - the budget cut and the per-cluster rank use [[PrefixRank]] — the
+  *    two-level range-partitioned prefix sum — NOT a single-partition
+  *    global window (`SUM OVER (ORDER BY …)` funnels the corpus through
+  *    one task; the only unpartitioned window left is over the
+  *    per-partition subtotal frame, bounded by the partition count).
+  */
+object SelectionQueries {
+
+  /** Feature-hash buckets (2¹² — the DSIR paper's 10⁴ order). */
+  private val B = 4096
+
+  /** The target domain: src0, the same held-out source the tokenizer
+    * serving gates train on (train-on-A discipline).
+    */
+  private val Target = "src0"
+
+  private def shufflePartitions(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+  /** Hashed unigram+bigram feature instances: (doc_id, source, gram, isu,
+    * bucket), one row per gram OCCURRENCE. One tokenize pass; bigrams via
+    * window `lead` (the repetitionUnits shape — array-HOF grams would
+    * re-evaluate the tokenizer per element); both feature orders fan out
+    * of one `stack`. `isu` marks unigrams, so Σisu per doc = token count
+    * for free.
+    */
+  private[graft] def feats(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"), col("source"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead("tok", 1).over(w))
+      .select(col("doc_id"), col("source"), expr(
+        """stack(2,
+          |  tok, 1L,
+          |  CASE WHEN nxt IS NOT NULL THEN concat_ws(' ', tok, nxt) END, 0L
+          |) AS (gram, isu)""".stripMargin))
+      .filter(col("gram").isNotNull)
+      .withColumn("bucket", pmod(xxhash64(col("gram")), lit(B)))
+  }
+
+  /** λ from raw per-bucket counts: round(10⁶·(ln p̂_t − ln p̂_q)) with
+    * add-1 smoothing over the B buckets. Pure driver math, replayed
+    * bit-for-bit by SelectionSpec.
+    */
+  private[graft] def lambdaOf(ct: Long, cq: Long, totT: Long, totQ: Long): Long =
+    math.round(1e6 * (math.log((ct + 1.0) / (totT + B).toDouble)
+      - math.log((cq + 1.0) / (totQ + B).toDouble)))
+
+  /** The trained (bucket, lam) table — ONE bounded aggregate (≤ B cells,
+    * two counters each) collected driver-side, λ computed in Scala,
+    * persisted via the keyed artifact store so serving never retrains.
+    * Always exactly B rows (buckets with zero counts get the smoothed λ),
+    * so the serving join below drops nothing.
+    */
+  private[graft] def lambdaTable(spark: SparkSession, d: String): DataFrame =
+    BpeQueries.BpeVocabStore.artifact(spark, d, s"dsir_t${Target}_b$B") {
+      lambdaTableOf(spark, feats(Tables.documents(spark, d)))
+    }
+
+  /** Test seam: λ over an explicit feature frame. */
+  private[graft] def lambdaTableOf(spark: SparkSession, f: DataFrame): DataFrame = {
+    import spark.implicits._
+    val counts = f
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("source") === Target, 1L).otherwise(0L)).as("ct"),
+        sum(when(col("source") =!= Target, 1L).otherwise(0L)).as("cq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totT = counts.map(_._2).sum
+    val totQ = counts.map(_._3).sum
+    val byBucket = counts.map(c => c._1 -> (c._2, c._3)).toMap
+    (0L until B.toLong).map { b =>
+      val (ct, cq) = byBucket.getOrElse(b, (0L, 0L))
+      (b, lambdaOf(ct, cq, totT, totQ))
+    }.toDF("bucket", "lam")
+  }
+
+  /** Per-POOL-document DSIR statistics: (doc_id, source, n_feats, n_tok,
+    * weight). One corpus pass → broadcast λ join → one doc_id-keyed
+    * aggregate. Documents with zero tokens produce no feature rows and
+    * are absent — identical semantics in the oracle's unnest.
+    */
+  private[graft] def docWeightsOf(pool: DataFrame, lam: DataFrame): DataFrame =
+    feats(pool)
+      .join(broadcast(lam), "bucket")
+      .groupBy("doc_id", "source")
+      .agg(
+        count(lit(1)).as("n_feats"),
+        sum(col("isu")).as("n_tok"),
+        sum(col("lam")).as("weight"))
+
+  private[graft] def docWeights(spark: SparkSession, d: String): DataFrame = {
+    val lam = lambdaTable(spark, d)
+    // oracle-only bridge across the non-SQL hash: the DISTINCT (gram, lam)
+    // map, materialized by OracleStage in Verify mode so DuckDB can replay
+    // gram → λ without xxhash64. NEVER part of the served plan (in bench
+    // mode `stage` is identity and the frame is simply unused).
+    graft.OracleStage.stage("dsir_gram_lambda",
+      feats(Tables.documents(spark, d)).select("gram", "bucket").distinct()
+        .join(broadcast(lam), "bucket").select("gram", "lam"))
+    docWeightsOf(
+      Tables.documents(spark, d).filter(col("source") =!= Target), lam)
+  }
+
+  /** Shared DuckDB CTE chain: staged (gram, lam) → gram instances over the
+    * pool → per-doc weights `dw(doc_id, source, n_feats, n_tok, weight)`.
+    * Gram extraction mirrors [[feats]]; the join is INNER on both sides
+    * (every corpus gram is in the staged map; every bucket has a λ).
+    */
+  private def dsirCtes: String =
+    s"""glam AS (SELECT gram, lam FROM ${graft.OracleStage.pq("dsir_gram_lambda")}),
+       |t AS (SELECT doc_id, source, $toksSql AS toks FROM documents
+       |      WHERE source <> '$Target'),
+       |f AS (SELECT doc_id, source, unnest(toks) AS gram, 1 AS isu FROM t
+       |      UNION ALL
+       |      SELECT doc_id, source, array_to_string(toks[i:i+1], ' ') AS gram,
+       |             0 AS isu
+       |      FROM (SELECT doc_id, source, toks,
+       |                   unnest(generate_series(1, len(toks)-1)) AS i
+       |            FROM t WHERE len(toks) >= 2)),
+       |dw AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       |              CAST(SUM(isu) AS BIGINT) AS n_tok,
+       |              CAST(SUM(lam) AS BIGINT) AS weight
+       |       FROM f JOIN glam USING (gram) GROUP BY 1, 2)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- DSIR importance weights: target-likeness of every pool doc ---
+    QueryDef(
+      "q_dsir_weights",
+      s"""WITH $dsirCtes
+         |SELECT doc_id, source, n_feats, n_tok, weight
+         |FROM dw ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin) {
+      (s, d) =>
+        docWeights(s, d)
+          .orderBy(col("weight").desc, col("doc_id"))
+          .limit(100)
+          .select("doc_id", "source", "n_feats", "n_tok", "weight")
+    },
+
+    // ----- Greedy token-budget fill over the weight order --------------
+    // budget = ¼ of the pool's tokens; a document is selected iff the
+    // INCLUSIVE running token total at its (weight DESC, doc_id) position
+    // fits — the deterministic prefix rule (selection stops at the first
+    // overflow; later smaller docs do NOT leapfrog in). The running total
+    // is PrefixRank's two-level prefix sum, not a global window.
+    QueryDef(
+      "q_select_budget",
+      s"""WITH $dsirCtes,
+         |b AS (SELECT CAST(SUM(n_tok) AS BIGINT) // 4 AS budget FROM dw),
+         |c AS (SELECT *, CAST(SUM(n_tok) OVER (ORDER BY weight DESC, doc_id
+         |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM dw)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(weight) AS BIGINT) AS sum_weight
+         |FROM c WHERE cum <= (SELECT budget FROM b)
+         |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val dw = docWeights(s, d)
+      val budget = dw.agg(expr("SUM(n_tok) DIV 4").as("budget"))
+      PrefixRank.withRunningTotal(dw,
+          Seq(col("weight").desc, col("doc_id")), col("n_tok"), "cum",
+          shufflePartitions(s))
+        .crossJoin(broadcast(budget))
+        .filter(col("cum") <= col("budget"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          sum("weight").as("sum_weight"))
+        .orderBy("source")
+    },
+
+    // ----- SSL-prototype pruning: keep every cluster's hard half --------
+    // Per-cluster prototypicality rank (dist to centroid ASC, vec_id
+    // tiebreak) via PrefixRank's group-major range partitioning — the
+    // k=8 per-cluster windows would each funnel n/8 rows through one task
+    // at scale. Drops the ⌊n_c/2⌋ most prototypical of each cluster; the
+    // output pins the exact cut per cluster (counts + kept-distance
+    // envelope + kept-distance sum).
+    QueryDef(
+      "q_prune_prototypes",
+      s"""WITH ${SimilarityQueries.kmeansCtes},
+         |n AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_total
+         |      FROM a2 GROUP BY 1),
+         |r AS (SELECT a2.*, ROW_NUMBER() OVER (PARTITION BY cluster
+         |                   ORDER BY dist, vec_id) AS rk FROM a2),
+         |kept AS (SELECT r.cluster, r.dist, n.n_total
+         |         FROM r JOIN n USING (cluster) WHERE r.rk > n.n_total // 2)
+         |SELECT cluster, MAX(n_total) AS n_total,
+         |       CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |       MIN(dist) AS min_kept_dist, MAX(dist) AS max_kept_dist,
+         |       CAST(SUM(dist) AS BIGINT) AS sum_kept_dist
+         |FROM kept GROUP BY cluster ORDER BY cluster""".stripMargin) {
+      (s, d) =>
+        // the Lloyd rounds run once for both consumers (rank + counts)
+        val asg = SimilarityQueries.kmeansAssignments(Tables.embeddings(s, d), k = 8)
+          .stableCheckpoint()
+        val cn = asg.groupBy("cluster").agg(count(lit(1)).as("n_total"))
+        PrefixRank.withGroupRank(asg, Seq("cluster"),
+            Seq(col("dist"), col("vec_id")), "rk", shufflePartitions(s))
+          .join(broadcast(cn), "cluster")
+          .filter(col("rk") > expr("n_total DIV 2"))
+          .groupBy("cluster")
+          .agg(max("n_total").as("n_total"), count(lit(1)).as("n_kept"),
+            min("dist").as("min_kept_dist"), max("dist").as("max_kept_dist"),
+            sum("dist").as("sum_kept_dist"))
+          .orderBy("cluster")
+    })
+}

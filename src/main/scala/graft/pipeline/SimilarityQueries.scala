@@ -246,7 +246,7 @@ object SimilarityQueries {
     * `a2(vec_id, cluster, dist)`. SUM over BIGINT is HUGEINT in DuckDB, so
     * the final dist casts back to BIGINT for schema parity.
     */
-  private val kmeansCtes =
+  private[pipeline] val kmeansCtes =
     """comp AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
       |                embedding FROM embeddings),
       |q AS (SELECT vec_id, i,

@@ -1,0 +1,174 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Laws of the data-selection family (q_dsir_weights, q_select_budget,
+  * q_prune_prototypes): the DSIR weights equal an independent Scala
+  * replay (tokenize → grams → bucket → λ sum), λ itself equals an
+  * independent count+log recompute, the budget cut equals the naive
+  * prefix rule, the prototype cut equals the naive per-cluster rank, and
+  * a planted distribution shift ranks target-like docs first.
+  */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = sf("sf0.001")
+
+  /** The gate's tokenizer, replayed in plain Scala. */
+  private def toks(text: String): Seq[String] =
+    text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+
+  private def grams(text: String): Seq[String] = {
+    val t = toks(text)
+    t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+  }
+
+  /** gram → bucket via the hash DEFINITION evaluated on a literal frame —
+    * independent of the feats pipeline's window/stack plumbing.
+    */
+  private def bucketsOf(gs: Seq[String]): Map[String, Long] =
+    gs.distinct.toDF("gram")
+      .select(col("gram"), pmod(xxhash64(col("gram")), lit(4096)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private lazy val docs: Seq[(Long, String, String)] =
+    spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  private lazy val lam: Map[Long, Long] =
+    SelectionQueries.lambdaTable(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("lambda table equals an independent Scala count + log replay") {
+    val allGrams = docs.flatMap { case (_, src, text) =>
+      grams(text).map(g => (src, g))
+    }
+    val bk = bucketsOf(allGrams.map(_._2))
+    val ct = new Array[Long](4096)
+    val cq = new Array[Long](4096)
+    allGrams.foreach { case (src, g) =>
+      val b = bk(g).toInt
+      if (src == "src0") ct(b) += 1 else cq(b) += 1
+    }
+    val totT = ct.sum; val totQ = cq.sum
+    assert(lam.size == 4096)
+    (0 until 4096).foreach { b =>
+      val expected = math.round(1e6 * (math.log((ct(b) + 1.0) / (totT + 4096.0))
+        - math.log((cq(b) + 1.0) / (totQ + 4096.0))))
+      assert(lam(b.toLong) == expected, s"bucket $b")
+    }
+  }
+
+  test("doc weights equal the independent gram replay on sampled docs") {
+    val dw = SelectionQueries.docWeights(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val pool = docs.filter(_._2 != "src0")
+    assert(dw.size == pool.count(d3 => toks(d3._3).nonEmpty))
+    pool.take(10).foreach { case (id, _, text) =>
+      val gs = grams(text)
+      val bk = bucketsOf(gs)
+      val expectedW = gs.map(g => lam(bk(g))).sum
+      val (nFeats, nTok, w) = dw(id)
+      assert(nFeats == gs.size, s"doc $id n_feats")
+      assert(nTok == toks(text).size, s"doc $id n_tok")
+      assert(w == expectedW, s"doc $id weight")
+    }
+  }
+
+  test("planted distribution shift: target-like pool docs outrank foreign ones") {
+    val synth = Seq(
+      (0L, "src0", "alpha beta alpha beta alpha beta gamma"),
+      (1L, "src0", "alpha beta gamma alpha beta"),
+      (10L, "poolA", "alpha beta alpha beta gamma alpha"),
+      (11L, "poolB", "zeta eta theta iota kappa lambda"))
+      .toDF("doc_id", "source", "text")
+    val lamS = SelectionQueries.lambdaTableOf(spark, SelectionQueries.feats(synth))
+    val w = SelectionQueries.docWeightsOf(synth.filter(col("source") =!= "src0"), lamS)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(w(10L) > w(11L),
+      s"target-like doc must outweigh the foreign-vocabulary doc: $w")
+  }
+
+  test("q_select_budget equals the naive prefix rule") {
+    val dw = SelectionQueries.docWeights(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    val budget = dw.map(_._3).sum / 4
+    val ordered = dw.sortBy { case (id, _, _, w) => (-w, id) }
+    var cum = 0L
+    val selected = ordered.takeWhile { case (_, _, nt, _) =>
+      cum += nt; cum <= budget
+    }
+    val expected = selected.groupBy(_._2).map { case (src, rows) =>
+      (src, rows.size.toLong, rows.map(_._3).sum, rows.map(_._4).sum)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntryQuery("q_select_budget")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    assert(selected.nonEmpty && selected.size < dw.length,
+      "budget cut must be non-trivial at gate scale")
+  }
+
+  test("q_dsir_weights top-100 equals the naive ranking") {
+    val dw = SelectionQueries.docWeights(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    val expected = dw.sortBy { case (id, w) => (-w, id) }.take(100).map(_._1).toSeq
+    val got = SparkEntryQuery("q_dsir_weights").collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+  }
+
+  test("q_prune_prototypes equals the naive per-cluster rank cut") {
+    val asg = SimilarityQueries.kmeansAssignments(
+        spark.read.parquet(s"$d/embeddings.parquet"), k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byCluster = asg.groupBy(_._2)
+    val expected = byCluster.map { case (c, rows) =>
+      val ordered = rows.sortBy { case (id, _, dist) => (dist, id) }
+      val kept = ordered.drop(rows.length / 2)
+      (c, rows.length.toLong, kept.length.toLong,
+        kept.map(_._3).min, kept.map(_._3).max, kept.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntryQuery("q_prune_prototypes").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // the cut keeps the HARD half: every dropped dist ≤ every kept dist
+    byCluster.foreach { case (c, rows) =>
+      val ordered = rows.sortBy { case (id, _, dist) => (dist, id) }
+      val (dropped, kept) = ordered.splitAt(rows.length / 2)
+      if (dropped.nonEmpty && kept.nonEmpty)
+        assert(dropped.map(_._3).max <= kept.map(_._3).min, s"cluster $c")
+    }
+  }
+
+  test("plan audit: served DSIR plan broadcasts λ and never shuffles grams by vocab") {
+    val plan = SparkEntryQuery("q_dsir_weights").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"λ join must be broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 must be TakeOrderedAndProject, not sort+limit:\n$plan")
+  }
+
+  test("plan audit: q_select_budget has no corpus-sized global window") {
+    // AQE wraps the tree in query stages that hide WindowExec from
+    // collect; the audit inspects the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try SparkEntryQuery("q_select_budget").queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val global = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(global.size == 1, s"expected exactly one global window:\n$plan")
+    assert(global.head.child.toString.contains("_prefix_pid"),
+      s"the global window must sort the subtotal frame only:\n${global.head.child}")
+  }
+
+  private def SparkEntryQuery(name: String) =
+    graft.SparkEntry.queries(name)(spark, d)
+}
