@@ -33,6 +33,8 @@ object SparkEntry {
       pipeline.ChunkingQueries.defs ++
       pipeline.QualityGateQueries.defs ++
       pipeline.SelectionQueries.defs ++
+      pipeline.PerceptronQueries.defs ++
+      pipeline.LinearProbeQueries.defs ++
       pipeline.EvalQueries.defs ++
       operators.RangeJoin.defs ++
       plans.RollupRewrite.defs ++
