@@ -35,6 +35,7 @@ object SparkEntry {
       pipeline.SelectionQueries.defs ++
       pipeline.PerceptronQueries.defs ++
       pipeline.LinearProbeQueries.defs ++
+      pipeline.IncrementalIvfQueries.defs ++
       pipeline.EvalQueries.defs ++
       operators.RangeJoin.defs ++
       plans.RollupRewrite.defs ++

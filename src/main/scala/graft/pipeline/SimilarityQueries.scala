@@ -216,26 +216,43 @@ object SimilarityQueries {
     * shared input of the primary assignment ([[kmeansAssignments]], its
     * argmin) and the IVF multi-probe assignment (its top-nprobe ranks).
     */
-  private[pipeline] def kmeansDistances(e: org.apache.spark.sql.DataFrame,
-      k: Int): org.apache.spark.sql.DataFrame = {
-    val q = e
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "vf")))
+  /** The shared ×10⁴(+10⁴ shift) quantized component frame (vec_id, i, v). */
+  private[pipeline] def quantComponents(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "vf")))
       .select(col("vec_id"), col("i"),
         (round(col("vf").cast("double") * 10000, 0).cast("long") + 10000L).as("v"))
+
+  /** Integer squared-L2 of every vector in `q` to every centroid — the
+    * assignment distance table (cent is k×64, always broadcast).
+    */
+  private[pipeline] def distToCentroids(q: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val diff = col("v") * 100L - col("c")
+    q.join(broadcast(cent), "i")
+      .groupBy("vec_id", "cluster")
+      .agg(sum(diff * diff).as("dist"))
+  }
+
+  /** The round-2 Lloyd centroids (cluster, i, c at ×100 scale) trained on
+    * `q` alone — exposed so an INCREMENTAL index can assign new vectors
+    * against centroids trained on an older snapshot (q_ann_ivf_incremental).
+    */
+  private[pipeline] def lloydCentroids(q: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
     val c0 = q.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cluster"), col("i"),
         (col("v") * 100L).as("c"))
-    def distTo(cent: org.apache.spark.sql.DataFrame) = {
-      val diff = col("v") * 100L - col("c")
-      q.join(broadcast(cent), "i")
-        .groupBy("vec_id", "cluster")
-        .agg(sum(diff * diff).as("dist"))
-    }
-    val a1 = kmeansArgmin(distTo(c0))
-    val c1 = q.join(a1.select("vec_id", "cluster"), "vec_id")
+    val a1 = kmeansArgmin(distToCentroids(q, c0))
+    q.join(a1.select("vec_id", "cluster"), "vec_id")
       .groupBy("cluster", "i")
       .agg(expr("(SUM(v) * 100) DIV COUNT(1)").as("c"))
-    distTo(c1)
+  }
+
+  private[pipeline] def kmeansDistances(e: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val q = quantComponents(e)
+    distToCentroids(q, lloydCentroids(q, k))
   }
 
   private[pipeline] def kmeansAssignments(e: org.apache.spark.sql.DataFrame,
