@@ -36,6 +36,7 @@ object SparkEntry {
       pipeline.PerceptronQueries.defs ++
       pipeline.LinearProbeQueries.defs ++
       pipeline.IncrementalIvfQueries.defs ++
+      pipeline.PropagateQueries.defs ++
       pipeline.EvalQueries.defs ++
       operators.RangeJoin.defs ++
       plans.RollupRewrite.defs ++
