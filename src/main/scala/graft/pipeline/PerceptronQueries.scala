@@ -106,6 +106,8 @@ object PerceptronQueries {
         .agg(sum(col("y") * col("xv")).as("g"), count(lit(1)).as("cnt"))
         .collect()
         .map(row => row.getInt(0) -> ((row.getLong(1), row.getLong(2)))).toMap
+      // every misclassified vec contributes one row per feature index, so
+      // cnt is IDENTICAL on all 65 cells — any entry carries n_mis
       val nMis = upd.headOption.map(_._2._2).getOrElse(0L)
       upd.foreach { case (i, (g, _)) => w(i) += g }
       trace += ((r.toLong, nMis, w.map(math.abs).sum,

@@ -70,6 +70,22 @@ class PrefixRankSpec extends SparkSpec {
     assert(rk.count() == 3)
   }
 
+  test("the range exchange is shuffled once and REUSED by the subtotal branch") {
+    // the subtotal aggregate and the final cumsum both read the ranged
+    // frame; the physical plan must shuffle it once (ReusedExchange), not
+    // re-range the input per consumer
+    val df = (0 until 500).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "v")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try PrefixRank.withRunningTotal(df, Seq(col("id")), col("v"), "cum", 4)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val ranges = "rangepartitioning\\(".r.findAllIn(plan).size
+    val reused = "ReusedExchange".r.findAllIn(plan).size
+    assert(ranges - reused == 1,
+      s"expected ONE physical range shuffle ($ranges exchanges, $reused reused):\n$plan")
+  }
+
   test("the only unpartitioned window in the plan is the subtotal frame") {
     // corpus-sized frames must never hit a global WindowExec: the plan's
     // unpartitioned window sorts the per-partition subtotal aggregate
