@@ -169,6 +169,33 @@ class SelectionSpec extends SparkSpec {
       s"the global window must sort the subtotal frame only:\n${global.head.child}")
   }
 
+  test("plan audit: q_prune_prototypes never windows on cluster alone") {
+    // the k=8 per-cluster rank must ride PrefixRank's group-major range
+    // partitioning — a window partitioned ONLY by cluster would funnel
+    // n/8 rows through one task at scale
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try SparkEntryQuery("q_prune_prototypes").queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val parts = w.partitionSpec.map(_.toString)
+      val clusterOnly = parts.nonEmpty && parts.forall(_.contains("cluster")) &&
+        !parts.exists(_.contains("_prefix_pid"))
+      // the one legitimate cluster-partitioned window is the per-group
+      // offset prefix over the SUBTOTAL frame (child aggregates by
+      // _prefix_pid) — bounded by partitions × groups, not the corpus
+      if (clusterOnly)
+        assert(w.child.toString.contains("_prefix_pid"),
+          s"corpus-sized cluster-only window:\n${w.child.toString.take(1500)}")
+    }
+    // and the per-(partition, cluster) subtotal path is present
+    assert(plan.toString.contains("_prefix_pid"), plan.toString.take(2000))
+  }
+
   private def SparkEntryQuery(name: String) =
     graft.SparkEntry.queries(name)(spark, d)
 }
