@@ -91,6 +91,13 @@ object PropagateQueries {
       .agg(graft.functions.KMinAgg.kminBy(-col("cos_x1e9"), col("dst"), K).as("mins"))
       .select(col("src"), explode(col("mins")).as("m"))
       .select(col("src"), col("m.id").as("dst"))
+      // the union references the directed kNN twice; checkpoint so the
+      // all-pairs pass runs ONCE, not once per union branch. The gate's
+      // remaining cost (~6 s of 7.8 at sf0.1) is the kminBy aggregate
+      // consuming the 4M-pair brute-force frame — the oracle-replayable
+      // face's price; an ANN candidate generator replaces exactly this
+      // frame at scale
+      .stableCheckpoint()
     kn.unionByName(kn.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
