@@ -20,7 +20,7 @@ import org.apache.spark.sql.SparkSession
   *     weight, so the range partitioner sees one giant weight value and
   *     must split on the doc_id tiebreak alone): the budget cut must
   *     equal the naive single-window prefix rule row for row;
-  *  3. prototype pruning with ONE CLUSTER holding ~99% of vectors
+  *  3. prototype pruning with ONE CLUSTER holding ~93% of vectors
   *     (group-major range partitioning's worst group skew): the
   *     per-cluster cut law n_kept = n_c − ⌊n_c/2⌋ must hold on every
   *     cluster and the kept set must equal the unguarded per-cluster
@@ -89,8 +89,8 @@ object SkewProbeR15 {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val tieDiff = cut.count { case (id, c) => naive.get(id) != Some(c) }
 
-    // ---- 3. prototype rank with one cluster holding ~99% ----
-    // synthetic assignments: 99% of vec_ids in cluster 0, rest spread
+    // ---- 3. prototype rank with one cluster holding ~93% ----
+    // synthetic assignments: 93% of vec_ids in cluster 0, rest spread
     import spark.implicits._
     val nVec = 20000
     val asg = spark.range(nVec.toLong).select(

@@ -23,12 +23,25 @@ import org.apache.spark.sql.functions._
   *   4. within-partition running aggregate + broadcast offset = the exact
   *      global value.
   *
-  * Determinism under stage retry: range boundaries are sampled ONCE at
-  * planning and row→partition assignment is by key comparison against
-  * those fixed boundaries (content-determined, unlike round-robin
-  * repartition's SPARK-23207 hazard), so a shuffle-fetch retry reassigns
-  * nothing. The boundaries themselves do not affect the OUTPUT — offsets
-  * reconstruct the same global prefix wherever the cuts land.
+  * Determinism: RangePartitioner samples the key distribution once PER
+  * PHYSICAL EXCHANGE (at execution, not planning), and the subtotal
+  * branch and the output branch both key on the partition id — so both
+  * MUST observe ONE set of cuts. Exchange reuse (ReusedExchange) is an
+  * optimizer courtesy, not a contract, and it audibly breaks on served
+  * plans: column pruning pushes branch-specific projections below the
+  * two exchange copies, the canonicalized subtrees stop matching, and
+  * each branch gets its own independently-sampled cuts — correct only
+  * while upstream shuffle-read order happens to repeat. The ranged
+  * frame is therefore CHECKPOINTED (eager, [[Checkpoints]] flavor)
+  * right after the Pid projection: the partition id becomes literal
+  * data read by both branches, consistent by construction under any
+  * optimizer behavior, stage retry, or shuffle-read reorder. The
+  * checkpoint doubles as the usual multi-consumer materialization (the
+  * frame is consumed twice), and the served-plan audits
+  * (PrefixRankSpec, SelectionSpec) pin that no re-ranging exchange
+  * survives in consumer plans. Boundaries themselves do not affect the
+  * OUTPUT — offsets reconstruct the same global prefix wherever the
+  * cuts land.
   *
   * Both entry points require `orderCols` to be a total order (include a
   * unique tiebreak column — every caller here appends an id); equal keys
@@ -39,8 +52,9 @@ object PrefixRank {
   private val Pid = "_prefix_pid"
 
   private def ranged(df: DataFrame, orderCols: Seq[Column], partitions: Int) =
-    df.repartitionByRange(partitions, orderCols: _*)
-      .withColumn(Pid, spark_partition_id())
+    Checkpoints.stable(
+      df.repartitionByRange(partitions, orderCols: _*)
+        .withColumn(Pid, spark_partition_id()))
 
   /** `cumCol` = inclusive running total of `valueCol` over the total order
     * `orderCols` (ascending interpretation is the caller's: pass `.desc`

@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   * rules alone cannot reach them.
   *
   * Pipeline pieces composed here:
-  *  - SEEDS: the Gopher max-token-fraction rule (one token > 11% of a
-  *    document) — evaluated in INTEGERS (100·max > 11·n), no float;
+  *  - SEEDS: documents failing BOTH Gopher repetition cuts — the
+  *    max-token-fraction rule (one token > 11% of the document) AND the
+  *    max-bigram-fraction rule (one bigram > 6%) — evaluated in
+  *    INTEGERS (100·max > thr·n), no float;
   *  - GRAPH: undirected k=3 cosine kNN over the embeddings (doc_id ↔
   *    vec_id; documents without a vector can seed but not propagate —
   *    inner-join semantics, identical in the oracle). The gate builds

@@ -70,20 +70,22 @@ class PrefixRankSpec extends SparkSpec {
     assert(rk.count() == 3)
   }
 
-  test("the range exchange is shuffled once and REUSED by the subtotal branch") {
-    // the subtotal aggregate and the final cumsum both read the ranged
-    // frame; the physical plan must shuffle it once (ReusedExchange), not
-    // re-range the input per consumer
+  test("the ranged frame is materialized once; consumers never re-range it") {
+    // the subtotal branch and the output branch join on the partition id,
+    // so both must read ONE set of range cuts. The ranged+Pid frame is
+    // checkpointed (Pid becomes literal data), so the consumer plan must
+    // contain ZERO rangepartitioning exchanges — a re-ranging exchange in
+    // either branch would mean independently-sampled cuts and silently
+    // wrong offsets under shuffle-read reorder
     val df = (0 until 500).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "v")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val plan =
       try PrefixRank.withRunningTotal(df, Seq(col("id")), col("v"), "cum", 4)
         .queryExecution.executedPlan.toString
       finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    val ranges = "rangepartitioning\\(".r.findAllIn(plan).size
-    val reused = "ReusedExchange".r.findAllIn(plan).size
-    assert(ranges - reused == 1,
-      s"expected ONE physical range shuffle ($ranges exchanges, $reused reused):\n$plan")
+    assert("rangepartitioning\\(".r.findAllIn(plan).isEmpty,
+      s"consumer plan re-ranges the checkpointed frame:\n$plan")
+    assert(plan.contains("_prefix_pid"), plan)
   }
 
   test("the only unpartitioned window in the plan is the subtotal frame") {

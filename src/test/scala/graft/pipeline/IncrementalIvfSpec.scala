@@ -28,28 +28,35 @@ class IncrementalIvfSpec extends SparkSpec {
     a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
 
   /** 2-round integer Lloyd (init vec 0..7) over `idx`; returns ×100
-    * centroids.
+    * centroids KEYED BY CLUSTER ID, empty clusters dropped — the gate's
+    * round-2 centroid frame is a GROUP BY over round-1 assignments, so a
+    * cluster no vector chose has no row (and the oracle agrees); keeping
+    * it at its init centroid here would diverge on a corpus where a
+    * round-1 cluster empties.
     */
-  private def lloyd(idx: Range): Array[Array[Long]] = {
+  private def lloyd(idx: Range): Map[Int, Array[Long]] = {
     val c0 = (0 until 8).map(k => vecs(k).map(_ * 100L).toArray).toArray
     def assign(c: Array[Array[Long]], i: Int): Int =
       (0 until 8).minBy(k => (l2(vecs(i).map(_ * 100L), c(k)), k))
     val a1 = idx.map(i => i -> assign(c0, i)).toMap
-    (0 until 8).map { k =>
+    (0 until 8).flatMap { k =>
       val members = idx.filter(a1(_) == k)
-      if (members.isEmpty) c0(k)
-      else Array.tabulate(64) { j =>
+      if (members.isEmpty) None
+      else Some(k -> Array.tabulate(64) { j =>
         members.map(i => vecs(i)(j)).sum * 100L / members.size
-      }
-    }.toArray
+      })
+    }.toMap
   }
 
-  /** nprobe=2 search for vec 42 against the given centroids. */
-  private def search(c: Array[Array[Long]]): Seq[(Long, Boolean, Long)] = {
+  /** nprobe=2 search for vec 42 against the given centroids (only the
+    * clusters present in the map participate — the gate's semantics).
+    */
+  private def search(c: Map[Int, Array[Long]]): Seq[(Long, Boolean, Long)] = {
     val n = vecs.length
+    val ks = c.keys.toSeq.sorted
     def assign(i: Int): Int =
-      (0 until 8).minBy(k => (l2(vecs(i).map(_ * 100L), c(k)), k))
-    val qd = (0 until 8).map(k => (l2(vecs(42).map(_ * 100L), c(k)), k)).sorted
+      ks.minBy(k => (l2(vecs(i).map(_ * 100L), c(k)), k))
+    val qd = ks.map(k => (l2(vecs(42).map(_ * 100L), c(k)), k)).sorted
     val probed = qd.take(2).map(_._2).toSet
     (0 until n).filter(i => i != 42 && probed.contains(assign(i)))
       .map(i => (i.toLong, i >= n / 2, l2(vecs(i), vecs(42))))

@@ -196,6 +196,34 @@ class SelectionSpec extends SparkSpec {
     assert(plan.toString.contains("_prefix_pid"), plan.toString.take(2000))
   }
 
+  test("plan audit: served PrefixRank consumers read ONE materialized set of range cuts") {
+    // PrefixRank's subtotal branch and output branch join on the physical
+    // partition id, so both MUST read one set of range cuts. Exchange
+    // reuse is NOT that guarantee on served plans (column pruning was
+    // observed splitting the exchange into two independently-sampled
+    // copies here) — the ranged frame is checkpointed instead, so the
+    // served plan must contain ZERO repartitionByRange exchanges: the one
+    // range cut happened at materialization. (The output ORDER BY's
+    // ENSURE_REQUIREMENTS range sort-exchange is a different, harmless
+    // shuffle.)
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeExec}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Seq("q_select_budget", "q_prune_prototypes").foreach { q =>
+      val plan = SparkEntryQuery(q).queryExecution.executedPlan
+      val ranges = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[RangePartitioning] &&
+            e.shuffleOrigin == REPARTITION_BY_NUM => e
+      }
+      assert(ranges.isEmpty,
+        s"$q: consumer plan re-ranges PrefixRank's checkpointed frame " +
+          s"(${ranges.size} REPARTITION_BY_NUM range exchanges):\n" +
+          plan.toString.take(4000))
+      assert(plan.toString.contains("_prefix_pid"), plan.toString.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   private def SparkEntryQuery(name: String) =
     graft.SparkEntry.queries(name)(spark, d)
 }
