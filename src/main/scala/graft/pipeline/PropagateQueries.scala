@@ -25,12 +25,15 @@ import org.apache.spark.sql.functions._
   *    INTEGERS (100·max > thr·n), no float;
   *  - GRAPH: undirected k=3 cosine kNN over the embeddings (doc_id ↔
   *    vec_id; documents without a vector can seed but not propagate —
-  *    inner-join semantics, identical in the oracle). The gate builds
-  *    the graph brute-force so the oracle can replay it exactly
-  *    (ROUND(cos, 9) ordering, the q_ann_knn_join discipline); at
-  *    scale the candidate generation swaps for any ANN face
-  *    (IVF/RP-LSH/binary-Hamming) — the propagation contract only
-  *    needs (src, dst) pairs;
+  *    inner-join semantics, identical in the oracle). TWO gated builds:
+  *    `q_quality_propagate` is the brute-force comparator (exact kNN,
+  *    oracle replays it from raw embeddings; O(n²) BY DESIGN and only
+  *    for verification scale), and `q_quality_propagate_ann` is the
+  *    scale path — RP-LSH banded candidate generation (adaptive
+  *    banding, skew-guarded bucket pairs, candidate volume
+  *    O(bands·n·128)) → exact cosine re-score of ONLY the candidates →
+  *    per-source bounded top-k. The propagation contract needs only
+  *    (src, dst) pairs, so both faces share the BFS verbatim;
   *  - PROPAGATION: 3 BFS rounds, each ONE edge-keyed equi-join of the
   *    frontier against the adjacency list plus an anti-join against
   *    the tainted set, both corpus-bounded; the tainted set is
@@ -103,7 +106,82 @@ object PropagateQueries {
     kn.unionByName(kn.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
-  private def oracleSql: String =
+  /** ANN-composed kNN edges — the scale face. Candidates come from the
+    * RP-LSH band machinery (adaptive banding sized by a parquet-metadata
+    * count; [[LshBlocking.boundedBucketPairs]]'s star guard caps hot
+    * buckets), so pair volume is O(bands·n·128) and NOTHING is all-pairs
+    * or corpus-broadcast: the band self-join is an equi-join on
+    * (band_id, band_key) over bare ids, the re-score joins are keyed on
+    * vec_id with no broadcast hint (AQE picks shuffle joins at scale),
+    * and the per-src top-k is the bounded kminBy aggregate. Recall is
+    * the banding curve's: a true neighbor missing from every shared
+    * band is absent here — PropagateSpec measures the hop-map agreement
+    * against the exact face and the gate's oracle replays the SAME
+    * staged candidate set, so the approximation is pinned, not hidden.
+    */
+  private[pipeline] def annDirectedKnn(e: DataFrame): DataFrame = {
+    val (bits, bands) = SimilarityQueries.adaptiveBanding(e.count())
+    val banded = e.select(col("vec_id"),
+      posexplode(SimilarityQueries.rpBandKeys(col("embedding"),
+        bands = bands, rowsPerBand = bits)).as(Seq("band_id", "band_key")))
+    val raw = LshBlocking
+      .boundedBucketPairs(banded, Seq("band_id", "band_key"), "vec_id")
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+    // oracle bridge over the non-SQL hyperplane hash (the
+    // q_dedup_embedding_lsh discipline): Verify mode materializes the
+    // candidate ids; bench mode runs the live frame
+    val cands = graft.OracleStage.stage("propagate_ann_cands", raw)
+    val dir = cands.unionByName(
+      cands.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+      .toDF("src", "dst")
+    val vecs = e.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    dir
+      .join(vecs.select(col("vec_id").as("src"), col("embedding").as("ea"),
+        col("nrm").as("na")), "src")
+      .join(vecs.select(col("vec_id").as("dst"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "dst")
+      .select(col("src"), col("dst"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+          * 1000000000L, 0).cast("long").as("cos_x1e9"))
+      .groupBy("src")
+      .agg(graft.functions.KMinAgg.kminBy(-col("cos_x1e9"), col("dst"), K).as("mins"))
+      .select(col("src"), explode(col("mins")).as("m"))
+      .select(col("src"), col("m.id").as("dst"))
+  }
+
+  private def annKnnEdges(e: DataFrame): DataFrame = {
+    // same two-consumer union as the exact face: materialize once
+    val kn = annDirectedKnn(e).stableCheckpoint()
+    kn.unionByName(kn.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** Shared BFS + output: seeds at hop 0, [[Hops]] frontier rounds, each
+    * ONE edge-keyed equi-join + anti-join, every frontier checkpointed.
+    */
+  private def hopMap(docs: DataFrame, edges: DataFrame): DataFrame = {
+    var frontiers = Seq(seedDocs(docs)
+      .select(col("doc_id"), lit(0L).as("hop")).stableCheckpoint())
+    for (r <- 1 to Hops) {
+      val tainted = frontiers.reduce(_ unionByName _)
+      val next = edges
+        .join(frontiers.last.select(col("doc_id").as("src")), "src")
+        .select(col("dst").as("doc_id")).distinct()
+        .join(tainted, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(r.toLong).as("hop"))
+      frontiers = frontiers :+ next.stableCheckpoint()
+    }
+    frontiers.reduce(_ unionByName _)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("doc_id", "source", "hop")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: seed rule + BFS shared; `edgeCtes` supplies kn/ed (exact
+    * face recomputes the brute-force kNN; ANN face re-scores the staged
+    * candidate set).
+    */
+  private def propagationSql(edgeCtes: String): String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
        |cnts AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
@@ -116,14 +194,7 @@ object PropagateQueries {
        |         GROUP BY 1),
        |seed AS (SELECT doc_id FROM per JOIN per2 USING (doc_id)
        |         WHERE 100 * mx > 11 * n AND 100 * mx2 > 6 * n2),
-       |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-       |              ROUND(${SimilarityQueries.cosSql("a.embedding", "b.embedding")}, 9) AS c
-       |       FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
-       |kn AS MATERIALIZED (
-       |  SELECT src, dst FROM sc
-       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, dst) <= $K),
-       |ed AS MATERIALIZED (SELECT src, dst FROM kn
-       |                    UNION SELECT dst, src FROM kn),
+       |$edgeCtes
        |h0 AS MATERIALIZED (SELECT doc_id FROM seed),
        |h1 AS MATERIALIZED (
        |  SELECT DISTINCT ed.dst AS doc_id FROM ed JOIN h0 ON ed.src = h0.doc_id
@@ -145,28 +216,50 @@ object PropagateQueries {
        |FROM allh JOIN documents d USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Exact-face edge CTEs: brute-force kNN recomputed from raw vectors. */
+  private def exactEdgeCtes: String =
+    s"""sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |              ROUND(${SimilarityQueries.cosSql("a.embedding", "b.embedding")}, 9) AS c
+       |       FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       |kn AS MATERIALIZED (
+       |  SELECT src, dst FROM sc
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, dst) <= $K),
+       |ed AS MATERIALIZED (SELECT src, dst FROM kn
+       |                    UNION SELECT dst, src FROM kn),""".stripMargin
+
+  /** ANN-face edge CTEs: exact re-score + top-k over the STAGED candidate
+    * id pairs — everything downstream of the hyperplane hash replays.
+    */
+  private def annEdgeCtes: String =
+    s"""cand AS (SELECT vec_a, vec_b FROM ${graft.OracleStage.pq("propagate_ann_cands")}),
+       |dc AS (SELECT vec_a AS src, vec_b AS dst FROM cand
+       |       UNION ALL SELECT vec_b, vec_a FROM cand),
+       |sc AS (SELECT dc.src, dc.dst,
+       |              ROUND(${SimilarityQueries.cosSql("a.embedding", "b.embedding")}, 9) AS c
+       |       FROM dc JOIN embeddings a ON a.vec_id = dc.src
+       |               JOIN embeddings b ON b.vec_id = dc.dst),
+       |kn AS MATERIALIZED (
+       |  SELECT src, dst FROM sc
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, dst) <= $K),
+       |ed AS MATERIALIZED (SELECT src, dst FROM kn
+       |                    UNION SELECT dst, src FROM kn),""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
-    // ----- Quality-taint label propagation over the kNN graph -----------
-    QueryDef("q_quality_propagate", oracleSql) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val edges = knnEdges(Tables.embeddings(s, d)).stableCheckpoint()
-      // each hop checkpoints only its NEW frontier; the tainted set is
-      // the union of the (bounded count of) checkpointed frontiers
-      var frontiers = Seq(seedDocs(docs)
-        .select(col("doc_id"), lit(0L).as("hop")).stableCheckpoint())
-      for (r <- 1 to Hops) {
-        val tainted = frontiers.reduce(_ unionByName _)
-        val next = edges
-          .join(frontiers.last.select(col("doc_id").as("src")), "src")
-          .select(col("dst").as("doc_id")).distinct()
-          .join(tainted, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), lit(r.toLong).as("hop"))
-        frontiers = frontiers :+ next.stableCheckpoint()
-      }
-      frontiers.reduce(_ unionByName _)
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select("doc_id", "source", "hop")
-        .orderBy("doc_id")
+    // ----- Quality-taint label propagation over the EXACT kNN graph -----
+    // The verification-scale comparator: O(n²) pair scoring by design so
+    // the oracle can replay the graph from raw embeddings alone.
+    QueryDef("q_quality_propagate", propagationSql(exactEdgeCtes)) { (s, d) =>
+      hopMap(Tables.documents(s, d),
+        knnEdges(Tables.embeddings(s, d)).stableCheckpoint())
+    },
+
+    // ----- The same propagation over the ANN-composed graph -------------
+    // The scale face: LSH-banded candidates, exact re-score of candidates
+    // only, bounded top-k — no all-pairs frame, no corpus-sized broadcast
+    // anywhere in the plan (PropagateSpec pins both).
+    QueryDef("q_quality_propagate_ann", propagationSql(annEdgeCtes)) { (s, d) =>
+      hopMap(Tables.documents(s, d),
+        annKnnEdges(Tables.embeddings(s, d)).stableCheckpoint())
     })
 }

@@ -90,4 +90,48 @@ class PropagateSpec extends SparkSpec {
       byHop.getOrElse(2L, 0) > 0,
       s"propagation collapsed to a trivial frontier: $byHop")
   }
+
+  // ----- the ANN-composed face (q_quality_propagate_ann) ----------------
+
+  private lazy val gateAnn: Map[Long, (String, Long)] =
+    graft.SparkEntry.queries("q_quality_propagate_ann")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+  test("ANN face: seeds are identical to the exact face (hop 0 is graph-free)") {
+    assert(gateAnn.collect { case (id, (_, 0L)) => id }.toSet ==
+      gate.collect { case (id, (_, 0L)) => id }.toSet)
+  }
+
+  test("ANN face: hop-map agreement with the exact face stays high") {
+    // the banded candidate generator misses a true top-3 neighbor with
+    // the banding curve's probability, so the two hop maps differ only
+    // where an edge swap moved a doc one hop — measured 0.90 at sf0.001
+    // and 0.92 at sf0.01; 0.85 is the regression floor, and the REACH
+    // (how much of the corpus the taint finds at all) must match ~fully
+    val docs = gate.keySet ++ gateAnn.keySet
+    val agree = docs.count(id => gate.get(id).map(_._2) == gateAnn.get(id).map(_._2))
+    assert(agree.toDouble / docs.size >= 0.85,
+      s"hop-map agreement collapsed: $agree/${docs.size}")
+    assert(gateAnn.size >= (gate.size * 95) / 100,
+      s"ANN reach ${gateAnn.size} vs exact ${gate.size}")
+  }
+
+  test("ANN face plan audit: no all-pairs frame, no corpus-sized broadcast") {
+    // the DIRECTED kNN build (the frame the exact face computes by
+    // crossJoin(broadcast(embeddings))) must be keyed joins end to end:
+    // band-bucket equi-join over bare ids, vec_id-keyed re-score joins
+    // with no broadcast hint, bounded kminBy top-k
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+    val plan = PropagateQueries.annDirectedKnn(e)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    // the ONLY nested-loop joins are the skew guard's bucket-size vs
+    // 1-ROW mean comparisons — never a pairing of two corpus frames
+    // (the exact face's crossJoin(broadcast(embeddings)) shape)
+    val bnlj = "BroadcastNestedLoopJoin [^,]+, [^,]+, \\(([^\\n]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(bnlj.forall(c => c.contains("_mean") && c.contains("_bsz")),
+      s"non-skew-guard nested-loop join:\n$bnlj\n${plan.take(4000)}")
+    assert(plan.contains("partial_kminby"), plan.take(4000))
+  }
 }
