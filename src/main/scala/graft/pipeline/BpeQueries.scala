@@ -623,11 +623,12 @@ object BpeQueries {
       * get distinct keys; a readable truncated suffix is kept only for
       * humans browsing target/bpe_vocab.
       */
-    private[pipeline] def fingerprint(dir: String): String = {
+    private[pipeline] def fingerprint(dir: String,
+        table: String = "documents"): String = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
         else Seq(f)
-      val fs = walk(new java.io.File(s"$dir/documents.parquet")).sortBy(_.getPath)
+      val fs = walk(new java.io.File(s"$dir/$table.parquet")).sortBy(_.getPath)
       val md = java.security.MessageDigest.getInstance("SHA-256")
       fs.foreach { f =>
         md.update(f.getAbsolutePath.getBytes("UTF-8"))
@@ -688,10 +689,10 @@ object BpeQueries {
       * mode (class doc); the in-JVM cache still collapses repeat calls.
       */
     private[pipeline] def artifact(spark: org.apache.spark.sql.SparkSession,
-        dir: String, keyPart: String)(
+        dir: String, keyPart: String, table: String = "documents")(
         train: => org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame = {
-      val key = s"v${VocabVersion}_${fingerprint(dir)}_$keyPart" +
+      val key = s"v${VocabVersion}_${fingerprint(dir, table)}_$keyPart" +
         (if (graft.OracleStage.enabled) "_staged" else "")
       val path = new java.io.File(s"target/bpe_vocab/$key").getAbsolutePath
       val resolved = cache.get(key).getOrElse(synchronized {

@@ -298,7 +298,7 @@ object SimilarityQueries {
     * vector `qt` (vec 42) and its m×16 ADC distance table `dt`. Both PQ
     * faces (flat scan and IVF-pruned scan) replay this identically.
     */
-  private val pqCtes =
+  private[pipeline] val pqCtes =
     """comp AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
       |                     embedding FROM embeddings),
       |q AS (SELECT vec_id, i, (i-1) // 16 AS sub,
