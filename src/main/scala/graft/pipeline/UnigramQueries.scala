@@ -67,14 +67,21 @@ object UnigramQueries {
 
   /** Viterbi encode of a `word` column from a driver-side inventory:
     * struct (toks ARRAY<STRING>, unk BOOLEAN, cost BIGINT).
+    *
+    * `maxLenOpt` pins the tie-packing constant (bp = maxLen − l rides the
+    * ×32 pack) — the EM trainer passes a FIXED value so every pass and
+    * the oracle's replay break ties identically even when a pass prunes
+    * all pieces of the longest length.
     */
-  private[graft] def encodeExpr(costs: Seq[(String, Long)])
-      : org.apache.spark.sql.Column = {
+  private[graft] def encodeExpr(costs: Seq[(String, Long)],
+      maxLenOpt: Option[Int] = None): org.apache.spark.sql.Column = {
     costs.foreach { case (p, _) =>
       require(p.matches("^[a-z]+$"),
         s"unigram piece '$p' outside the [a-z]+ contract")
     }
-    val maxLen = costs.map(_._1.length).max
+    val maxLen = maxLenOpt.getOrElse(costs.map(_._1.length).max)
+    require(costs.forall(_._1.length <= maxLen),
+      s"piece longer than the pinned maxLen $maxLen")
     require(maxLen < 32, s"piece length $maxLen breaks the x32 tie packing")
     val entries = costs
       .map { case (p, c) => s"'$p', CAST($c AS BIGINT)" }.mkString(", ")
@@ -146,7 +153,182 @@ object UnigramQueries {
         col("e.cost").as("cost"))
   }
 
+  // ===== unigram-LM EM TRAINING (r15 verdict "what's missing" #3) =======
+  //
+  // The SentencePiece training loop (Kudo 2018 §3.2), hard-EM/Viterbi
+  // variant so every step is integer-deterministic and replayable in both
+  // engines:
+  //
+  //  - SEED: the top [[SeedMulti]] character substrings (len 2..[[MaxPieceLen]])
+  //    of the train dictionary by corpus-weighted count, plus every
+  //    alphabet character (the fallback that makes every [a-z]+ word
+  //    segmentable, so the train set never hits [UNK]);
+  //  - E-step: Viterbi-segment the DISTINCT train words under the current
+  //    integer costs (the same [[encodeExpr]] the serving gate uses, with
+  //    the tie-packing maxLen PINNED at [[MaxPieceLen]] across passes);
+  //  - M-step: piece counts = Σ freq over the segmentations (collected
+  //    driver-side — bounded by the inventory, ≤ [[SeedMulti]]+26 rows);
+  //    new cost(p) = round(10⁶·ln(total/f(p))) — the ln runs ONLY on the
+  //    driver (the staged-cost discipline), chars floor at f=1;
+  //  - PRUNE, two regimes. Zero-count multi-char pieces die at EVERY
+  //    M-step (EM death — removing a piece the current segmentation never
+  //    uses cannot raise the objective, so these transitions keep the
+  //    hard-EM monotonicity guarantee: E-step re-segmentation is optimal
+  //    under fixed costs, M-step re-estimation minimizes the objective
+  //    under fixed segmentation, mod the char count-floor and ×10⁶
+  //    integer rounding). From pass [[PruneFrom]] on, the M-step
+  //    ADDITIONALLY drops the [[PrunePerPass]] lowest-count
+  //    (count ASC, piece ASC) multi-char SURVIVORS — the SentencePiece
+  //    shrink toward a target vocabulary. Pruning a USED piece can raise
+  //    the corpus cost (its occurrences re-segment into costlier pieces)
+  //    — that is the real trade a vocabulary budget buys, and the gate
+  //    reports it rather than hiding it: UnigramTrainSpec pins corpus
+  //    cost MONOTONE NON-INCREASING across the pure-EM transitions and
+  //    inventory shrinkage across the prune transitions.
+  //
+  // Scale shape: the CORPUS is touched once (the word-frequency collapse
+  // — one doc_id-keyed explode + one (word) exchange); every EM pass runs
+  // over the DISTINCT-WORD dictionary, which is vocabulary-bounded at any
+  // corpus size (the SentencePiece trainer's own shape: it trains on a
+  // word-freq table, not raw text). Per pass: one codegen'd Viterbi map +
+  // two bounded aggregates.
+  //
+  // Oracle: every pass's cost table is STAGED (pass, piece, cost); DuckDB
+  // replays each pass's Viterbi DP (recursive CTE keyed by (pass, word))
+  // and re-derives per-pass n_tokens and corpus_cost from its OWN
+  // segmentations joined to its OWN word frequencies — a wrong DP cell,
+  // tie-break, prune choice, or cost value shifts a later pass's
+  // segmentation and breaks the hash. The driver-side ln math itself is
+  // replayed bit-for-bit by UnigramTrainSpec in plain Scala.
+
+  private val Passes = 6
+  private val SeedMulti = 100
+  private val PruneFrom = 4 // first pass whose M-step bottom-prunes
+  private val PrunePerPass = 4
+  private val MaxPieceLen = 6
+
+  /** One EM training run: returns (per-pass stats rows, staged costs).
+    * Test seam: UnigramTrainSpec replays this loop independently.
+    */
+  private[pipeline] def emTrain(spark: org.apache.spark.sql.SparkSession,
+      d: String): (Seq[(Int, Long, Long, Long, Long)], Seq[(Int, String, Long)]) = {
+    import graft.operators.Checkpoints.StableOps
+    val wf = BpeQueries.wordFreq(spark, d, Some(TrainSource)).stableCheckpoint()
+
+    // ---- seed inventory (bounded collects: SeedMulti + alphabet) ----
+    val multiSeed = wf.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(2, $MaxPieceLen), l ->
+           |  IF(length(word) >= l,
+           |     transform(sequence(1, length(word) - l + 1), s -> substring(word, s, l)),
+           |     CAST(array() AS ARRAY<STRING>))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("f"))
+      .orderBy(col("f").desc, col("piece")).limit(SeedMulti)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val charSeed = wf.select(col("freq"),
+        explode(expr("filter(split(word, ''), c -> c <> '')")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val alphabet = charSeed.map(_._1).toSet
+
+    def costsOf(fr: Seq[(String, Long)]): Seq[(String, Long)] = {
+      val total = fr.map(_._2).sum.toDouble
+      fr.sortBy(_._1).map { case (p, f) =>
+        (p, math.round(1e6 * math.log(total / f.toDouble)))
+      }
+    }
+
+    var costs = costsOf((multiSeed ++ charSeed).toSeq)
+    val statRows = Seq.newBuilder[(Int, Long, Long, Long, Long)]
+    val costRows = Seq.newBuilder[(Int, String, Long)]
+    for (t <- 0 until Passes) {
+      costRows ++= costs.map { case (p, c) => (t, p, c) }
+      val seg = wf.select(col("word"), col("freq"),
+        encodeExpr(costs, Some(MaxPieceLen)).as("e"))
+      val st = seg.agg(
+        sum(col("freq") * size(col("e.toks"))).as("n_tokens"),
+        sum(col("freq") * col("e.cost")).as("corpus_cost")).collect()(0)
+      statRows += ((t, costs.size.toLong,
+        costs.count(_._1.length > 1).toLong, st.getLong(0), st.getLong(1)))
+      if (t < Passes - 1) {
+        // E-step counts (bounded: ≤ inventory rows)
+        val counts = seg
+          .select(col("freq"), explode(col("e.toks")).as("piece"))
+          .groupBy("piece").agg(sum("freq").as("f"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // M-step: zero-count death always; bottom-prune only once the
+        // pure-EM phase has converged the counts (see the class comment
+        // on which transitions carry the monotonicity guarantee)
+        val multiKept = costs.map(_._1).filter(_.length > 1)
+          .flatMap(p => counts.get(p).filter(_ > 0).map(p -> _))
+        val pruned =
+          if (t + 1 >= PruneFrom)
+            multiKept.sortBy { case (p, f) => (f, p) }.drop(PrunePerPass)
+          else multiKept
+        val chars = alphabet.toSeq.sorted
+          .map(c => c -> math.max(counts.getOrElse(c, 0L), 1L))
+        costs = costsOf(pruned ++ chars)
+      }
+    }
+    (statRows.result(), costRows.result())
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_unigram_train",
+      s"""WITH RECURSIVE
+         |v AS (SELECT pass, piece, cost FROM ${graft.OracleStage.pq("unigram_train_costs")}),
+         |mx AS (SELECT $MaxPieceLen AS m),
+         |wf AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |         SELECT unnest($toksSql) AS w
+         |         FROM documents WHERE source = '$TrainSource') x
+         |       WHERE w ~ '^[a-z]+$$' AND len(w) >= 2 GROUP BY 1),
+         |pw AS (SELECT p.pass, wf.word FROM (SELECT DISTINCT pass FROM v) p, wf),
+         |dp AS (
+         |  SELECT pass, word, 0 AS j, [CAST(0 AS BIGINT)] AS dps,
+         |         CAST([] AS INT[]) AS bps
+         |  FROM pw
+         |  UNION ALL
+         |  SELECT pass, word, j + 1,
+         |         list_append(dps, CASE WHEN pk IS NULL
+         |           THEN $Inf + dps[j + 1] ELSE pk // 32 END),
+         |         list_append(bps, CASE WHEN pk IS NULL
+         |           THEN 0 ELSE mxm - CAST(pk % 32 AS INT) END)
+         |  FROM (
+         |    SELECT d.pass, d.word, d.j, d.dps, d.bps, m.m AS mxm,
+         |           (SELECT MIN((d.dps[d.j + 2 - len(piece)] + cost) * 32
+         |                       + (m.m - len(piece)))
+         |            FROM v WHERE v.pass = d.pass AND len(piece) <= d.j + 1
+         |              AND piece = substr(d.word, d.j + 2 - len(piece), len(piece))) AS pk
+         |    FROM dp d, mx m WHERE d.j < len(d.word)) s),
+         |fin AS (SELECT pass, word, bps,
+         |               dps[len(word) + 1] AS cost
+         |        FROM dp WHERE j = len(word)),
+         |bt AS (
+         |  SELECT pass, word, bps, cost, len(word) AS p, 0 AS n_toks
+         |  FROM fin
+         |  UNION ALL
+         |  SELECT pass, word, bps, cost, p - bps[p], n_toks + 1
+         |  FROM bt WHERE p > 0),
+         |seg AS (SELECT pass, word, cost, n_toks FROM bt WHERE p = 0),
+         |stats AS (SELECT pass,
+         |                 CAST(SUM(freq * n_toks) AS BIGINT) AS n_tokens,
+         |                 CAST(SUM(freq * cost) AS BIGINT) AS corpus_cost
+         |          FROM seg JOIN wf USING (word) GROUP BY 1),
+         |inv AS (SELECT pass, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+         |               CAST(SUM(CASE WHEN len(piece) > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi
+         |        FROM v GROUP BY 1)
+         |SELECT CAST(pass AS BIGINT) AS pass, n_pieces, n_multi, n_tokens, corpus_cost
+         |FROM stats JOIN inv USING (pass)
+         |ORDER BY pass""".stripMargin) { (spark, d) =>
+      import spark.implicits._
+      val (stats, costRows) = emTrain(spark, d)
+      graft.OracleStage.stage("unigram_train_costs",
+        costRows.toDF("pass", "piece", "cost"))
+      stats.map { case (t, np, nm, nt, cc) => (t.toLong, np, nm, nt, cc) }
+        .toDF("pass", "n_pieces", "n_multi", "n_tokens", "corpus_cost")
+        .orderBy("pass")
+    },
 
     QueryDef(
       "q_unigram_encode",
