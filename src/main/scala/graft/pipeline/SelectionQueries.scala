@@ -5,7 +5,7 @@ import graft.analytics.Tables
 import graft.functions.TextFunctions.{tokens, toksSql}
 import graft.operators.Checkpoints.StableOps
 import graft.operators.PrefixRank
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -145,15 +145,23 @@ object SelectionQueries {
         sum(col("isu")).as("n_tok"),
         sum(col("lam")).as("weight"))
 
-  private[graft] def docWeights(spark: SparkSession, d: String): DataFrame = {
-    val lam = lambdaTable(spark, d)
-    // oracle-only bridge across the non-SQL hash: the DISTINCT (gram, lam)
-    // map, materialized by OracleStage in Verify mode so DuckDB can replay
-    // gram → λ without xxhash64. NEVER part of the served plan (in bench
-    // mode `stage` is identity and the frame is simply unused).
+  /** Oracle-only bridge across the non-SQL hash: the DISTINCT (gram, lam)
+    * map, materialized by OracleStage in Verify mode so DuckDB can replay
+    * gram → λ without xxhash64. NEVER part of the served plan (in bench
+    * mode `stage` is identity and the frame is simply unused). Shared by
+    * every gate whose oracle reads `dsir_gram_lambda`.
+    */
+  private def stageGramLambda(spark: SparkSession, d: String,
+      lam: DataFrame): Unit = {
     graft.OracleStage.stage("dsir_gram_lambda",
       feats(Tables.documents(spark, d)).select("gram", "bucket").distinct()
         .join(broadcast(lam), "bucket").select("gram", "lam"))
+    ()
+  }
+
+  private[graft] def docWeights(spark: SparkSession, d: String): DataFrame = {
+    val lam = lambdaTable(spark, d)
+    stageGramLambda(spark, d, lam)
     docWeightsOf(
       Tables.documents(spark, d).filter(col("source") =!= Target), lam)
   }
@@ -179,6 +187,92 @@ object SelectionQueries {
        |              CAST(SUM(lam) AS BIGINT) AS weight
        |       FROM f JOIN glam USING (gram) GROUP BY 1, 2)""".stripMargin
 
+  /** Full-recompute budget-fill oracle — shared verbatim by the full face
+    * and the incremental face: the incremental plan must produce the
+    * EXACT same selection as recomputing everything.
+    */
+  private def budgetSql: String =
+    s"""WITH $dsirCtes,
+       |b AS (SELECT CAST(SUM(n_tok) AS BIGINT) // 4 AS budget FROM dw),
+       |c AS (SELECT *, CAST(SUM(n_tok) OVER (ORDER BY weight DESC, doc_id
+       |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |      FROM dw)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(weight) AS BIGINT) AS sum_weight
+       |FROM c WHERE cum <= (SELECT budget FROM b)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ===== INCREMENTAL budget fill (r16: compose PrefixRank with the
+  // persisted-artifact pattern) ==========================================
+  //
+  // Production refills a token budget as BATCHES arrive; recomputing the
+  // full prefix rank per batch re-sorts the whole pool. The incremental
+  // face never re-ranks the base:
+  //
+  //  - the BASE pool's running totals (doc_id, source, n_tok, weight,
+  //    cum) are persisted ONCE via the keyed artifact store — the
+  //    finest-grained per-range subtotal;
+  //  - the arriving batch (here: doc_id ≡ 0 mod [[BatchMod]], the
+  //    deterministic stand-in for "new files") is weighted fresh — ONE
+  //    small scan of the batch only;
+  //  - merging a sorted run with a small delta needs no re-sort: each
+  //    base row's corrected total = persisted cum + (tokens of the delta
+  //    docs ordered before it), found by BINARY SEARCH (O(log batch) HOF
+  //    steps/row) against the broadcast-literal sorted delta; each delta
+  //    doc's total = its in-batch prefix + the base floor cum, read from
+  //    a batch-bounded (cnt → max cum) aggregate of the same map pass;
+  //  - the batch side is driver-bounded BY CONTRACT (an ingestion batch,
+  //    not the corpus — production chunks arrivals; the literal arrays
+  //    are O(batch)).
+  //
+  // The oracle is the FULL RECOMPUTE (budgetSql, verbatim the full
+  // face's): a wrong correction, floor, or budget breaks the hash.
+  // SelectionSpec additionally pins row-identity of the merged prefix
+  // against PrefixRank over the whole pool.
+
+  private val BatchMod = 23
+
+  /** Persisted base-pool running totals (the batch docs excluded). */
+  private[pipeline] def baseCumStore(spark: SparkSession, d: String): DataFrame =
+    BpeQueries.BpeVocabStore.artifact(spark, d,
+        s"selbase_t${Target}_b${B}_m$BatchMod") {
+      val base = Tables.documents(spark, d)
+        .filter(col("source") =!= Target && pmod(col("doc_id"), lit(BatchMod)) =!= 0)
+      PrefixRank.withRunningTotal(docWeightsOf(base, lambdaTable(spark, d)),
+          Seq(col("weight").desc, col("doc_id")), col("n_tok"), "cum",
+          shufflePartitions(spark))
+        .select("doc_id", "source", "n_tok", "weight", "cum")
+    }
+
+  /** Count of delta entries ordered strictly BEFORE this row's
+    * (weight DESC, doc_id) key — binary search over the sorted literal
+    * delta arrays, O(log batch) steps per row, constant plan size.
+    */
+  private def deltaCntExpr(ws: Array[Long], ids: Array[Long]): Column = {
+    val q = ws.length
+    val steps = 64 - java.lang.Long.numberOfLeadingZeros(q.toLong + 1)
+    val wl = typedLit(ws.toSeq)
+    val il = typedLit(ids.toSeq)
+    val search = aggregate(
+      sequence(lit(1), lit(steps)),
+      struct(lit(0).as("lo"), lit(q).as("hi")),
+      (acc, _) => {
+        val lo = acc.getField("lo")
+        val hi = acc.getField("hi")
+        val mid = ((lo + hi) / 2).cast("int")
+        val wm = element_at(wl, mid + 1)
+        val im = element_at(il, mid + 1)
+        val before = wm > col("weight") ||
+          (wm === col("weight") && im < col("doc_id"))
+        when(lo < hi,
+          when(before, struct((mid + 1).as("lo"), hi.as("hi")))
+            .otherwise(struct(lo.as("lo"), mid.as("hi"))))
+          .otherwise(acc)
+      })
+    search.getField("lo")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- DSIR importance weights: target-likeness of every pool doc ---
@@ -200,18 +294,7 @@ object SelectionQueries {
     // fits — the deterministic prefix rule (selection stops at the first
     // overflow; later smaller docs do NOT leapfrog in). The running total
     // is PrefixRank's two-level prefix sum, not a global window.
-    QueryDef(
-      "q_select_budget",
-      s"""WITH $dsirCtes,
-         |b AS (SELECT CAST(SUM(n_tok) AS BIGINT) // 4 AS budget FROM dw),
-         |c AS (SELECT *, CAST(SUM(n_tok) OVER (ORDER BY weight DESC, doc_id
-         |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-         |      FROM dw)
-         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-         |       CAST(SUM(weight) AS BIGINT) AS sum_weight
-         |FROM c WHERE cum <= (SELECT budget FROM b)
-         |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    QueryDef("q_select_budget", budgetSql) { (s, d) =>
       val dw = docWeights(s, d)
       val budget = dw.agg(expr("SUM(n_tok) DIV 4").as("budget"))
       PrefixRank.withRunningTotal(dw,
@@ -222,6 +305,62 @@ object SelectionQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
           sum("weight").as("sum_weight"))
+        .orderBy("source")
+    },
+
+    // ----- Incremental budget fill: merge the batch, never re-rank base -
+    QueryDef("q_select_budget_inc", budgetSql) { (s, d) =>
+      import s.implicits._
+      val lam = lambdaTable(s, d)
+      stageGramLambda(s, d, lam)
+      val base = baseCumStore(s, d)
+      // the arriving batch: weighted fresh from ONE scan of the batch
+      // docs only, then driver-collected — bounded by the ingestion
+      // contract (an arrival chunk, never the corpus)
+      val delta = docWeightsOf(
+          Tables.documents(s, d)
+            .filter(col("source") =!= Target &&
+              pmod(col("doc_id"), lit(BatchMod)) === 0), lam)
+        .select("doc_id", "source", "n_tok", "weight").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy { case (id, _, _, w) => (-w, id) }
+      require(delta.nonEmpty, "q_select_budget_inc: empty arrival batch")
+      val ids = delta.map(_._1)
+      val ws = delta.map(_._4)
+      val prefix = delta.map(_._3).scanLeft(0L)(_ + _).tail // inclusive
+      val cnt = deltaCntExpr(ws, ids)
+      val corrected = base.withColumn("cnt", cnt)
+        .withColumn("cum2", col("cum") +
+          when(col("cnt") === 0, 0L)
+            .otherwise(element_at(typedLit(prefix.toSeq), col("cnt"))))
+      // job 1 — batch-bounded: (cnt → max base cum) gives every delta
+      // doc's base floor (base row b precedes delta j ⟺ cnt(b) ≤ j);
+      // the token sums give the pool total for the budget
+      val fl = corrected.groupBy("cnt")
+        .agg(max("cum").as("mx"), sum("n_tok").as("tok")).collect()
+      val baseTotal = fl.map(_.getLong(2)).sum
+      val maxByCnt = fl.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val budget = (baseTotal + delta.map(_._3).sum) / 4
+      var runMax = 0L
+      val floors = delta.indices.map { j =>
+        runMax = math.max(runMax, maxByCnt.getOrElse(j, 0L)); runMax
+      }
+      // job 2 — base side: filter on the corrected totals, aggregate
+      val baseSel = corrected.filter(col("cum2") <= lit(budget))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          sum("weight").as("sum_weight"))
+      val deltaSel = delta.zipWithIndex.collect {
+        case ((_, src, tok, w), j) if prefix(j) + floors(j) <= budget =>
+          (src, tok, w)
+      }.toSeq.toDF("source", "n_tok", "weight")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          sum("weight").as("sum_weight"))
+      baseSel.unionByName(deltaSel)
+        .groupBy("source")
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+          sum("sum_weight").as("sum_weight"))
         .orderBy("source")
     },
 

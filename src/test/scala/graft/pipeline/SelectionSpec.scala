@@ -224,6 +224,36 @@ class SelectionSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q_select_budget_inc equals the full recompute row for row") {
+    val full = SparkEntryQuery("q_select_budget").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val inc = SparkEntryQuery("q_select_budget_inc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(inc == full)
+  }
+
+  test("incremental face: base ranks once (persisted), serve plan never re-ranges") {
+    // second run serves the base prefix from the keyed store — no retrain
+    SparkEntryQuery("q_select_budget_inc").collect()
+    val before = BpeQueries.BpeVocabStore.trainRuns
+    val df = SparkEntryQuery("q_select_budget_inc")
+    df.collect()
+    assert(BpeQueries.BpeVocabStore.trainRuns == before,
+      "second serve re-ranked the persisted base pool")
+    // and the serve plan contains NO repartitionByRange anywhere: the
+    // base enters pre-ranked from parquet, the delta is a broadcast
+    // literal, corrections are map-only binary searches
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeExec}
+    val ranges = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[RangePartitioning] &&
+          e.shuffleOrigin == REPARTITION_BY_NUM => e
+    }
+    assert(ranges.isEmpty,
+      s"incremental serve re-ranged the pool:\n${df.queryExecution.executedPlan.toString.take(4000)}")
+  }
+
   private def SparkEntryQuery(name: String) =
     graft.SparkEntry.queries(name)(spark, d)
 }
