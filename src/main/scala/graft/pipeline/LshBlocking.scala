@@ -31,11 +31,24 @@ import org.apache.spark.sql.functions._
 object LshBlocking {
 
   /** A bucket counts as HOT when its size exceeds
-    * max(minHot, skewFactor × mean bucket size): skew is an OUTLIER relative
-    * to the banding's typical bucket, not a fixed count. Coarse bandings
-    * (few bits per band) legitimately produce large-but-uniform buckets —
-    * capping those is a recall bug, not a skew guard; the fix for uniformly
-    * huge buckets is more bits per band, chosen by the caller.
+    * max(minHot, min(absHot, skewFactor × mean bucket size)): skew is
+    * FIRST an outlier relative to the banding's typical bucket, not a
+    * fixed count — coarse bandings (few bits per band) legitimately
+    * produce large-but-uniform buckets, and capping those at a small
+    * fixed size would be a recall bug whose real fix is more bits per
+    * band, chosen by the caller. But the relative test alone has a blind
+    * spot the round-16 skew probe measured: a corpus with one massive
+    * (near-)identical cluster — exact-duplicate boilerplate at crawl
+    * scale, or a colinear embedding blob — puts ~ALL rows into ONE bucket
+    * per band, so the mean IS the hot bucket and skewFactor×mean can
+    * never be exceeded (20k colinear vectors = 6B candidate pairs,
+    * 18+ min where the guarded path takes seconds). No bit count splits
+    * identical signatures, so "more bits" cannot fix that case either.
+    * `absHot` is the absolute backstop: any bucket beyond it degrades to
+    * the star regardless of the mean. The default (1024 = 8× the
+    * adaptive banding's ~128 target population, mirroring skewFactor)
+    * sits far above every healthy bucket the probes have measured and
+    * caps the per-bucket pair work at ~absHot²/2.
     *
     * Shaped as a WINDOW over the bucket key, not aggregate-then-join-back:
     * an aggregate's exchange (partial-agg rows) and the join's exchange (raw
@@ -51,9 +64,10 @@ object LshBlocking {
     * degenerates to the same cross join).
     */
   private def tagHot(banded: DataFrame, keyCols: Seq[String], idCol: String,
-      minHot: Int, skewFactor: Double): DataFrame = {
+      minHot: Int, skewFactor: Double, absHot: Int): DataFrame = {
     require(minHot >= 2, s"minHot=$minHot: need ≥ 2 for any pair to survive")
     require(skewFactor > 1.0, s"skewFactor=$skewFactor: must exceed 1 (mean bucket is not hot)")
+    require(absHot >= minHot, s"absHot=$absHot below minHot=$minHot")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
     val sized = banded
       .withColumn("_bsz", count(lit(1)).over(w))
@@ -63,7 +77,8 @@ object LshBlocking {
       .agg(avg(col("_bsz")).as("_mean"))
     sized.crossJoin(broadcast(meanSize))
       .withColumn("_hot",
-        col("_bsz") > greatest(lit(minHot.toLong), lit(skewFactor) * col("_mean")))
+        col("_bsz") > greatest(lit(minHot.toLong),
+          least(lit(absHot.toLong), lit(skewFactor) * col("_mean"))))
       .drop("_mean")
   }
 
@@ -74,8 +89,8 @@ object LshBlocking {
     * the skewed join never shuffles wide rows.
     */
   def boundedBucketPairs(banded: DataFrame, keyCols: Seq[String], idCol: String,
-      minHot: Int = 64, skewFactor: Double = 8.0): DataFrame = {
-    val tagged = tagHot(banded, keyCols, idCol, minHot, skewFactor)
+      minHot: Int = 64, skewFactor: Double = 8.0, absHot: Int = 1024): DataFrame = {
+    val tagged = tagHot(banded, keyCols, idCol, minHot, skewFactor, absHot)
     val small = tagged.filter(!col("_hot"))
     val joinCond: Column = keyCols.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
       col(s"x.$idCol") < col(s"y.$idCol")
@@ -142,8 +157,8 @@ object LshBlocking {
     * query).
     */
   def bucketSkewStats(banded: DataFrame, keyCols: Seq[String], idCol: String,
-      minHot: Int = 64, skewFactor: Double = 8.0): DataFrame =
-    tagHot(banded, keyCols, idCol, minHot, skewFactor)
+      minHot: Int = 64, skewFactor: Double = 8.0, absHot: Int = 1024): DataFrame =
+    tagHot(banded, keyCols, idCol, minHot, skewFactor, absHot)
       .filter(col("_hot"))
       .select(keyCols.map(col) :+ col("_bsz").as("bucket_size"): _*)
       .distinct() // tagHot tags members; stats report one row per bucket

@@ -150,7 +150,7 @@ object PropagateQueries {
       .select(col("src"), col("m.id").as("dst"))
   }
 
-  private def annKnnEdges(e: DataFrame): DataFrame = {
+  private[graft] def annKnnEdges(e: DataFrame): DataFrame = {
     // same two-consumer union as the exact face: materialize once
     val kn = annDirectedKnn(e).stableCheckpoint()
     kn.unionByName(kn.select(col("dst").as("src"), col("src").as("dst"))).distinct()
@@ -159,7 +159,7 @@ object PropagateQueries {
   /** Shared BFS + output: seeds at hop 0, [[Hops]] frontier rounds, each
     * ONE edge-keyed equi-join + anti-join, every frontier checkpointed.
     */
-  private def hopMap(docs: DataFrame, edges: DataFrame): DataFrame = {
+  private[graft] def hopMap(docs: DataFrame, edges: DataFrame): DataFrame = {
     var frontiers = Seq(seedDocs(docs)
       .select(col("doc_id"), lit(0L).as("hop")).stableCheckpoint())
     for (r <- 1 to Hops) {

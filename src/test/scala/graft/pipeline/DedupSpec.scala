@@ -89,6 +89,26 @@ class DedupSpec extends SparkSpec {
     assert(starEdges == (2L to 150L).toSet, "hot-bucket star must connect the whole cluster")
   }
 
+  test("uniform mega-bucket: the absolute backstop fires where the relative guard cannot") {
+    import spark.implicits._
+    // ONE bucket holds the whole corpus (a colinear blob / exact-duplicate
+    // cluster: identical signatures in every band), so mean == bucket size
+    // and skewFactor×mean can never be exceeded — only absHot catches it
+    val mega = (1L to 3000L).map(i => (0, 0L, i)).toDF("band_id", "band_key", "vec_id")
+    val cands = LshBlocking.boundedBucketPairs(mega, Seq("band_id", "band_key"), "vec_id")
+    assert(cands.count() == 2999L,
+      "mega-bucket did not degrade to the linear star")
+    assert(cands.select("id_a").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "star must center on the bucket minimum")
+    // while LARGE-BUT-BELOW-absHot uniform buckets keep exact pair
+    // generation (capping those would be the recall bug the relative
+    // guard exists to avoid)
+    val uniform = (1L to 900L).map(i => (0, i % 3, i)).toDF("band_id", "band_key", "vec_id")
+    val exact = LshBlocking.boundedBucketPairs(uniform, Seq("band_id", "band_key"), "vec_id")
+    assert(exact.count() == 3L * (300L * 299L / 2L),
+      "uniform sub-absHot buckets must stay exact")
+  }
+
   test("salted bucket pairs are EXACT: hot bucket loses nothing, small buckets unchanged") {
     // one hot bucket (13 members, cell = 4 → G = 4 groups / 10 pair-cells),
     // one mid bucket at the cell boundary, singletons, and members sharing
