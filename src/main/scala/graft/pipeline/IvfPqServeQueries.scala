@@ -120,6 +120,67 @@ object IvfPqServeQueries {
       .limit(TopK)
   }
 
+  private val BatchMod = 20
+  private val BatchNProbe = 3
+  private val BatchShortR = 16
+  private val BatchTopK = 8
+
+  /** Batched serving over the SAME persisted store: a query batch (every
+    * [[BatchMod]]-th vector) rides ONE pruned codes scan — the
+    * q_ann_ivfpq_batch law with the index build moved offline. Everything
+    * query-sided stays broadcast-size (per-query probed lists, per-query
+    * ADC tables); shortlists and the final top-k ride bounded kminBy
+    * aggregates.
+    */
+  private[pipeline] def serveBatch(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val store = ivfPqIndex(spark, d)
+    val cc = store.filter(col("part") === "cc")
+      .select(col("k1").as("label"), col("k2").as("i"), col("v").as("c"))
+    val cb = store.filter(col("part") === "cb")
+      .select(col("k1").as("cluster"), col("k2").as("sub"),
+        col("k3").as("i"), col("v").as("c"))
+    val codes = store.filter(col("part") === "codes")
+      .select(col("k1").as("vec_id"), col("k2").as("sub"),
+        col("k3").as("cluster"), col("v").as("label"))
+    val e = Tables.embeddings(spark, d)
+    val comp = SimilarityQueries.quantizedComponents(e)
+    val qb = comp.filter(col("vec_id") % BatchMod === 0)
+      .select(col("vec_id").as("query_id"), col("sub"), col("i"),
+        col("v").as("qv"))
+    val cdq = qb.join(broadcast(cc), Seq("i"))
+      .groupBy("query_id", "label")
+      .agg(sum((col("qv") * 100L - col("c")) * (col("qv") * 100L - col("c"))).as("dist"))
+    val prb = cdq.withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy("dist", "label")))
+      .filter(col("rn") <= BatchNProbe).select("query_id", "label")
+    val dtq = qb.join(broadcast(cb), Seq("sub", "i"))
+      .groupBy("query_id", "sub", "cluster")
+      .agg(sum((col("qv") * 100L - col("c")) * (col("qv") * 100L - col("c"))).as("d"))
+    // ONE pass over the stored listed codes serves the whole batch
+    val adc = codes.join(broadcast(prb), Seq("label"))
+      .join(broadcast(dtq), Seq("query_id", "sub", "cluster"))
+      .groupBy("query_id", "vec_id").agg(sum(col("d")).as("adc_dist"))
+    val short = adc.groupBy("query_id")
+      .agg(graft.functions.KMinAgg.kminBy(col("adc_dist"), col("vec_id"),
+        BatchShortR).as("m"))
+      .select(col("query_id"), explode(col("m")).as("x"))
+      .select(col("query_id"), col("x.id").as("vec_id"))
+    val rq = qb.select(col("query_id"), col("i"), col("qv"))
+    val rer = comp.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(rq), Seq("query_id", "i"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum((col("v") - col("qv")) * (col("v") - col("qv"))).as("l2q_dist"))
+    rer.groupBy("query_id")
+      .agg(graft.functions.KMinAgg.kminBy(col("l2q_dist"), col("vec_id"),
+        BatchTopK).as("m"))
+      .select(col("query_id"), posexplode(col("m")).as(Seq("pos", "x")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("x.id").as("vec_id"), col("x.h").as("l2q_dist"))
+      .orderBy("query_id", "rk")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_ann_ivfpq_serve",
@@ -144,5 +205,49 @@ object IvfPqServeQueries {
          |SELECT r.vec_id, lab.label, CAST(r.dist AS BIGINT) AS l2q_dist
          |FROM rer r JOIN lab ON r.vec_id = lab.vec_id
          |ORDER BY r.dist, r.vec_id
-         |LIMIT $TopK""".stripMargin) { (s, d) => serve(s, d) })
+         |LIMIT $TopK""".stripMargin) { (s, d) => serve(s, d) },
+
+    QueryDef(
+      "q_ann_ivfpq_serve_batch",
+      s"""WITH ${SimilarityQueries.pqCtes},
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |cc AS (SELECT label, q.i, (SUM(q.v) * 100) // COUNT(*) AS c
+         |       FROM q JOIN lab USING (vec_id) GROUP BY 1, 2),
+         |qb AS (SELECT vec_id AS query_id, sub, i, v FROM q WHERE vec_id % $BatchMod = 0),
+         |cdq AS (SELECT qb.query_id, cc.label,
+         |               SUM((qb.v*100 - cc.c) * (qb.v*100 - cc.c)) AS dist
+         |        FROM qb JOIN cc ON qb.i = cc.i GROUP BY 1, 2),
+         |prb AS (SELECT query_id, label FROM (
+         |          SELECT query_id, label,
+         |                 ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                    ORDER BY dist, label) AS rn
+         |          FROM cdq) WHERE rn <= $BatchNProbe),
+         |dtq AS (SELECT qb.query_id, c1.sub, c1.cluster,
+         |               SUM((qb.v*100 - c1.c) * (qb.v*100 - c1.c)) AS d
+         |        FROM qb JOIN c1 ON qb.sub = c1.sub AND qb.i = c1.i
+         |        GROUP BY 1, 2, 3),
+         |adcb AS (SELECT dtq.query_id, codes.vec_id, SUM(dtq.d) AS adc_dist
+         |         FROM codes
+         |         JOIN lab ON codes.vec_id = lab.vec_id
+         |         JOIN prb ON lab.label = prb.label
+         |         JOIN dtq ON prb.query_id = dtq.query_id
+         |                AND codes.sub = dtq.sub AND codes.cluster = dtq.cluster
+         |         GROUP BY 1, 2),
+         |shortb AS (SELECT query_id, vec_id FROM (
+         |             SELECT query_id, vec_id,
+         |                    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                       ORDER BY adc_dist, vec_id) AS rn
+         |             FROM adcb) WHERE rn <= $BatchShortR),
+         |rerb AS (SELECT s.query_id, q.vec_id, SUM((q.v - qb.v) * (q.v - qb.v)) AS dist
+         |         FROM q JOIN shortb s ON q.vec_id = s.vec_id
+         |         JOIN qb ON qb.query_id = s.query_id AND q.i = qb.i
+         |         GROUP BY 1, 2)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id,
+         |       CAST(dist AS BIGINT) AS l2q_dist
+         |FROM (SELECT query_id, vec_id, dist,
+         |             ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                ORDER BY dist, vec_id) AS rk
+         |      FROM rerb)
+         |WHERE rk <= $BatchTopK
+         |ORDER BY query_id, rk""".stripMargin) { (s, d) => serveBatch(s, d) })
 }

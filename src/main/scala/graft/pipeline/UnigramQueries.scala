@@ -140,18 +140,25 @@ object UnigramQueries {
           explode(tokens(col("p_name"))).as("word")))
       .filter(col("word").rlike("^[a-z]+$"))
 
-  /** Encoded distinct words: (word, pieces, unk, cost) — shared by the
-    * gate and UnigramSpec's independent Viterbi replay.
+  /** Encoded distinct words under an explicit inventory: (word, pieces,
+    * unk, cost) — shared by both encode gates and UnigramSpec's
+    * independent Viterbi replay.
     */
-  private[pipeline] def encodedWords(spark: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val costs = costTable(spark, d).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+  private[pipeline] def encodedWordsWith(spark: org.apache.spark.sql.SparkSession,
+      d: String, costs: Seq[(String, Long)],
+      maxLenOpt: Option[Int]): org.apache.spark.sql.DataFrame =
     encodeCorpus(spark, d).select("word").distinct()
-      .select(col("word"), encodeExpr(costs).as("e"))
+      .select(col("word"), encodeExpr(costs, maxLenOpt).as("e"))
       .select(col("word"), col("e.toks").as("pieces"), col("e.unk").as("unk"),
         col("e.cost").as("cost"))
-  }
+
+  /** Encoded distinct words under the BPE-frequency-derived inventory. */
+  private[pipeline] def encodedWords(spark: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    encodedWordsWith(spark, d,
+      costTable(spark, d).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1),
+      maxLenOpt = None)
 
   // ===== unigram-LM EM TRAINING (r15 verdict "what's missing" #3) =======
   //
@@ -332,9 +339,52 @@ object UnigramQueries {
 
     QueryDef(
       "q_unigram_encode",
-      s"""WITH RECURSIVE v AS (SELECT piece, cost FROM ${graft.OracleStage.pq("unigram_costs")}),
-         |mx AS (SELECT MAX(len(piece)) AS m FROM v),
-         |corpus AS (
+      encodeSql("unigram_costs", "SELECT MAX(len(piece)) AS m FROM v")) {
+      (spark, d) => encodeGateFrame(spark, d, encodedWords(spark, d))
+    },
+
+    // ----- encode served from the EM-TRAINED vocabulary -----------------
+    // The train→persist→serve composition for tokenizer family #4 (the
+    // q_bpe_encode_deep discipline): the final EM pass's cost table is a
+    // PERSISTED artifact (footer-digest keyed — serving never re-runs the
+    // EM loop), and the OOV corpus is segmented under it. The tie-packing
+    // maxLen is pinned at MaxPieceLen on both engines, matching the
+    // trainer. Differs from q_unigram_encode in the inventory (38 pieces
+    // shaped by EM + pruning vs the BPE-frequency-derived table), so the
+    // two gates pin different segmentations of the same corpus.
+    QueryDef(
+      "q_unigram_encode_em",
+      encodeSql("unigram_em_costs", s"SELECT $MaxPieceLen AS m")) {
+      (spark, d) =>
+        val costs = graft.OracleStage.stage("unigram_em_costs",
+            emCostTable(spark, d)).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+        encodeGateFrame(spark, d,
+          encodedWordsWith(spark, d, costs, Some(MaxPieceLen)))
+    })
+
+  /** The persisted final-pass EM cost table — trained at most once per
+    * (corpus digest, EM params) across JVMs; the serving gate reads it.
+    */
+  private[pipeline] def emCostTable(spark: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    BpeQueries.BpeVocabStore.artifact(spark, d,
+        s"uniem_p${Passes}_s${SeedMulti}_f${PruneFrom}_k$PrunePerPass") {
+      import spark.implicits._
+      val (_, costRows) = emTrain(spark, d)
+      costRows.filter(_._1 == Passes - 1)
+        .map { case (_, p, c) => (p, c) }.toDF("piece", "cost")
+    }
+
+  /** Shared oracle SQL for both encode gates: recursive Viterbi dp +
+    * backtrace over the staged `(piece, cost)` table `staged`, with the
+    * tie-packing max length supplied by `mxSql` (dynamic for the
+    * BPE-derived inventory, pinned at [[MaxPieceLen]] for the EM one).
+    */
+  private def encodeSql(staged: String, mxSql: String): String =
+    s"""WITH RECURSIVE v AS (SELECT piece, cost FROM ${graft.OracleStage.pq(staged)}),
+       |mx AS ($mxSql),
+       |corpus AS (
          |  SELECT grp, w AS word FROM (
          |    SELECT source AS grp, unnest($toksSql) AS w
          |    FROM documents WHERE source <> '$TrainSource') x
@@ -398,34 +448,40 @@ object UnigramQueries {
          |SELECT 'top:' || piece AS grp, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
          |       cnt, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          |FROM top_piece
-         |ORDER BY grp""".stripMargin) { (spark, d) =>
-      import graft.operators.Checkpoints.StableOps
-      val seg = encodedWords(spark, d)
-        .select(col("word"), col("pieces"), col("unk"), col("cost"),
-          size(col("pieces")).cast("long").as("n_sub"))
-      // ONE corpus pass to (grp, word, cnt) — map-side-combinable,
-      // vocabulary-bounded — then the bounded join is checkpointed for
-      // its two consumers (the WordPiece gate's shape)
-      val j = encodeCorpus(spark, d).groupBy("grp", "word")
-        .agg(count(lit(1)).as("cnt"))
-        .join(broadcast(seg), "word")
-        .stableCheckpoint()
-      val perGrp = j.groupBy("grp")
-        .agg(sum("cnt").as("n_words"),
-          sum(when(col("unk"), col("cnt")).otherwise(0L)).as("n_unk_words"),
-          sum(col("cnt") * col("n_sub")).as("n_pieces"),
-          sum(col("cnt") * col("cost")).as("cost_sum"))
-        .select(col("grp"), col("n_words"), col("n_unk_words"), col("n_pieces"),
-          col("cost_sum"),
-          expr("(n_pieces * 1000) DIV n_words").as("pieces_per_word_x1k"))
-      val topPiece = j.select(col("cnt"), explode(col("pieces")).as("piece"))
-        .filter(length(col("piece")) >= 2 && col("piece") =!= "[UNK]")
-        .groupBy("piece").agg(sum("cnt").as("cnt"))
-        .orderBy(col("cnt").desc, col("piece")).limit(5)
-        .select(concat(lit("top:"), col("piece")).as("grp"),
-          lit(0L).as("n_words"), lit(0L).as("n_unk_words"),
-          col("cnt").as("n_pieces"), lit(0L).as("cost_sum"),
-          lit(0L).as("pieces_per_word_x1k"))
-      perGrp.unionByName(topPiece).orderBy("grp")
-    })
+         |ORDER BY grp""".stripMargin
+
+  /** Shared Spark tail for both encode gates: ONE corpus pass to
+    * (grp, word, cnt) — map-side-combinable, vocabulary-bounded — then
+    * the bounded join is checkpointed for its two consumers (the
+    * WordPiece gate's shape).
+    */
+  private def encodeGateFrame(spark: org.apache.spark.sql.SparkSession,
+      d: String, encoded: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.operators.Checkpoints.StableOps
+    val seg = encoded
+      .select(col("word"), col("pieces"), col("unk"), col("cost"),
+        size(col("pieces")).cast("long").as("n_sub"))
+    val j = encodeCorpus(spark, d).groupBy("grp", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(seg), "word")
+      .stableCheckpoint()
+    val perGrp = j.groupBy("grp")
+      .agg(sum("cnt").as("n_words"),
+        sum(when(col("unk"), col("cnt")).otherwise(0L)).as("n_unk_words"),
+        sum(col("cnt") * col("n_sub")).as("n_pieces"),
+        sum(col("cnt") * col("cost")).as("cost_sum"))
+      .select(col("grp"), col("n_words"), col("n_unk_words"), col("n_pieces"),
+        col("cost_sum"),
+        expr("(n_pieces * 1000) DIV n_words").as("pieces_per_word_x1k"))
+    val topPiece = j.select(col("cnt"), explode(col("pieces")).as("piece"))
+      .filter(length(col("piece")) >= 2 && col("piece") =!= "[UNK]")
+      .groupBy("piece").agg(sum("cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("piece")).limit(5)
+      .select(concat(lit("top:"), col("piece")).as("grp"),
+        lit(0L).as("n_words"), lit(0L).as("n_unk_words"),
+        col("cnt").as("n_pieces"), lit(0L).as("cost_sum"),
+        lit(0L).as("pieces_per_word_x1k"))
+    perGrp.unionByName(topPiece).orderBy("grp")
+  }
 }

@@ -32,6 +32,22 @@ class IvfPqServeSpec extends SparkSpec {
     assert(!p.substring(adcAgg).contains("SortMergeJoin"), p.take(4000))
   }
 
+  test("batched serving: zero Lloyd stages, bounded kminBy shortlists, per-query windows only") {
+    val df = IvfPqServeQueries.serveBatch(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("bpe_vocab"), p.take(4000))
+    assert(!p.contains("min(struct(dist"), p.take(4000))
+    // ADC shortlist and refine top-k ride the bounded kminBy aggregate
+    // (AQE prints stage subtrees twice: >=, not ==)
+    assert("partial_kminby".r.findAllIn(p).size >= 2, p.take(4000))
+    // every window partitions per query (the coarse probe over nlists
+    // rows) — a batched serving plan has NO unpartitioned window
+    val partitioned = "windowspecdefinition\\(query_id#"
+    assert("windowspecdefinition\\(".r.findAllIn(p).size ==
+      partitioned.r.findAllIn(p).size, p.take(4000))
+  }
+
   test("the index trains at most once: a second execution serves from the store") {
     IvfPqServeQueries.serve(spark, d).collect()
     val before = BpeQueries.BpeVocabStore.trainRuns

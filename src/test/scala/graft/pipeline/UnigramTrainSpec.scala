@@ -130,6 +130,29 @@ class UnigramTrainSpec extends SparkSpec {
         s"prune pass $t kept too much: ${nm(t - 1)} -> ${nm(t)}")
   }
 
+  test("EM-encode serves from the persisted store and round-trips every word") {
+    // first call may train+persist; the second must read the store
+    graft.SparkEntry.queries("q_unigram_encode_em")(spark, d).collect()
+    val before = BpeQueries.BpeVocabStore.trainRuns
+    val rows = graft.SparkEntry.queries("q_unigram_encode_em")(spark, d).collect()
+    assert(rows.nonEmpty)
+    assert(BpeQueries.BpeVocabStore.trainRuns == before,
+      "second EM-encode re-ran the EM loop")
+    // round-trip identity: every non-UNK segmentation concatenates back
+    val costs = UnigramQueries.emCostTable(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val segs = UnigramQueries.encodedWordsWith(spark, d, costs, Some(MaxLen))
+      .collect()
+    assert(segs.nonEmpty)
+    segs.foreach { r =>
+      if (!r.getBoolean(2))
+        assert(r.getSeq[String](1).mkString == r.getString(0),
+          s"round-trip broke for ${r.getString(0)}")
+    }
+    // the persisted final table IS the replay's final pass
+    assert(costs == replay._2.last.toSeq.sortBy(_._1))
+  }
+
   test("every pass's segmentation is DP-optimal: cost <= the all-chars cost") {
     val (stats, tables) = replay
     for (t <- 0 until Passes) {
