@@ -26,6 +26,7 @@ object SparkEntry {
       pipeline.CorpusPipeline.defs ++
       pipeline.CorpusStatsQueries.defs ++
       pipeline.RetrievalQueries.defs ++
+      pipeline.RetrievalEvalQueries.defs ++
       pipeline.PcaQueries.defs ++
       pipeline.BpeQueries.defs ++
       pipeline.BpeOovQueries.defs ++
