@@ -37,6 +37,7 @@ object SparkEntry {
       pipeline.SelectionQueries.defs ++
       pipeline.PerceptronQueries.defs ++
       pipeline.LinearProbeQueries.defs ++
+      pipeline.InfluenceQueries.defs ++
       pipeline.IncrementalIvfQueries.defs ++
       pipeline.PropagateQueries.defs ++
       pipeline.EvalQueries.defs ++
