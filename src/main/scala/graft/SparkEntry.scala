@@ -21,6 +21,7 @@ object SparkEntry {
       pipeline.TextPipelineQueries.defs ++
       pipeline.DedupQueries.defs ++
       pipeline.SimilarityQueries.defs ++
+      pipeline.SemanticDeconQueries.defs ++
       pipeline.IvfPqServeQueries.defs ++
       pipeline.Multimodal.defs ++
       pipeline.CorpusPipeline.defs ++
