@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.QueryDef
 import graft.analytics.Tables
+import graft.operators.Checkpoints.StableOps
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
@@ -557,6 +558,113 @@ object Multimodal {
           expr("(n * 1000) DIV rate").as("duration_ms"),
           col("energy"), col("peak_amp"), col("n_silent_windows"))
         .orderBy("doc_id")
+    },
+
+    // ----- Perceptual-hash image near-dup (aHash + Hamming banding) -----
+    // The image-modality dedup face: re-encoded / re-saved copies of an
+    // image keep their pixels, so a 64-bit average hash over the decoded
+    // 8×8 thumbnail (bit i = pixel i above the integer mean) collides for
+    // copies and stays within a few bits for light edits. Fixture: one
+    // REAL 16×16 gray PNG per document (pixels = the doc's UTF-8 bytes
+    // cycled — exact-duplicate texts become exact-duplicate images, the
+    // corpus's planted dup groups), decoded by [[ImageCodec]] and
+    // thumbnailed through the same resize the decode gate exercises.
+    //
+    // Scale shape: hashing is map-side (decode once per row in
+    // mapPartitions, then pure Catalyst array folds over the 64 staged
+    // thumbnail bytes); candidate pairs come from 4×16-bit Hamming bands
+    // (pigeonhole: Hamming ≤ 3 ⇒ some band equal; ≤ 6 caught with high
+    // probability) through the SAME skew-guarded boundedBucketPairs the
+    // LSH dedup family uses — never an n² self-join; the rescore is a
+    // pair-keyed join + two popcounts. Thumbnails and candidates are
+    // staged; the oracle recomputes px → mean → both hash words → the
+    // Hamming rescore from the staged hex, so the whole perceptual
+    // pipeline after the decode hash-gates cross-engine.
+    QueryDef(
+      "q_multimodal_ahash",
+      s"""WITH px AS (SELECT doc_id,
+         |             list_transform(generate_series(0, 63),
+         |               i -> CAST(('0x' || substr(thumb_hex, 1 + 2*i, 2)) AS BIGINT)) AS px
+         |      FROM ${graft.OracleStage.pq("thumbs_ahash")}),
+         |hm AS (SELECT doc_id, px, CAST(list_sum(px) AS BIGINT) // 64 AS m FROM px),
+         |h AS (SELECT doc_id,
+         |             CAST(list_sum(list_transform(generate_series(0, 31),
+         |               i -> CASE WHEN px[i+1] > m THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS lo,
+         |             CAST(list_sum(list_transform(generate_series(32, 63),
+         |               i -> CASE WHEN px[i+1] > m THEN (CAST(1 AS BIGINT) << (i-32)) ELSE 0 END)) AS BIGINT) AS hi
+         |      FROM hm),
+         |c AS (SELECT doc_a, doc_b FROM ${graft.OracleStage.pq("cands_ahash")})
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+         |FROM c JOIN h a ON a.doc_id = c.doc_a JOIN h b ON b.doc_id = c.doc_b
+         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val thumbs = ahashThumbs(fixedPngs16(Tables.documents(s, d)))
+      val staged = graft.OracleStage.stage("thumbs_ahash",
+        thumbs.select(col("doc_id"), hex(col("thumb")).as("thumb_hex")))
+
+      // hash words from the STAGED hex — pure Catalyst folds, map-side
+      val hashed = staged.select(col("doc_id"), expr(
+          "transform(sequence(0, 63), i -> CAST(conv(substring(thumb_hex, 1 + 2*i, 2), 16, 10) AS BIGINT))")
+          .as("px"))
+        .withColumn("m", expr("aggregate(px, 0L, (a, x) -> a + x) DIV 64"))
+        .select(col("doc_id"),
+          expr("aggregate(sequence(0, 31), 0L, (a, i) -> a + IF(element_at(px, i+1) > m, shiftleft(1L, i), 0L))").as("lo"),
+          expr("aggregate(sequence(32, 63), 0L, (a, i) -> a + IF(element_at(px, i+1) > m, shiftleft(1L, i-32), 0L))").as("hi"))
+        .stableCheckpoint() // banding + both rescore sides read it
+
+      val banded = hashed.select(col("doc_id"), posexplode(expr(
+          "array(lo & 65535, shiftright(lo, 16) & 65535, hi & 65535, shiftright(hi, 16) & 65535)"))
+        .as(Seq("band_id", "band_key")))
+      val cands = graft.OracleStage.stage("cands_ahash",
+        LshBlocking.boundedBucketPairs(banded, Seq("band_id", "band_key"), "doc_id")
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+
+      cands
+        .join(hashed.select(col("doc_id").as("doc_a"),
+          col("lo").as("lo_a"), col("hi").as("hi_a")), "doc_a")
+        .join(hashed.select(col("doc_id").as("doc_b"),
+          col("lo").as("lo_b"), col("hi").as("hi_b")), "doc_b")
+        .withColumn("hamming",
+          expr("CAST(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) AS BIGINT)"))
+        .filter(col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     }
   )
+
+  /** Fixed-dim REAL-PNG fixture: a 16×16 gray8 PNG per doc, pixels = the
+    * doc's UTF-8 bytes cycled — identical texts yield identical images.
+    */
+  private def fixedPngs16(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("png", BinaryType, nullable = false)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    docs.select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val tb = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+        val px = Array.tabulate(256)(i =>
+          if (tb.isEmpty) (i & 0xFF).toByte else tb(i % tb.length))
+        Row(id, ImageCodec.encodeGrayPng(16, 16, px))
+      }
+    }
+  }
+
+  /** Real decode → 8×8 nearest thumbnail (decoder init once per partition;
+    * rows stream through — the processMedia lifecycle).
+    */
+  private def ahashThumbs(pngs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("thumb", BinaryType, nullable = false)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    pngs.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = ImageCodec.decodeGrayPng(r.get(1).asInstanceOf[Array[Byte]])
+        Row(r.getLong(0), ImageCodec.resizeNearest(px, w, h, 8, 8))
+      }
+    }
+  }
 }
