@@ -48,6 +48,48 @@ object ProfileQueries {
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")
     },
 
+    // ----- l-diversity audit (Machanavajjhala et al. 2007) -----
+    // k-anonymity's blind spot: a class can be large (k-safe) yet have
+    // every member share one SENSITIVE value — membership alone then
+    // discloses it (the homogeneity attack). Equivalence classes here are
+    // the quasi-identifier pair (nation, coarse balance band); the
+    // sensitive attribute is the market segment. A class fails distinct
+    // l-diversity (l = 3) when it holds fewer than 3 distinct segments;
+    // the top-value share (×1000) quantifies how close it sits to
+    // homogeneous. Two stacked map-side-combined aggregates — per-(class,
+    // value) then per-class — so the shape is domain-bounded regardless
+    // of row count, like q_kanonymity.
+    QueryDef(
+      "q_ldiversity",
+      """WITH cv AS (SELECT c_nationkey,
+        |                   CAST(FLOOR(c_acctbal/5000) AS BIGINT) AS bal_band,
+        |                   c_mktsegment, COUNT(*) AS n
+        |            FROM customer GROUP BY 1, 2, 3),
+        |cls AS (SELECT c_nationkey, bal_band,
+        |               CAST(SUM(n) AS BIGINT) AS class_size,
+        |               CAST(COUNT(*) AS BIGINT) AS n_distinct_sensitive,
+        |               CAST(MAX(n) AS BIGINT) AS top_cnt
+        |        FROM cv GROUP BY 1, 2)
+        |SELECT c_nationkey, bal_band, class_size, n_distinct_sensitive,
+        |       top_cnt, top_cnt * 1000 // class_size AS top_permille
+        |FROM cls WHERE n_distinct_sensitive < 3
+        |ORDER BY c_nationkey, bal_band""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"),
+          floor(col("c_acctbal") / 5000).cast("long").as("bal_band"),
+          col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("c_nationkey", "bal_band")
+        .agg(sum("n").as("class_size"),
+          count(lit(1)).as("n_distinct_sensitive"),
+          max("n").as("top_cnt"))
+        .filter(col("n_distinct_sensitive") < 3)
+        .select(col("c_nationkey"), col("bal_band"), col("class_size"),
+          col("n_distinct_sensitive"), col("top_cnt"),
+          expr("top_cnt * 1000 DIV class_size").as("top_permille"))
+        .orderBy("c_nationkey", "bal_band")
+    },
+
     // ----- snapshot diff (state drift between two as-of frontiers) -----
     // The versioned-store audit: reduce the event feed to latest-state-per-
     // key at two frontiers, then FULL OUTER join on the key and keep only
