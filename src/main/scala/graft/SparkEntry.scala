@@ -22,6 +22,7 @@ object SparkEntry {
       pipeline.DedupQueries.defs ++
       pipeline.SimilarityQueries.defs ++
       pipeline.SemanticDeconQueries.defs ++
+      pipeline.EmbeddingClusterQueries.defs ++
       pipeline.IvfPqServeQueries.defs ++
       pipeline.Multimodal.defs ++
       pipeline.CorpusPipeline.defs ++
