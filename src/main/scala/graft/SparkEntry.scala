@@ -23,6 +23,7 @@ object SparkEntry {
       pipeline.SimilarityQueries.defs ++
       pipeline.SemanticDeconQueries.defs ++
       pipeline.EmbeddingClusterQueries.defs ++
+      pipeline.TripletQueries.defs ++
       pipeline.IvfPqServeQueries.defs ++
       pipeline.Multimodal.defs ++
       pipeline.CorpusPipeline.defs ++
