@@ -86,8 +86,15 @@ object InfluenceQueries {
 
     // ----- TracIn-style influence: top-25 helpful + top-25 harmful -----
     QueryDef("q_influence_scores", oracleSql) { (spark, d) =>
+      influenceOf(spark, Tables.embeddings(spark, d))
+    })
+
+  /** The full attribution pipeline over an explicit embeddings frame —
+    * shared by the gate and the ×10 scale probe.
+    */
+  private[graft] def influenceOf(spark: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       import spark.implicits._
-      val e = Tables.embeddings(spark, d)
       val y = SimilarityQueries.kmeansAssignments(e, k = 8)
         .select(col("vec_id"),
           when(col("cluster") === 0, 1L).otherwise(-1L).as("y"))
@@ -139,5 +146,5 @@ object InfluenceQueries {
             .orderBy(col("infl").asc, col("vec_id"))).cast("long"))
         .select(lit("harmful").as("kind"), col("rnk"), col("vec_id"), col("infl"))
       help.union(harm).orderBy("kind", "rnk")
-    })
+  }
 }

@@ -599,7 +599,15 @@ object Multimodal {
          |FROM c JOIN h a ON a.doc_id = c.doc_a JOIN h b ON b.doc_id = c.doc_b
          |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val thumbs = ahashThumbs(fixedPngs16(Tables.documents(s, d)))
+      ahashPairs(Tables.documents(s, d))
+    }
+  )
+
+  /** The full perceptual-dedup pipeline over an explicit (doc_id, text)
+    * frame — shared by the gate and the ×10 scale probe.
+    */
+  private[graft] def ahashPairs(docs: DataFrame): DataFrame = {
+      val thumbs = ahashThumbs(fixedPngs16(docs))
       val staged = graft.OracleStage.stage("thumbs_ahash",
         thumbs.select(col("doc_id"), hex(col("thumb")).as("thumb_hex")))
 
@@ -630,8 +638,7 @@ object Multimodal {
         .filter(col("hamming") <= 6)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
-    }
-  )
+  }
 
   /** Fixed-dim REAL-PNG fixture: a 16×16 gray8 PNG per doc, pixels = the
     * doc's UTF-8 bytes cycled — identical texts yield identical images.

@@ -137,8 +137,16 @@ object RetrievalEvalQueries {
          |       CAST(CASE WHEN n3 = 0 THEN 0
          |                 ELSE hit3 * 1000 // n3 END AS BIGINT) AS recall3_permille
          |FROM j ORDER BY query_id""".stripMargin) { (s, d) =>
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      metricsOf(Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks")))
+    })
+
+  /** The full eval pipeline over an explicit (doc_id, toks) corpus —
+    * shared by the gate and the ×10 scale probe (corpus grows, the
+    * 100-query batch stays pinned to base doc ids 1..100).
+    */
+  private[graft] def metricsOf(t: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       // judgments: distinct term presence joined to the broadcast query
       // terms — the same pruned-postings exchange shape as the lexical arm
       val qt = RetrievalQueries.batchQueryTerms(t).stableCheckpoint()
@@ -191,5 +199,5 @@ object RetrievalEvalQueries {
           expr("CASE WHEN n3 = 0 THEN 0L ELSE hit3 * 1000 DIV n3 END")
             .as("recall3_permille"))
         .orderBy("query_id")
-    })
+  }
 }

@@ -77,38 +77,46 @@ object SemanticDeconQueries {
         .union(e.filter(col("vec_id") % PlantEvery === 0 &&
             col("vec_id") % HoldEvery =!= 0)
           .select((col("vec_id") + PlantBase).as("eval_id"), col("embedding")))
-
       // banding sized on the base-table metadata count (the corpus is a
       // ~99% slice of it); ≤1024 vectors → the original 10×3 bands
-      val (bits, bands) = SimilarityQueries.adaptiveBanding(e.count())
-      def banded(df: DataFrame, idCol: String) = df.select(col(idCol),
-        posexplode(SimilarityQueries.rpBandKeys(col("embedding"),
-          bands = bands, rowsPerBand = bits)).as(Seq("band_id", "band_key")))
-
-      // corpus bands are a map-side expression; the banded eval set is
-      // broadcast (benchmark-sized) — the corpus never shuffles
-      val cands = banded(corpus, "vec_id")
-        .join(broadcast(banded(eval, "eval_id")), Seq("band_id", "band_key"))
-        .select("vec_id", "eval_id").distinct()
-      val staged = graft.OracleStage.stage("cands_semdecon", cands)
-
-      val evalVecs = eval.select(col("eval_id"),
-        col("embedding").as("ee"), norm(col("embedding")).as("ne"))
-      val scored = staged
-        .join(corpus.select(col("vec_id"), col("embedding").as("ec"),
-          norm(col("embedding")).as("nc")), "vec_id")
-        .join(broadcast(evalVecs), "eval_id")
-        .withColumn("cos", dot(col("ec"), col("ee")) / (col("nc") * col("ne")))
-        .filter(round(col("cos"), 9) >= Tau)
-        .select(col("vec_id"), col("eval_id"),
-          round(col("cos") * 1000000000L, 0).cast("long").as("cos_x1e9"))
-
-      scored.groupBy("vec_id")
-        .agg(count(lit(1)).as("n_hits"),
-          KMinAgg.kminBy(-col("cos_x1e9"), col("eval_id"), 1).as("mins"))
-        .select(col("vec_id"), col("n_hits"),
-          col("mins")(0).getField("id").as("top_eval_id"),
-          (-col("mins")(0).getField("h")).as("max_cos_x1e9"))
-        .orderBy("vec_id")
+      flaggedFrom(corpus, eval, e.count(), stage = Some("cands_semdecon"))
     })
+
+  /** The full decontamination pipeline over explicit corpus/eval frames —
+    * shared by the gate and the ×10 scale probe (which grows the corpus
+    * against a FIXED eval set, the production axis).
+    */
+  private[graft] def flaggedFrom(corpus: DataFrame, eval: DataFrame,
+      bandSizeN: Long, stage: Option[String] = None): DataFrame = {
+    val (bits, bands) = SimilarityQueries.adaptiveBanding(bandSizeN)
+    def banded(df: DataFrame, idCol: String) = df.select(col(idCol),
+      posexplode(SimilarityQueries.rpBandKeys(col("embedding"),
+        bands = bands, rowsPerBand = bits)).as(Seq("band_id", "band_key")))
+
+    // corpus bands are a map-side expression; the banded eval set is
+    // broadcast (benchmark-sized) — the corpus never shuffles
+    val cands0 = banded(corpus, "vec_id")
+      .join(broadcast(banded(eval, "eval_id")), Seq("band_id", "band_key"))
+      .select("vec_id", "eval_id").distinct()
+    val cands = stage.map(graft.OracleStage.stage(_, cands0)).getOrElse(cands0)
+
+    val evalVecs = eval.select(col("eval_id"),
+      col("embedding").as("ee"), norm(col("embedding")).as("ne"))
+    val scored = cands
+      .join(corpus.select(col("vec_id"), col("embedding").as("ec"),
+        norm(col("embedding")).as("nc")), "vec_id")
+      .join(broadcast(evalVecs), "eval_id")
+      .withColumn("cos", dot(col("ec"), col("ee")) / (col("nc") * col("ne")))
+      .filter(round(col("cos"), 9) >= Tau)
+      .select(col("vec_id"), col("eval_id"),
+        round(col("cos") * 1000000000L, 0).cast("long").as("cos_x1e9"))
+
+    scored.groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"),
+        KMinAgg.kminBy(-col("cos_x1e9"), col("eval_id"), 1).as("mins"))
+      .select(col("vec_id"), col("n_hits"),
+        col("mins")(0).getField("id").as("top_eval_id"),
+        (-col("mins")(0).getField("h")).as("max_cos_x1e9"))
+      .orderBy("vec_id")
+  }
 }

@@ -57,7 +57,15 @@ object TripletQueries {
          |       pos_cos_x1e9 - neg_cos_x1e9 AS margin_x1e9
          |FROM pos JOIN neg USING (aid)
          |ORDER BY anchor_id""".stripMargin) { (s, d) =>
-      val e = Tables.embeddings(s, d)
+      tripletsOf(Tables.embeddings(s, d))
+    })
+
+  /** The full mining pipeline over an explicit embeddings frame — shared
+    * by the gate and the ×10 scale probe (corpus grows, anchor batch
+    * stays the fixed 20 ids).
+    */
+  private[graft] def tripletsOf(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       // assignments feed the anchor table AND the corpus side — run the
       // Lloyd rounds once
       val asg = SimilarityQueries.kmeansAssignments(e, k = 8)
@@ -92,5 +100,5 @@ object TripletQueries {
           (-col("neg")(0).getField("h")).as("neg_cos_x1e9"))
         .withColumn("margin_x1e9", col("pos_cos_x1e9") - col("neg_cos_x1e9"))
         .orderBy("anchor_id")
-    })
+  }
 }
