@@ -20,6 +20,7 @@ object SparkEntry {
       analytics.LayoutQueries.defs ++
       pipeline.TextPipelineQueries.defs ++
       pipeline.DedupQueries.defs ++
+      pipeline.ContainmentQueries.defs ++
       pipeline.SimilarityQueries.defs ++
       pipeline.SemanticDeconQueries.defs ++
       pipeline.EmbeddingClusterQueries.defs ++
