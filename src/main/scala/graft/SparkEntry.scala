@@ -21,6 +21,7 @@ object SparkEntry {
       pipeline.TextPipelineQueries.defs ++
       pipeline.DedupQueries.defs ++
       pipeline.ContainmentQueries.defs ++
+      pipeline.FirstWinsDedupQueries.defs ++
       pipeline.SimilarityQueries.defs ++
       pipeline.SemanticDeconQueries.defs ++
       pipeline.EmbeddingClusterQueries.defs ++
