@@ -33,6 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bytecode (md5/conv/bin chains) intermittently run interpreted at
   // 15× the CPU (q_distinct_hll measured 18 vs 290 process-CPU-s on the
   // SAME plan). Size the cache for the suite and keep flushing on.
+  // (r16 note: a q_pagerank wall spike at 252 queries was chased to a 2g
+  // cache hypothesis and DISPROVEN — process-CPU was the same under 1g
+  // and 2g, and the spike tracked the documented ambient slow band, so
+  // the pin stays at 1g.)
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
   // Same pathology, second layer: Spark's generated-class cache holds 100
