@@ -139,14 +139,89 @@ object RetrievalEvalQueries {
          |FROM j ORDER BY query_id""".stripMargin) { (s, d) =>
       metricsOf(Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("toks")))
+    },
+
+    // ----- The same metrics over the FUSED hybrid ranking -----
+    // Evaluates the actual serving face (q_hybrid_rrf_batch's RRF fusion
+    // of BM25 + dense cosine) against the same term-overlap judgments —
+    // the A/B readout a ranking change ships or dies by. The dense arm
+    // can surface docs sharing NO query term (rel = 0, gain 0), so the
+    // hybrid's nDCG measures what fusion actually costs/buys under a
+    // lexical judgment set; the rank under the discount is the FUSED rank.
+    QueryDef(
+      "q_eval_retrieval_hybrid",
+      s"""WITH ${RetrievalQueries.hybridBatchCtes},
+         |sys AS (SELECT query_id, doc_id, rn AS r FROM top WHERE rn <= $K),
+         |pres AS (SELECT qt.query_id, dt.doc_id, CAST(COUNT(*) AS BIGINT) AS rel
+         |         FROM (SELECT DISTINCT doc_id, term FROM tok) dt
+         |         JOIN qt USING (term)
+         |         WHERE dt.doc_id <> qt.query_id
+         |         GROUP BY 1, 2),
+         |gc AS (SELECT query_id,
+         |              CAST(SUM(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |              CAST(SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |              CAST(SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+         |       FROM pres GROUP BY 1),
+         |rk AS (SELECT sys.query_id, sys.doc_id, sys.r,
+         |              COALESCE(pres.rel, 0) AS rel
+         |       FROM sys LEFT JOIN pres
+         |         ON sys.query_id = pres.query_id AND sys.doc_id = pres.doc_id),
+         |m AS (SELECT query_id,
+         |             CAST(SUM(($gainCase) * (${discCase("r")})) AS BIGINT) AS dcg_x1m,
+         |             CAST(COALESCE(MIN(CASE WHEN rel >= 2 THEN r END), 0) AS BIGINT) AS rank_rel2,
+         |             CAST(SUM(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hit3
+         |      FROM rk GROUP BY 1),
+         |j AS (SELECT gc.query_id, gc.n3, gc.n2, gc.n1,
+         |             COALESCE(m.dcg_x1m, 0) AS dcg_x1m,
+         |             COALESCE(m.rank_rel2, 0) AS rank_rel2,
+         |             COALESCE(m.hit3, 0) AS hit3,
+         |             (7 * (${pfxCase("gc.n3")})
+         |              + 3 * ((${pfxCase("gc.n3 + gc.n2")}) - (${pfxCase("gc.n3")}))
+         |              + 1 * ((${pfxCase("gc.n3 + gc.n2 + gc.n1")})
+         |                     - (${pfxCase("gc.n3 + gc.n2")}))) AS idcg_x1m
+         |      FROM gc LEFT JOIN m ON gc.query_id = m.query_id)
+         |SELECT query_id, n3, n2, n1, dcg_x1m, CAST(idcg_x1m AS BIGINT) AS idcg_x1m,
+         |       CAST(CASE WHEN idcg_x1m = 0 THEN 0
+         |                 ELSE dcg_x1m * 1000 // idcg_x1m END AS BIGINT) AS ndcg_permille,
+         |       rank_rel2,
+         |       CAST(CASE WHEN rank_rel2 = 0 THEN 0
+         |                 ELSE 1000000 // rank_rel2 END AS BIGINT) AS rr_x1m,
+         |       hit3,
+         |       CAST(CASE WHEN n3 = 0 THEN 0
+         |                 ELSE hit3 * 1000 // n3 END AS BIGINT) AS recall3_permille
+         |FROM j ORDER BY query_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val top = RetrievalQueries.hybridBatchFused(t, Tables.embeddings(s, d))
+        .filter(col("rn") <= K)
+        .select(col("query_id"), col("doc_id"), col("rn").cast("long").as("r"))
+      metricsOfRanking(t, top)
     })
 
-  /** The full eval pipeline over an explicit (doc_id, toks) corpus —
-    * shared by the gate and the ×10 scale probe (corpus grows, the
-    * 100-query batch stays pinned to base doc ids 1..100).
+  /** The full eval pipeline over an explicit (doc_id, toks) corpus with
+    * the BM25 arm as the system under test — shared by the gate and the
+    * ×10 scale probe (corpus grows, the 100-query batch stays pinned to
+    * base doc ids 1..100).
     */
   private[graft] def metricsOf(t: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+      // system ranking: the registered batched BM25 arm, bounded top-10
+      // per query via kminBy — never a corpus-sized window
+      val top = RetrievalQueries.batchLexScores(t)
+        .groupBy("query_id")
+        .agg(KMinAgg.kminBy(-col("score_x1m"), col("doc_id"), K).as("mins"))
+        .select(col("query_id"), posexplode(col("mins")))
+        .select(col("query_id"), col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("long").as("r"))
+      metricsOfRanking(t, top)
+  }
+
+  /** Judgments + metrics over ANY per-query (query_id, doc_id, r ≤ K)
+    * system ranking — the ranking under test is a parameter, so the same
+    * metric fold evaluates the lexical arm and the fused hybrid face.
+    */
+  private[graft] def metricsOfRanking(t: org.apache.spark.sql.DataFrame,
+      top: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       // judgments: distinct term presence joined to the broadcast query
       // terms — the same pruned-postings exchange shape as the lexical arm
       val qt = RetrievalQueries.batchQueryTerms(t).stableCheckpoint()
@@ -160,15 +235,6 @@ object RetrievalEvalQueries {
         sum(when(col("rel") === 3, 1L).otherwise(0L)).as("n3"),
         sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n2"),
         sum(when(col("rel") === 1, 1L).otherwise(0L)).as("n1"))
-
-      // system ranking: the registered batched BM25 arm, bounded top-10
-      // per query via kminBy — never a corpus-sized window
-      val top = RetrievalQueries.batchLexScores(t)
-        .groupBy("query_id")
-        .agg(KMinAgg.kminBy(-col("score_x1m"), col("doc_id"), K).as("mins"))
-        .select(col("query_id"), posexplode(col("mins")))
-        .select(col("query_id"), col("col.id").as("doc_id"),
-          (col("pos") + 1).cast("long").as("r"))
 
       val rk = top.join(pres, Seq("query_id", "doc_id"), "left")
         .select(col("query_id"), col("r"),

@@ -223,102 +223,19 @@ object RetrievalQueries {
     // cosine gate already proves).
     QueryDef(
       "q_hybrid_rrf_batch",
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
-         |tf_all AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-         |qt AS (SELECT doc_id AS query_id, term FROM (
-         |         SELECT doc_id, term, tf,
-         |                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
-         |         FROM tf_all WHERE doc_id BETWEEN 1 AND $BatchQ)
-         |       WHERE rn <= $QueryTerms),
-         |tf AS (SELECT doc_id, term, tf FROM tf_all
-         |       WHERE term IN (SELECT DISTINCT term FROM qt)),
-         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
-         |gl AS (SELECT CAST(SUM(dl) AS BIGINT) AS l, COUNT(*) AS n FROM dl),
-         |contrib AS (
-         |  SELECT qt.query_id, tf.doc_id,
-         |         ((2*(gl.n - df.df) + 1) * 1000) // (2*df.df + 1) AS idf1k,
-         |         (22 * tf.tf * gl.l * 1000)
-         |           // (10*gl.l*tf.tf + 3*gl.l + 9*dl.dl*gl.n) AS tfn1k
-         |  FROM qt JOIN tf USING (term) JOIN df USING (term)
-         |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN gl
-         |  WHERE tf.doc_id <> qt.query_id),
-         |lex AS (SELECT query_id, doc_id, CAST(SUM(idf1k * tfn1k) AS BIGINT) AS score_x1m
-         |        FROM contrib GROUP BY 1, 2),
-         |lexr AS (SELECT query_id, doc_id,
-         |                ROW_NUMBER() OVER (PARTITION BY query_id
-         |                                   ORDER BY score_x1m DESC, doc_id) AS r
-         |         FROM lex QUALIFY r <= $K),
-         |qv AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-         |       WHERE vec_id BETWEEN 1 AND $BatchQ),
-         |dense AS (SELECT qv.query_id, e.vec_id AS doc_id,
-         |                 CAST(ROUND((${SimilarityQueries.cosSql("e.embedding", "qv")})
-         |                            * 1000000000) AS BIGINT) AS cos_x1e9
-         |          FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
-         |denser AS (SELECT query_id, doc_id,
-         |                  ROW_NUMBER() OVER (PARTITION BY query_id
-         |                                     ORDER BY cos_x1e9 DESC, doc_id) AS r
-         |           FROM dense QUALIFY r <= $K),
-         |fused AS (
-         |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
-         |         COALESCE(l.doc_id, d.doc_id) AS doc_id,
-         |         COALESCE(l.r, 0) AS r_lex,
-         |         COALESCE(d.r, 0) AS r_dense,
-         |         (CASE WHEN l.r IS NULL THEN 0 ELSE 1000000 // ($RrfK + l.r) END
-         |          + CASE WHEN d.r IS NULL THEN 0 ELSE 1000000 // ($RrfK + d.r) END)
-         |           AS rrf_x1m
-         |  FROM lexr l FULL OUTER JOIN denser d
-         |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
-         |top AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |                                     ORDER BY rrf_x1m DESC, doc_id) AS rn
-         |        FROM fused)
+      s"""WITH $hybridBatchCtes
          |SELECT query_id, doc_id, r_lex, r_dense, rrf_x1m
          |FROM top WHERE rn <= $Top
          |ORDER BY query_id, rrf_x1m DESC, doc_id""".stripMargin) { (s, d) =>
-      import graft.functions.KMinAgg
-
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-      val lex = batchLexScores(t)
-      // bounded per-query top-K: kminBy on (−score, doc) — never a
-      // corpus-sized sort or window
-      val lexr = lex.groupBy("query_id")
-        .agg(KMinAgg.kminBy(-col("score_x1m"), col("doc_id"), K).as("mins"))
-        .select(col("query_id"), posexplode(col("mins")))
-        .select(col("query_id"), col("col.id").as("doc_id"),
-          (col("pos") + 1).cast("long").as("r_lex"))
-
-      val e = Tables.embeddings(s, d)
-      val qv = broadcast(e.filter(col("vec_id").between(1, BatchQ))
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-          norm(col("embedding")).as("nq")))
-      val denser = e.withColumn("na", norm(col("embedding")))
-        .crossJoin(qv).filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("doc_id"),
-          round(dot(col("embedding"), col("qv")) / (col("na") * col("nq"))
-            * 1000000000L, 0).cast("long").as("cos_x1e9"))
-        .groupBy("query_id")
-        .agg(KMinAgg.kminBy(-col("cos_x1e9"), col("doc_id"), K).as("mins"))
-        .select(col("query_id"), posexplode(col("mins")))
-        .select(col("query_id"), col("col.id").as("doc_id"),
-          (col("pos") + 1).cast("long").as("r_dense"))
-
-      val fused = lexr.join(denser, Seq("query_id", "doc_id"), "full_outer")
-        .select(col("query_id"), col("doc_id"),
-          coalesce(col("r_lex"), lit(0L)).as("r_lex"),
-          coalesce(col("r_dense"), lit(0L)).as("r_dense"),
-          (when(col("r_lex").isNull, 0L)
-            .otherwise(expr(s"CAST(1000000 DIV ($RrfK + r_lex) AS BIGINT)")) +
-           when(col("r_dense").isNull, 0L)
-            .otherwise(expr(s"CAST(1000000 DIV ($RrfK + r_dense) AS BIGINT)")))
-            .as("rrf_x1m"))
-      fused.withColumn("rn", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("rrf_x1m").desc, col("doc_id"))))
+      hybridBatchFused(
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks")),
+        Tables.embeddings(s, d))
         .filter(col("rn") <= Top)
         .select("query_id", "doc_id", "r_lex", "r_dense", "rrf_x1m")
         .orderBy(col("query_id"), col("rrf_x1m").desc, col("doc_id"))
     },
+
 
     // ----- MMR: diversified top-k (Carbonell & Goldstein 1998) -----
     // Post-retrieval diversification — the standard RAG re-rank that stops
@@ -406,6 +323,110 @@ object RetrievalQueries {
       sel.select("query_id", "step", "vec_id", "mmr_x1e10")
         .orderBy("query_id", "step")
     })
+
+
+  /** DuckDB CTE chain of the batched hybrid gate, ending in
+    * `top(query_id, doc_id, r_lex, r_dense, rrf_x1m, rn)` where `rn` is
+    * the FUSED rank — shared by the gate and the hybrid-ranking eval face.
+    */
+  // def, not val: `defs` above interpolates this during object init — a
+  // val defined below it would still be null at that point
+  private[graft] def hybridBatchCtes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |tf_all AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |qt AS (SELECT doc_id AS query_id, term FROM (
+         |         SELECT doc_id, term, tf,
+         |                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
+         |         FROM tf_all WHERE doc_id BETWEEN 1 AND $BatchQ)
+         |       WHERE rn <= $QueryTerms),
+         |tf AS (SELECT doc_id, term, tf FROM tf_all
+         |       WHERE term IN (SELECT DISTINCT term FROM qt)),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |gl AS (SELECT CAST(SUM(dl) AS BIGINT) AS l, COUNT(*) AS n FROM dl),
+         |contrib AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |         ((2*(gl.n - df.df) + 1) * 1000) // (2*df.df + 1) AS idf1k,
+         |         (22 * tf.tf * gl.l * 1000)
+         |           // (10*gl.l*tf.tf + 3*gl.l + 9*dl.dl*gl.n) AS tfn1k
+         |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+         |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN gl
+         |  WHERE tf.doc_id <> qt.query_id),
+         |lex AS (SELECT query_id, doc_id, CAST(SUM(idf1k * tfn1k) AS BIGINT) AS score_x1m
+         |        FROM contrib GROUP BY 1, 2),
+         |lexr AS (SELECT query_id, doc_id,
+         |                ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                   ORDER BY score_x1m DESC, doc_id) AS r
+         |         FROM lex QUALIFY r <= $K),
+         |qv AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |       WHERE vec_id BETWEEN 1 AND $BatchQ),
+         |dense AS (SELECT qv.query_id, e.vec_id AS doc_id,
+         |                 CAST(ROUND((${SimilarityQueries.cosSql("e.embedding", "qv")})
+         |                            * 1000000000) AS BIGINT) AS cos_x1e9
+         |          FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
+         |denser AS (SELECT query_id, doc_id,
+         |                  ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                     ORDER BY cos_x1e9 DESC, doc_id) AS r
+         |           FROM dense QUALIFY r <= $K),
+         |fused AS (
+         |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         |         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         |         COALESCE(l.r, 0) AS r_lex,
+         |         COALESCE(d.r, 0) AS r_dense,
+         |         (CASE WHEN l.r IS NULL THEN 0 ELSE 1000000 // ($RrfK + l.r) END
+         |          + CASE WHEN d.r IS NULL THEN 0 ELSE 1000000 // ($RrfK + d.r) END)
+         |           AS rrf_x1m
+         |  FROM lexr l FULL OUTER JOIN denser d
+         |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+         |top AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                     ORDER BY rrf_x1m DESC, doc_id) AS rn
+         |        FROM fused)""".stripMargin
+
+  /** The fused frame (query_id, doc_id, r_lex, r_dense, rrf_x1m, rn) over
+    * explicit (doc_id, toks) and embeddings inputs — the q_hybrid_rrf_batch
+    * pipeline up to (not including) the top-[[Top]] cut.
+    */
+  private[graft] def hybridBatchFused(t: org.apache.spark.sql.DataFrame,
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import graft.functions.KMinAgg
+
+      val lex = batchLexScores(t)
+      // bounded per-query top-K: kminBy on (−score, doc) — never a
+      // corpus-sized sort or window
+      val lexr = lex.groupBy("query_id")
+        .agg(KMinAgg.kminBy(-col("score_x1m"), col("doc_id"), K).as("mins"))
+        .select(col("query_id"), posexplode(col("mins")))
+        .select(col("query_id"), col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("long").as("r_lex"))
+
+      val qv = broadcast(e.filter(col("vec_id").between(1, BatchQ))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          norm(col("embedding")).as("nq")))
+      val denser = e.withColumn("na", norm(col("embedding")))
+        .crossJoin(qv).filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          round(dot(col("embedding"), col("qv")) / (col("na") * col("nq"))
+            * 1000000000L, 0).cast("long").as("cos_x1e9"))
+        .groupBy("query_id")
+        .agg(KMinAgg.kminBy(-col("cos_x1e9"), col("doc_id"), K).as("mins"))
+        .select(col("query_id"), posexplode(col("mins")))
+        .select(col("query_id"), col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("long").as("r_dense"))
+
+      val fused = lexr.join(denser, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+          coalesce(col("r_dense"), lit(0L)).as("r_dense"),
+          (when(col("r_lex").isNull, 0L)
+            .otherwise(expr(s"CAST(1000000 DIV ($RrfK + r_lex) AS BIGINT)")) +
+           when(col("r_dense").isNull, 0L)
+            .otherwise(expr(s"CAST(1000000 DIV ($RrfK + r_dense) AS BIGINT)")))
+            .as("rrf_x1m"))
+      fused.withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("rrf_x1m").desc, col("doc_id"))))
+
+  }
 
   /** MMR relevance shortlist: ×10⁹ fixed-point cosine of every corpus row
     * against the broadcast query batch, bounded kminBy top-[[MmrN]] per

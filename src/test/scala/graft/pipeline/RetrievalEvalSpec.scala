@@ -104,6 +104,52 @@ class RetrievalEvalSpec extends SparkSpec {
     }
   }
 
+  test("hybrid-face metrics equal a Scala fold over the hash-verified fused ranking") {
+    // system ranking = the registered (and independently hash-gated)
+    // q_hybrid_rrf_batch output; judgments replayed from raw text — so
+    // this pins the METRIC fold over a second, different ranking
+    val fused = graft.SparkEntry.queries("q_hybrid_rrf_batch")(spark, d)
+      .select("query_id", "doc_id", "rrf_x1m").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rows) =>
+        q -> rows.sortBy { case (_, id, s) => (-s, id) }.map(_._2).toSeq
+      }
+    val judged: Map[Long, Map[Long, Int]] = {
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+          .split("\\s+").filter(_.nonEmpty).toSeq).toMap
+      val terms: Map[Long, Seq[String]] = (1L to 100L).flatMap { q =>
+        docs.get(q).filter(_.nonEmpty).map { ts =>
+          val tf = ts.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+          q -> tf.toSeq.sortBy { case (t, c) => (-c, t) }.take(3).map(_._1)
+        }
+      }.toMap
+      terms.map { case (q, qs) =>
+        q -> docs.collect { case (id, ts) if id != q =>
+          id -> qs.count(ts.contains)
+        }.filter(_._2 > 0).toMap
+      }
+    }
+    def gain(g: Int): Long = g match { case 3 => 7L; case 2 => 3L; case 1 => 1L; case _ => 0L }
+    val got = graft.SparkEntry.queries("q_eval_retrieval_hybrid")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(4), r.getLong(7), r.getLong(9))).toMap // dcg, rank_rel2, hit3
+    assert(got.keySet == judged.keySet)
+    got.foreach { case (q, (dcg, rank2, hit3)) =>
+      val ranking = fused.getOrElse(q, Seq.empty)
+      val rel = judged(q)
+      val expDcg = ranking.zipWithIndex
+        .map { case (id, i) => gain(rel.getOrElse(id, 0)) * disc(i) }.sum
+      val expRank2 = ranking.zipWithIndex.collectFirst {
+        case (id, i) if rel.getOrElse(id, 0) >= 2 => (i + 1).toLong
+      }.getOrElse(0L)
+      val expHit3 = ranking.count(id => rel.getOrElse(id, 0) == 3).toLong
+      assert((dcg, rank2, hit3) == ((expDcg, expRank2, expHit3)),
+        s"query $q: got ($dcg,$rank2,$hit3) exp ($expDcg,$expRank2,$expHit3)")
+    }
+  }
+
   test("MRR reciprocal and recall are the integral transforms of their ranks/counts") {
     gate.select("rank_rel2", "rr_x1m", "n3", "hit3", "recall3_permille")
       .collect().foreach { r =>
