@@ -150,6 +150,19 @@ class RetrievalEvalSpec extends SparkSpec {
     }
   }
 
+  test("the eval detects a ranking change: hybrid and lexical metrics differ somewhere") {
+    // an eval that scores every ranking identically is decoration — the
+    // fused face must move at least one query's nDCG or MRR
+    val lex = gate.select("query_id", "ndcg_permille", "rr_x1m").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hyb = graft.SparkEntry.queries("q_eval_retrieval_hybrid")(spark, d)
+      .select("query_id", "ndcg_permille", "rr_x1m").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(lex.keySet == hyb.keySet)
+    assert(lex.exists { case (q, m) => hyb(q) != m },
+      "hybrid fusion changed no query's metrics — the eval cannot discriminate rankings")
+  }
+
   test("MRR reciprocal and recall are the integral transforms of their ranks/counts") {
     gate.select("rank_rel2", "rr_x1m", "n3", "hit3", "recall3_permille")
       .collect().foreach { r =>
