@@ -64,6 +64,21 @@ object FormatSources {
     dir
   }
 
+  /** Stage lineitem's analytic columns as ORC (Spark-native columnar
+    * alternative to parquet — zlib, sorted single file); returns the dir.
+    */
+  def lineitemOrc(s: SparkSession, d: String): String = synchronized {
+    val dir = s"$Root/${key(d)}/lineitem_orc"
+    if (staged.add(dir) && !new java.io.File(dir, "_SUCCESS").exists()) {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+          "l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+        .coalesce(1).sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.mode("overwrite").option("compression", "zlib").orc(dir)
+    }
+    dir
+  }
+
   private val docsSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
@@ -111,6 +126,41 @@ object FormatSources {
           sum(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
             .as("sum_tokens"))
         .orderBy("lang", "source")
+    },
+
+    // ----- ORC fact ingestion (Spark-native columnar, zlib) -------------
+    // The third lake format: operational exports and Hive-era warehouses
+    // ship ORC. Spark's reader is built in; DuckDB has none — so the
+    // oracle aggregates the SOURCE parquet with the identical SQL, and
+    // the hash match proves the parquet→ORC→scan round-trip preserved
+    // every value (decimal money, dates, strings, keys) through the
+    // different encoder/decoder stack, not just that ORC "reads".
+    QueryDef(
+      "q_source_orc_lineitem",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(MIN(l_shipdate) AS DATE) AS first_ship,
+        |       CAST(MAX(l_shipdate) AS DATE) AS last_ship,
+        |       COUNT(*) AS n_items,
+        |       COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val dir = lineitemOrc(s, d)
+      val l = s.read.orc(dir)
+      val disc = expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))")
+      l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(expr("CAST(l_quantity AS DECIMAL(18,2))")).cast("double").as("sum_qty"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).cast("double").as("sum_base_price"),
+          sum(disc).cast("double").as("sum_disc_price"),
+          min(col("l_shipdate")).cast("date").as("first_ship"),
+          max(col("l_shipdate")).cast("date").as("last_ship"),
+          count(lit(1)).as("n_items"),
+          countDistinct("l_orderkey").as("n_orders"))
+        .orderBy("l_returnflag", "l_linestatus")
     },
 
     // ----- CSV event ingestion (explicit schema, headered) --------------
