@@ -81,8 +81,18 @@ object FirstWinsDedupQueries {
          |$roundCtes
          |SELECT doc_id, kept, CAST(rnd AS BIGINT) AS rnd
          |FROM res$OracleRounds ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val edges = DedupQueries.nearDupPairs(Tables.documents(s, d), minJ = MinJ)
-        .select(col("doc_a").as("e"), col("doc_b").as("d"))
+      resolveWaves(
+        DedupQueries.nearDupPairs(Tables.documents(s, d), minJ = MinJ)
+          .select(col("doc_a").as("e"), col("doc_b").as("d")))
+    })
+
+  /** The wave resolution over an explicit (e, d) earlier→later edge list
+    * (e < d required) — shared by the gate and the randomized-property
+    * spec. Returns (doc_id, kept, rnd) for every vertex.
+    */
+  private[graft] def resolveWaves(edges0: org.apache.spark.sql.DataFrame,
+      maxRounds: Int = MaxRounds): org.apache.spark.sql.DataFrame = {
+      val edges = edges0
         .stableCheckpoint() // read every wave — never regenerate the pairs
       val verts = edges.select(col("e").as("doc_id"))
         .union(edges.select(col("d"))).distinct()
@@ -96,7 +106,7 @@ object FirstWinsDedupQueries {
       var added = 1L
       val total = verts.count()
       var resolvedCount = resolved.count()
-      while (added > 0 && resolvedCount < total && round <= MaxRounds) {
+      while (added > 0 && resolvedCount < total && round <= maxRounds) {
         val keptPrev = resolved.filter(col("kept")).select(col("doc_id").as("e"))
         val dropPrev = resolved.filter(!col("kept")).select(col("doc_id").as("e"))
         val unresolved = verts.join(resolved.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -121,7 +131,7 @@ object FirstWinsDedupQueries {
       }
       require(resolvedCount == total,
         s"first-wins dedup: $resolvedCount of $total vertices resolved after " +
-          s"$round waves — dependency chain deeper than MaxRounds=$MaxRounds")
+          s"$round waves — dependency chain deeper than maxRounds=$maxRounds")
       resolved.orderBy("doc_id")
-    })
+  }
 }
