@@ -11,14 +11,18 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
   * columns with typed metadata structs alongside. The Spark-side machinery —
   * schema, partition-preserving batch processing, per-partition decoder
-  * lifecycle — is real, and so is the IMAGE path: [[ImageCodec]] encodes and
-  * fully decodes 8-bit grayscale PNG (java.util.zip, no native deps) and
-  * probes BMP dimensions from the real DIB header, so `processMedia`'s
-  * width/height/thumbnail come from actual bytes and are oracle-gated
-  * (`q_multimodal_decode`). Formats that genuinely need native codec
-  * libraries (JPEG entropy coding, audio/video frames) remain behind the
-  * deterministic [[StubCodec]] because those libs don't ship in this
-  * container — swap it without touching the plan.
+  * lifecycle — is real, and so are the IMAGE and AUDIO paths:
+  * [[ImageCodec]] encodes and fully decodes 8-bit grayscale PNG
+  * (java.util.zip, no native deps) and probes BMP dimensions from the real
+  * DIB header; [[JpegCodec]] decodes real JPEG via `javax.imageio` (the
+  * baseline-JPEG plugin ships in this JDK — no native libs needed);
+  * [[AudioCodec]] decodes PCM16-mono WAV by walking real RIFF chunks. So
+  * `processMedia`'s width/height/thumbnail come from actual bytes for
+  * PNG/BMP/JPEG and are oracle-gated (`q_multimodal_decode`,
+  * `q_multimodal_jpeg`). Only VIDEO frame extraction remains behind the
+  * deterministic [[StubCodec]] — container demuxing + inter-frame codecs
+  * (H.264 et al.) genuinely have no pure-JDK implementation — swap it
+  * without touching the plan.
   */
 object Multimodal {
 
@@ -362,10 +366,12 @@ object Multimodal {
     * expensive step; decoding once per derived column would be the bug).
     *
     * Codec dispatch: grayscale PNGs get the REAL full decode (dims +
-    * thumbnail from actual pixels, one decode feeding both); other PNGs and
-    * BMPs get real header dims with the stub thumbnail; unknown formats and
-    * poison blobs (bad zlib, truncated chunks — `Try`-guarded so one bad
-    * blob can't kill a 100 TB job) keep the deterministic stub end to end.
+    * thumbnail from actual pixels, one decode feeding both); JPEGs get the
+    * REAL `javax.imageio` decode through a [[JpegCodec.Reader]] instantiated
+    * once per partition; other PNGs and BMPs get real header dims with the
+    * stub thumbnail; unknown formats and poison blobs (bad zlib, truncated
+    * chunks — `Try`-guarded so one bad blob can't kill a 100 TB job) keep
+    * the deterministic stub end to end.
     */
   def processMedia(df: DataFrame, blobCol: String, thumbW: Int, thumbH: Int,
       nFrames: Int, dim: Int): DataFrame = {
@@ -378,7 +384,8 @@ object Multimodal {
     val blobIdx = inSchema.fieldIndex(blobCol)
     implicit val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
-      // per-partition codec init goes here (once, not per row)
+      // per-partition codec init (once, not per row)
+      lazy val jpegReader = new JpegCodec.Reader
       rows.map { r =>
         val bytes = r.get(blobIdx) match {
           case b: Array[Byte] => b
@@ -387,6 +394,7 @@ object Multimodal {
         val decoded = // the single real decode feeding dims AND thumbnail
           if (ImageCodec.isPng(bytes))
             scala.util.Try(ImageCodec.decodeGrayPng(bytes)).toOption
+          else if (JpegCodec.isJpeg(bytes)) jpegReader.decodeGray(bytes)
           else None
         val (w, h) = decoded.map(d => (d._1, d._2))
           .orElse(ImageCodec.headerDims(bytes))
@@ -600,8 +608,116 @@ object Multimodal {
          |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       ahashPairs(Tables.documents(s, d))
+    },
+
+    // ----- Real JPEG decode (javax.imageio) + ahash from real pixels -----
+    // The JPEG face of the image pipeline: REAL baseline-JPEG bytes
+    // (encoded by [[JpegCodec.Writer]], one writer per partition) are
+    // staged, then decoded by an independent per-partition
+    // [[JpegCodec.Reader]] — dims + an 8×8 thumbnail from the actual DCT
+    // decode — and hashed with the same aHash folds the PNG face uses.
+    //
+    // Cross-engine verification is split by what each engine can reach:
+    // the DuckDB oracle INDEPENDENTLY re-derives width/height by walking
+    // the real JFIF marker segments of the staged bytes in SQL (a
+    // recursive CTE steps marker→marker to SOF0 and parses the big-endian
+    // dims from its payload — a second JPEG header parser, not a readback
+    // of Spark's answer), byte accounting from the staged hex, and both
+    // hash words from the staged thumbnails. Pixel-level decode fidelity —
+    // the one part SQL cannot reach (it has no Huffman/DCT decoder) — is
+    // spec-gated instead: JpegSpec pins the encode∘decode roundtrip to
+    // ≈1 gray-level mean error against the pre-encode raster.
+    QueryDef(
+      "q_multimodal_jpeg",
+      s"""WITH RECURSIVE j AS (
+         |  SELECT doc_id, upper(jpeg_hex) AS hx
+         |  FROM ${graft.OracleStage.pq("jpegs_multimodal")}),
+         |seg AS (
+         |  SELECT doc_id, hx, CAST(5 AS BIGINT) AS pos FROM j
+         |  UNION ALL
+         |  SELECT doc_id, hx, pos + 4 + 2 * CAST(('0x' || substr(hx, pos + 4, 4)) AS BIGINT)
+         |  FROM seg
+         |  WHERE substr(hx, pos, 4) NOT IN ('FFC0', 'FFDA') AND pos + 18 <= length(hx)),
+         |dims AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(hx, pos + 10, 4)) AS BIGINT) AS height,
+         |         CAST(('0x' || substr(hx, pos + 14, 4)) AS BIGINT) AS width
+         |  FROM seg WHERE substr(hx, pos, 4) = 'FFC0'),
+         |blen AS (SELECT doc_id, CAST(length(hx) // 2 AS BIGINT) AS byte_len FROM j),
+         |px AS (SELECT doc_id,
+         |         list_transform(generate_series(0, 63),
+         |           i -> CAST(('0x' || substr(thumb_hex, 1 + 2*i, 2)) AS BIGINT)) AS px
+         |       FROM ${graft.OracleStage.pq("thumbs_jpeg")}),
+         |hm AS (SELECT doc_id, px, CAST(list_sum(px) AS BIGINT) // 64 AS m FROM px),
+         |h AS (SELECT doc_id,
+         |        CAST(list_sum(list_transform(generate_series(0, 31),
+         |          i -> CASE WHEN px[i+1] > m THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS ahash_lo,
+         |        CAST(list_sum(list_transform(generate_series(32, 63),
+         |          i -> CASE WHEN px[i+1] > m THEN (CAST(1 AS BIGINT) << (i-32)) ELSE 0 END)) AS BIGINT) AS ahash_hi
+         |      FROM hm)
+         |SELECT d.doc_id, d.width, d.height, b.byte_len, h.ahash_lo, h.ahash_hi
+         |FROM dims d JOIN blen b USING (doc_id) JOIN h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      jpegDecodeFace(Tables.documents(s, d))
     }
   )
+
+  /** The JPEG decode+ahash pipeline over an explicit (doc_id, text) frame —
+    * shared by the gate and the scale probe. One linear chain: fixture →
+    * stage → per-partition ImageIO decode → stage thumbs → map-side hash
+    * folds; no join, no shuffle beyond the final presentation sort.
+    */
+  private[graft] def jpegDecodeFace(docs: DataFrame): DataFrame = {
+    val jpegs = docJpegs(docs)
+    val staged = graft.OracleStage.stage("jpegs_multimodal",
+      jpegs.select(col("doc_id"), hex(col("jpeg")).as("jpeg_hex")))
+    val blobs = staged.select(col("doc_id"),
+      unhex(col("jpeg_hex")).as("jpeg"),
+      (length(col("jpeg_hex")) / 2).cast("long").as("byte_len"))
+    val decSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("byte_len", LongType, nullable = false),
+      StructField("thumb", BinaryType, nullable = false)))
+    implicit val enc = RowEncoder.encoderFor(decSchema)
+    val decoded = blobs.mapPartitions { rows =>
+      val reader = new JpegCodec.Reader // once per partition
+      rows.flatMap { r =>
+        val bytes = r.get(1).asInstanceOf[Array[Byte]]
+        reader.decodeGray(bytes).map { case (w, h, px) =>
+          Row(r.getLong(0), w.toLong, h.toLong, r.getLong(2),
+            ImageCodec.resizeNearest(px, w, h, 8, 8))
+        }
+      }
+    }
+    // dims travel WITH the staged thumbs so the final select is one pass
+    // over one frame (the oracle ignores them — it re-parses dims from the
+    // JPEG markers itself)
+    val thumbsStaged = graft.OracleStage.stage("thumbs_jpeg",
+      decoded.select(col("doc_id"), col("width"), col("height"),
+        col("byte_len"), hex(col("thumb")).as("thumb_hex")))
+    thumbsStaged
+      .withColumn("px", expr(pxFromHexExpr("thumb_hex")))
+      .withColumn("m", expr(AhashMeanExpr))
+      .select(col("doc_id"), col("width"), col("height"), col("byte_len"),
+        expr(AhashLoExpr).as("ahash_lo"),
+        expr(AhashHiExpr).as("ahash_hi"))
+      .orderBy("doc_id")
+  }
+
+  /** aHash word SQL fragments (shared by the PNG pair face and the JPEG
+    * gate): `px` = 64 pixel bytes from a staged hex thumbnail, `m` = their
+    * integer mean, lo/hi = the two 32-bit hash words (bit i set when pixel
+    * i exceeds the mean). Pure Catalyst folds — map-side, codegen'd.
+    */
+  private def pxFromHexExpr(hexCol: String): String =
+    s"transform(sequence(0, 63), i -> CAST(conv(substring($hexCol, 1 + 2*i, 2), 16, 10) AS BIGINT))"
+  private val AhashMeanExpr = "aggregate(px, 0L, (a, x) -> a + x) DIV 64"
+  private val AhashLoExpr =
+    "aggregate(sequence(0, 31), 0L, (a, i) -> a + IF(element_at(px, i+1) > m, shiftleft(1L, i), 0L))"
+  private val AhashHiExpr =
+    "aggregate(sequence(32, 63), 0L, (a, i) -> a + IF(element_at(px, i+1) > m, shiftleft(1L, i-32), 0L))"
 
   /** The full perceptual-dedup pipeline over an explicit (doc_id, text)
     * frame — shared by the gate and the ×10 scale probe.
@@ -612,13 +728,12 @@ object Multimodal {
         thumbs.select(col("doc_id"), hex(col("thumb")).as("thumb_hex")))
 
       // hash words from the STAGED hex — pure Catalyst folds, map-side
-      val hashed = staged.select(col("doc_id"), expr(
-          "transform(sequence(0, 63), i -> CAST(conv(substring(thumb_hex, 1 + 2*i, 2), 16, 10) AS BIGINT))")
-          .as("px"))
-        .withColumn("m", expr("aggregate(px, 0L, (a, x) -> a + x) DIV 64"))
+      val hashed = staged.select(col("doc_id"),
+          expr(pxFromHexExpr("thumb_hex")).as("px"))
+        .withColumn("m", expr(AhashMeanExpr))
         .select(col("doc_id"),
-          expr("aggregate(sequence(0, 31), 0L, (a, i) -> a + IF(element_at(px, i+1) > m, shiftleft(1L, i), 0L))").as("lo"),
-          expr("aggregate(sequence(32, 63), 0L, (a, i) -> a + IF(element_at(px, i+1) > m, shiftleft(1L, i-32), 0L))").as("hi"))
+          expr(AhashLoExpr).as("lo"),
+          expr(AhashHiExpr).as("hi"))
         .stableCheckpoint() // banding + both rescore sides read it
 
       val banded = hashed.select(col("doc_id"), posexplode(expr(
@@ -655,6 +770,31 @@ object Multimodal {
         val px = Array.tabulate(256)(i =>
           if (tb.isEmpty) (i & 0xFF).toByte else tb(i % tb.length))
         Row(id, ImageCodec.encodeGrayPng(16, 16, px))
+      }
+    }
+  }
+
+  /** Deterministic REAL-JPEG fixture generator: one valid baseline grayscale
+    * JPEG per doc via `javax.imageio` — dims derived from doc_id, pixels
+    * cycled from the doc's UTF-8 bytes; the `ImageWriter` is instantiated
+    * once per partition and rows stream through (the codec lifecycle every
+    * media op here follows).
+    */
+  private[graft] def docJpegs(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("jpeg", BinaryType, nullable = false)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    docs.select(col("doc_id"), col("text")).mapPartitions { rows =>
+      val writer = new JpegCodec.Writer() // once per partition
+      rows.map { r =>
+        val id = r.getLong(0)
+        val tb = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+        val w = (8 + (id % 24)).toInt
+        val h = (8 + ((id / 7) % 24)).toInt
+        val px = Array.tabulate(w * h)(i =>
+          if (tb.isEmpty) (i & 0xFF).toByte else tb(i % tb.length))
+        Row(id, writer.encodeGray(w, h, px))
       }
     }
   }
