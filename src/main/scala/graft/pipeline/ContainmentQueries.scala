@@ -27,7 +27,12 @@ object ContainmentQueries {
 
   private val ContTau = 0.9
   private val CompEvery = 83
-  private val CompBase = 2000000L
+  // Composite (planted) doc ids must NEVER collide with organic ids — a
+  // fixed 2·10⁶ offset would silently merge a planted composite with a
+  // real document on any corpus with ≥ 2M docs (r16 advice). Both engines
+  // derive the offset from the corpus itself: the next multiple of 1000
+  // above max(doc_id).
+  private val CompBaseSql = "(SELECT (max(doc_id) // 1000 + 1) * 1000 FROM documents)"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -36,7 +41,7 @@ object ContainmentQueries {
       s"""WITH docs2 AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT a.doc_id + $CompBase AS doc_id, a.text || ' ' || b.text AS text
+         |  SELECT a.doc_id + $CompBaseSql AS doc_id, a.text || ' ' || b.text AS text
          |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
          |  WHERE a.doc_id % $CompEvery = 0),
          |t AS (SELECT doc_id, $toksSql AS toks FROM docs2),
@@ -68,11 +73,15 @@ object ContainmentQueries {
          |WHERE CAST(n_inter AS DOUBLE) / n_contained >= $ContTau
          |ORDER BY contained_id, container_id""".stripMargin) { (s, d) =>
       val base = Tables.documents(s, d).select("doc_id", "text")
+      // 1-row bounded collect: the corpus max, to place planted ids above
+      // every organic id (mirrors the oracle's scalar subquery exactly)
+      val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+      val compBase = (maxId / 1000 + 1) * 1000
       val comp = base
         .join(base.select(col("doc_id").as("bid"), col("text").as("btext")),
           col("doc_id") + 1 === col("bid"))
         .filter(col("doc_id") % CompEvery === 0)
-        .select((col("doc_id") + CompBase).as("doc_id"),
+        .select((col("doc_id") + compBase).as("doc_id"),
           concat(col("text"), lit(" "), col("btext")).as("text"))
       val sh = DedupQueries.shinglePostings(base.union(comp))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n"))

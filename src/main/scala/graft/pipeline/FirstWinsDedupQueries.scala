@@ -32,7 +32,13 @@ object FirstWinsDedupQueries {
 
   private val MinJ = 0.8
   private val MaxRounds = 16
-  private val OracleRounds = 8 // sf0.01 chains resolve well inside this
+  // The oracle MUST unroll as many waves as the Spark side may run: with a
+  // shorter unroll, a dependency chain of depth OracleRounds+1..MaxRounds
+  // would leave the oracle's final res missing the unresolved vertices and
+  // the hash gate would blame the (correct) Spark answer (r16 advice).
+  // Extra unrolled waves are free for DuckDB — once a wave adds nothing,
+  // drop_i/keep_i are empty and res_i == res_{i-1}.
+  private val OracleRounds = MaxRounds
 
   private def roundCtes: String = (1 to OracleRounds).map { i =>
     val p = s"res${i - 1}"

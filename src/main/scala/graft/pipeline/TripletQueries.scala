@@ -93,7 +93,13 @@ object TripletQueries {
           KMinAgg.kminBy(when(col("cluster") =!= col("acl"), -col("cos_x1e9")),
             when(col("cluster") =!= col("acl"), col("vec_id")), 1).as("neg"))
 
-      scoredTriplets.select(col("aid").as("anchor_id"),
+      // degenerate anchors (no same-cluster or no other-cluster neighbor)
+      // have an empty kminBy arm; emit NOTHING for them — getItem(0) on the
+      // empty array would yield a NULL-margin row where the oracle's inner
+      // JOIN pos/neg drops the anchor entirely (r16 advice)
+      scoredTriplets
+        .filter(size(col("pos")) > 0 && size(col("neg")) > 0)
+        .select(col("aid").as("anchor_id"),
           col("pos")(0).getField("id").as("pos_id"),
           (-col("pos")(0).getField("h")).as("pos_cos_x1e9"),
           col("neg")(0).getField("id").as("neg_id"),

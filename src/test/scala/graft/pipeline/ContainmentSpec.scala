@@ -11,7 +11,9 @@ import graft.SparkSpec
 class ContainmentSpec extends SparkSpec {
 
   private val d = sf("sf0.01")
-  private val CompBase = 2000000L
+  // mirrors the face's corpus-derived offset: next multiple of 1000 above
+  // the organic max doc_id (collision-proof at any corpus size)
+  private lazy val CompBase = (texts.keys.max / 1000 + 1) * 1000
 
   private lazy val gate =
     graft.SparkEntry.queries("q_dedup_containment")(spark, d)
