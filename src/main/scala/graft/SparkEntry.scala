@@ -44,6 +44,7 @@ object SparkEntry {
       pipeline.LinearProbeQueries.defs ++
       pipeline.InfluenceQueries.defs ++
       pipeline.IncrementalIvfQueries.defs ++
+      pipeline.IncrementalPipelineQueries.defs ++
       pipeline.PropagateQueries.defs ++
       pipeline.EvalQueries.defs ++
       operators.RangeJoin.defs ++

@@ -69,6 +69,37 @@ object ChunkingQueries {
       .toDF("doc_id", "grp", "bin_id", "n_tokens")
   }
 
+  /** [[packSequences]] continuing each group from a persisted (bin, used)
+    * tail — the batch-arrival form: yesterday's corpus packed yesterday,
+    * tonight's docs continue the SAME greedy fold from the stored per-group
+    * state, and the result provably equals a full repack of the union
+    * (greedy packing is prefix-stable). Input is pre-tokenized
+    * (doc_id, n_tokens); `state` maps grp → (last bin, tokens used in it)
+    * — ≤ nGroups entries, a driver-side literal, never corpus-sized.
+    */
+  def packSequencesResume(docNt: DataFrame, budget: Int, nGroups: Int,
+      state: Map[Long, (Long, Long)]): DataFrame = {
+    require(budget > 0 && nGroups > 0)
+    require(state.keys.forall(g => g >= 0 && g < nGroups), s"state has a grp outside [0, $nGroups)")
+    val spark = docNt.sparkSession
+    import spark.implicits._
+    docNt.select(col("doc_id"),
+        pmod(col("doc_id"), lit(nGroups.toLong)).as("grp"),
+        col("n_tokens").cast("long").as("nt"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapSortedGroups(col("doc_id")) { (grp, it) =>
+        var (bin, used) = state.getOrElse(grp, (0L, 0L))
+        var first = !state.contains(grp)
+        it.map { case (docId, _, nt) =>
+          if (!first && used + nt > budget) { bin += 1; used = nt }
+          else { used += nt; first = false }
+          (docId, grp, bin, nt)
+        }
+      }
+      .toDF("doc_id", "grp", "bin_id", "n_tokens")
+  }
+
   private val toksSql = graft.functions.TextFunctions.toksSql
 
   val defs: Seq[QueryDef] = Seq(

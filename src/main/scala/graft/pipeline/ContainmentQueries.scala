@@ -72,7 +72,14 @@ object ContainmentQueries {
          |FROM d
          |WHERE CAST(n_inter AS DOUBLE) / n_contained >= $ContTau
          |ORDER BY contained_id, container_id""".stripMargin) { (s, d) =>
-      val base = Tables.documents(s, d).select("doc_id", "text")
+      containmentFace(Tables.documents(s, d).select("doc_id", "text"))
+    })
+
+  /** The full containment pipeline over an explicit (doc_id, text) frame —
+    * shared by the gate and the ×100 scale probe.
+    */
+  private[graft] def containmentFace(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       // 1-row bounded collect: the corpus max, to place planted ids above
       // every organic id (mirrors the oracle's scalar subquery exactly)
       val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
@@ -106,5 +113,5 @@ object ContainmentQueries {
           (col("n_contained") + col("n_container") - col("n_inter")))
         .filter(col("containment") >= ContTau)
         .orderBy("contained_id", "container_id")
-    })
+  }
 }
