@@ -27,6 +27,7 @@ object SparkEntry {
       pipeline.EmbeddingClusterQueries.defs ++
       pipeline.TripletQueries.defs ++
       pipeline.IvfPqServeQueries.defs ++
+      pipeline.GraphAnnQueries.defs ++
       pipeline.Multimodal.defs ++
       pipeline.CorpusPipeline.defs ++
       pipeline.CorpusStatsQueries.defs ++
