@@ -54,11 +54,30 @@ object R17ScaleProbe {
         (col("vec_id") + lit(r * shift)).as("vec_id"), col("embedding")))
         .reduce(_ unionAll _)
 
-    def docPool(k: Int, perturb: Boolean): DataFrame =
+    /** Replica perturbation comes in two strengths, chosen per face:
+      *
+      *  - `prefix`: one tag token prepended — enough for the aHash face
+      *    (the pixel cycle shifts, so replica images are distinct) but NOT
+      *    for shingle-Jaccard faces: two replicas of a doc still share all
+      *    but one 3-shingle (J = s/(s+2) → 1), so every doc would grow a
+      *    k-member cross-replica dup cluster and the pair graph would go
+      *    QUADRATIC in k — the exact trap the perturbation exists to
+      *    avoid (the un-fixed form wedged the first ×100 run for an hour).
+      *  - `tagWords`: every TOKEN gets a per-replica suffix — a bijective
+      *    token renaming, so within-replica Jaccard values (and therefore
+      *    the dup/containment structure and per-replica workload) are
+      *    EXACTLY those of the base corpus, while no shingle is shared
+      *    across replicas (cross-replica J = 0). The honest new-documents
+      *    axis for Jaccard faces.
+      */
+    def docPool(k: Int, perturb: Boolean, tagWords: Boolean = false): DataFrame =
       (0 until k).map { r =>
         val base = docs.select(
           (col("doc_id") + lit(r * shift)).as("doc_id"), col("text"))
-        if (perturb && r > 0)
+        if (tagWords && r > 0)
+          base.select(col("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", "$1r" + r).as("text"))
+        else if (perturb && r > 0)
           base.select(col("doc_id"), concat(lit(s"r$r "), col("text")).as("text"))
         else base
       }.reduce(_ unionAll _)
@@ -76,13 +95,15 @@ object R17ScaleProbe {
 
     def firstWinsCell(k: Int): Long =
       pipeline.FirstWinsDedupQueries.resolveWaves(
-        pipeline.DedupQueries.nearDupPairs(docPool(k, perturb = true), minJ = 0.8)
+        pipeline.DedupQueries.nearDupPairs(
+            docPool(k, perturb = true, tagWords = true), minJ = 0.8)
           .select(col("doc_a").as("e"), col("doc_b").as("d")))
         .agg(sum(col("rnd") + when(col("kept"), 1L).otherwise(0L)))
         .collect()(0).getLong(0)
 
     def containmentCell(k: Int): Long =
-      pipeline.ContainmentQueries.containmentFace(docPool(k, perturb = true))
+      pipeline.ContainmentQueries.containmentFace(
+        docPool(k, perturb = true, tagWords = true))
         .agg(sum(col("n_inter") + col("n_contained"))).collect()(0).getLong(0)
 
     def evalHybridCell(k: Int): Long = {
