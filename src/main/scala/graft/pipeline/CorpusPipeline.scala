@@ -58,15 +58,16 @@ object CorpusPipeline {
     * definition, so the two can never disagree on eligibility).
     */
   private def statsWithFlags(docs: DataFrame, p: Params): DataFrame = {
+    import graft.operators.Checkpoints.StableOps
     val toks = tokens(col("text"))
-    // NOT pre-repartitioned: unlike q_source_overlap (whose HOF shingle
-    // derivation measured 8 s on the single scan core), this stats
-    // projection is cheap enough that fanning the scan out was MEASURED to
-    // hurt (corpus_clean 3.7 → 5.3 s at sf0.1) — the added round-robin
-    // exchange costs more than the parallelized tokenize saves across the
-    // stats subtree's several consumers.
+    // Metadata only — text is deliberately NOT carried through: this frame
+    // is eagerly checkpointed below, and the checkpoint must materialize
+    // the per-doc PROXY (stats + flags, ~60 bytes/row), never the payload
+    // (guide §8: decide on small rows). Consumers that need text back
+    // (the shingle-postings builder) re-attach it by a doc_id join against
+    // the raw scan, which is cheap and prunes to (doc_id, text).
     val stats = docs.select(
-      col("doc_id"), col("lang"), col("text"),
+      col("doc_id"), col("lang"),
       size(toks).as("n_tokens"),
       meanTokenLen(toks).as("mean_token_len"),
       md5(col("text")).as("digest"))
@@ -75,11 +76,12 @@ object CorpusPipeline {
       col("mean_token_len") <= p.maxMeanTokenLen
 
     // exact dedup: lowest doc_id per digest survives.
-    // This stage feeds several consumers (shingle postings via the pair
-    // self-join, sizes, document frequencies, the final flag join); it is
-    // deliberately left LAZY — measured at sf0.1, persist()ing it costs
-    // more in materialization than the map-side recompute saves, and
-    // Spark's ReuseExchange already dedupes the identical shuffle subtrees.
+    // r16 left this stage LAZY ("ReuseExchange dedupes the identical
+    // shuffle subtrees") — r17 plan audit showed it did NOT: the initial
+    // physical plan for q_corpus_clean carried NINE copies of the
+    // scan+tokenize+digest-window subtree (plans/r17/
+    // q_corpus_clean_before.txt), one per consumer. One EAGER checkpoint
+    // of the metadata frame pins it to a single computation.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("digest").orderBy("doc_id")
     stats
@@ -87,6 +89,7 @@ object CorpusPipeline {
       .withColumn("exact_survivor", col("exact_rank") === 1)
       .drop("exact_rank")
       .withColumn("quality_ok", qualityOk)
+      .stableCheckpoint()
   }
 
   /** Cleaned corpus with per-stage survival flags (so one pass computes both
@@ -98,9 +101,10 @@ object CorpusPipeline {
     // near-dup pairs over the quality-passing exact-survivors ONLY: if a
     // pair's lower-id member was already dropped upstream, its partner must
     // not also be dropped as doc_b — one representative per cluster survives
-    val eligible = withExact
-      .filter(col("quality_ok") && col("exact_survivor"))
-      .select("doc_id", "text")
+    val eligible = docs.select(col("doc_id"), col("text")).join(
+      withExact.filter(col("quality_ok") && col("exact_survivor"))
+        .select("doc_id"),
+      "doc_id")
     val pairs = DedupQueries.nearDupPairs(eligible, p.nearDupJaccard)
     val victims = (p.survivorPolicy match {
       case Greedy =>
@@ -322,7 +326,8 @@ object CorpusPipeline {
     val withExact = statsWithFlags(docs, p)
     val eligible = withExact.filter(col("quality_ok") && col("exact_survivor"))
     val pairs = DedupQueries.nearDupPairs(
-      eligible.select("doc_id", "text"), p.nearDupJaccard)
+      docs.select(col("doc_id"), col("text"))
+        .join(eligible.select("doc_id"), "doc_id"), p.nearDupJaccard)
     val cc = graft.operators.ConnectedComponents
       .minLabel(pairs.select("doc_a", "doc_b"), maxIter = p.ccMaxIter)
     eligible.select("doc_id", "lang", "n_tokens")

@@ -107,23 +107,42 @@ object DedupQueries {
       .select("id_a", "id_b", "name_a", "name_b")
   }
 
-  /** Distinct (doc_id, sh) 3-word-shingle postings, built with
-    * posexplode + windowed lead — every expression codegen-friendly. The
-    * window partitions by doc_id (tokens of one doc are never large), and
-    * the resulting exchange is reused by the downstream per-doc aggregates.
+  /** Distinct (doc_id, sh) 3-word-shingle postings — the SAME set as
+    * [[graft.functions.TextFunctions.wordShingles]] over the tokenized
+    * text, derived entirely in the array domain: tokenize → per-doc
+    * distinct shingle array → explode. MAP-ONLY, where the r16 shape
+    * (posexplode every token instance, a doc_id-partitioned window of two
+    * `lead`s, then a global (doc_id, sh) DISTINCT) shuffled every token
+    * instance once and every shingle instance once — two exchanges and a
+    * sort that existed only to reassemble adjacency the array already has
+    * (r17 measurement: the corpus-clean family spent most of its wall
+    * re-running that subtree per consumer; guide §2.3/§2.4 — don't shuffle
+    * what a per-row expression can compute). Rows are distinct BY
+    * CONSTRUCTION (array_distinct within one doc_id row), so the global
+    * distinct is dropped, not moved. Callers must pass unique doc_id rows
+    * (every caller keys by doc_id; duplicate ids would previously have
+    * been collapsed by the global distinct).
     */
   def shinglePostings(docs: DataFrame): DataFrame = {
-    val toks = docs
+    import graft.functions.TextFunctions
+    import graft.operators.Checkpoints.StableOps
+    docs
+      // fan the raw doc rows out BEFORE the CPU-dominant shingle
+      // derivation: the gate corpus is one parquet split, and without this
+      // the whole tokenize+shingle explode runs on a single core (the
+      // q_source_overlap lesson; measured again here in r17). Shuffling
+      // raw docs is cheap (rows, not shingles); at 100 TB the scan has
+      // thousands of splits and this is a no-op-sized skew safety net.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
-      .filter(length(col("tok")) > 0)
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    toks
-      .withColumn("tok1", lead("tok", 1).over(w))
-      .withColumn("tok2", lead("tok", 2).over(w))
-      .filter(col("tok2").isNotNull) // guard: <3-token docs yield no shingles
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("tok1"), col("tok2")).as("sh"))
-      .distinct()
+        explode(TextFunctions.wordShingles(TextFunctions.tokens(col("text")))).as("sh"))
+      // EAGER checkpoint: every caller fans this frame into several
+      // consumers (sizes, document frequencies, both sides of the pair
+      // self-join); the r16 shape's global DISTINCT exchange doubled as
+      // the shared materialization point, and removing it WITHOUT pinning
+      // the frame re-ran scan+tokenize+shingle per consumer (measured 2-4x
+      // worse). One checkpoint = one computation, zero shuffles.
+      .stableCheckpoint()
   }
 
   private def shinglePostings(s: SparkSession, d: String): DataFrame =
