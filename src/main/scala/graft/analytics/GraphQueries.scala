@@ -170,6 +170,11 @@ object GraphQueries {
         |          (SELECT u FROM e UNION ALL SELECT v FROM e) t) x) AS n_nodes,
         |       (SELECT COUNT(*) FROM e) AS n_edges,
         |       (SELECT COUNT(*) FROM tri) AS n_triangles""".stripMargin) { (s, d) =>
+      // (r17: eager checkpoints of ps and e were prototyped — the initial
+      // plan re-derives both per consumer (24 scans) — and measured
+      // NEUTRAL in an identical 3-query harness (4.43 vs 4.61 s): AQE's
+      // runtime exchange reuse already collapses the duplicates, so the
+      // materialization only re-bought what reuse gave. Left as-is.)
       val ps = Tables.lineitem(s, d)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
       val cow = ps.as("a").join(ps.as("b"),
@@ -287,8 +292,18 @@ object GraphQueries {
     var rounds = 0
     var delta = Long.MaxValue
     while (delta > tolScaled && rounds < maxIterations) {
-      val next = step(e, ranks).stableCheckpoint()
-      delta = next.agg(max(col("dlt"))).collect()(0).getLong(0)
+      // r17: the termination max rides an OBSERVED metric on the very
+      // frame the round checkpoints — the checkpoint's materialization
+      // fills the accumulator, so the delta costs ZERO extra jobs (the r16
+      // loop ran a separate 1-row max aggregate per round: 29 extra jobs
+      // per rep at the sf0.01 pin). max() is idempotent under task
+      // retries, so the observed value equals the aggregate the old job
+      // computed; rounds/ranks are bit-identical (GraphQueriesSpec).
+      val stepped = step(e, ranks).observe(s"pr_delta_$rounds", max(col("dlt")))
+      val next = stepped.stableCheckpoint()
+      val m = stepped.queryExecution.observedMetrics(s"pr_delta_$rounds")
+      require(!m.isNullAt(0), "PageRank: empty rank frame — no nodes")
+      delta = m.getLong(0)
       ranks = next
       rounds += 1
     }

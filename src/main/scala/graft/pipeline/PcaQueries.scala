@@ -140,6 +140,9 @@ object PcaQueries {
          |FROM y GROUP BY 1, 2
          |ORDER BY vec_id""".stripMargin) { (spark, d) =>
       val e = Tables.embeddings(spark, d)
+      // (r17: a fan-out before the Gramian explode improved wall 2.85 →
+      // 1.81 s but multiplied process-CPU ~6x (5.8 → 33 CPU-s medians) —
+      // rejected for the same CPU-mover reason as quantizedComponents.)
       val q = e.select(col("vec_id"), col("label"), qCol.as("q"))
 
       // corpus passes 1+2: Gramian upper triangle + column sums — both

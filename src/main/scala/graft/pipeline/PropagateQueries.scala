@@ -85,7 +85,14 @@ object PropagateQueries {
     * 7.7 s at sf0.1; this shape serves at ~2 s).
     */
   private def knnEdges(e: DataFrame): DataFrame = {
-    val kn = e.withColumn("na", norm(col("embedding")))
+    // r17: fan the PROBE side out before the broadcast nested-loop join —
+    // the embeddings table is one parquet split, so without this every
+    // pair's dot product AND the map-side kminBy partials ran on a single
+    // core (the same single-split serialization shinglePostings had). The
+    // round-robin exchange moves n rows to save n² single-threaded work.
+    val kn = e.repartition(
+        math.min(8, e.sparkSession.sparkContext.defaultParallelism))
+      .withColumn("na", norm(col("embedding")))
       .crossJoin(broadcast(e.select(col("vec_id").as("dst"),
         col("embedding").as("ev"), norm(col("embedding")).as("nb"))))
       .filter(col("vec_id") =!= col("dst"))

@@ -132,8 +132,12 @@ object SimilarityQueries {
       s"exact embedding near-dup baseline refused: corpus has $n rows > $maxCorpus. " +
         "This plan broadcasts the full corpus and compares O(n^2) pairs — " +
         "use the RP-LSH banded variant (q_dedup_embedding_lsh) at scale.")
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      norm(col("embedding")).as("na"))
+    // r17: probe side fanned out — single-row-group scan otherwise runs
+    // all n²/2 dot products on one core behind the broadcast join
+    // (measured: q_dedup_embedding 1.84 → 0.51 s)
+    val a = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        norm(col("embedding")).as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
       norm(col("embedding")).as("nb"))
     a.crossJoin(broadcast(b))
@@ -340,6 +344,13 @@ object SimilarityQueries {
     */
   private[pipeline] def quantizedComponents(
       e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    // (r17: a probe-side fan-out before the explode was prototyped and
+    // REJECTED on measurement — wall was ambiguous across runs and
+    // process-CPU medians blew up 5-7x on every PQ face (q_ann_ivfpq_batch
+    // 8.6 → 61.6 CPU-s), which both reads as a plan regression under the
+    // CPU-mover gate and suggests the single-partition partial aggregation
+    // was doing the collapsing work far more cheaply than its fanned-out
+    // form. Kept serial-at-sf; at 100 TB the scan has many splits anyway.)
     e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "vf")))
       .select(col("vec_id"), col("i"), expr("i DIV 16").as("sub"),
         (round(col("vf").cast("double") * 10000, 0).cast("long") + 10000L).as("v"))
