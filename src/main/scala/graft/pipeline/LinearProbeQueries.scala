@@ -75,23 +75,26 @@ object LinearProbeQueries {
   private[pipeline] def trainWeights(spark: org.apache.spark.sql.SparkSession,
       xy: org.apache.spark.sql.DataFrame): Seq[(Int, Long)] = {
     val d1 = Dim + 1
-    val gram = xy.select(explode(expr(
-        s"""flatten(transform(sequence(0, $Dim), i ->
-           |  transform(sequence(i, $Dim), j ->
-           |    struct(i AS i, j AS j, element_at(x, i+1) * element_at(x, j+1) AS p))))"""
+    // r17: Gramian AND class moment in ONE corpus pass / ONE collect —
+    // the moment cells ride the same explode tagged j = −1 (the r16 shape
+    // ran a second full pass + job for the 65 moment cells). Same sums,
+    // same 2 145 + 65 bounded cells.
+    val cells = xy.select(explode(expr(
+        s"""concat(
+           |  flatten(transform(sequence(0, $Dim), i ->
+           |    transform(sequence(i, $Dim), j ->
+           |      struct(i AS i, j AS j, element_at(x, i+1) * element_at(x, j+1) AS p)))),
+           |  transform(sequence(0, $Dim), i ->
+           |    struct(i AS i, -1 AS j, y * element_at(x, i+1) AS p)))"""
           .stripMargin)).as("c"))
       .groupBy(col("c.i"), col("c.j")).agg(sum(col("c.p")).as("g"))
-      .collect() // 2 145 cells — bounded, corpus-independent
-    val mom = xy.select(col("y"), posexplode(col("x")).as(Seq("i", "xv")))
-      .groupBy("i").agg(sum(col("y") * col("xv")).as("b"))
-      .collect() // 65 cells
+      .collect() // 2 145 + 65 cells — bounded, corpus-independent
     val a = Array.ofDim[Double](d1, d1)
-    gram.foreach { r =>
-      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getLong(2).toDouble)
-      a(i)(j) = v; a(j)(i) = v
-    }
     val b = Array.ofDim[Double](d1)
-    mom.foreach(r => b(r.getInt(0)) = r.getLong(1).toDouble)
+    cells.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getLong(2).toDouble)
+      if (j < 0) b(i) = v else { a(i)(j) = v; a(j)(i) = v }
+    }
     val alpha = (0 until d1).map(i => a(i)(i)).sum / d1 * 1e-6
     (0 until d1).foreach(i => a(i)(i) += alpha)
     val w = solve(a, b)

@@ -94,6 +94,11 @@ object PerceptronQueries {
     val trace = Seq.newBuilder[(Long, Long, Long, Long)]
     for (r <- 1 to Rounds) {
       val wLit = w.mkString(s"array(", "L, ", "L)")
+      // (r17: passing the weights as a broadcast 1-row array instead of a
+      // per-round literal — to make the generated code identical across
+      // rounds — was prototyped and measured WORSE: wall 4.4 → 6.1 s,
+      // process-CPU 5.5 → 10.9 s; the per-round BroadcastNestedLoopJoin
+      // costs more than the codegen-compile it saves. Literal kept.)
       // batch update: Σ y·x over misclassified vecs (margin·y ≤ 0 —
       // zero margin counts as an error, so round 1 updates on ALL rows);
       // the margin is a codegen'd fold over the 65-element arrays — the
