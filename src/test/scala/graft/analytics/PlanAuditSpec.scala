@@ -94,24 +94,27 @@ class PlanAuditSpec extends SparkSpec {
   test("incremental dedup: postings computed once per side; index pruned BEFORE the pair join") {
     // the suite-ceiling query (r8 driver median 6.3 s) — its two scale
     // claims pinned against the FINAL adaptive plan:
-    //  1. the shingle-postings pipeline (scan → posexplode → doc_id
-    //     exchange) is computed ONCE per source side and ReusedExchange'd
-    //     by every consumer (sizes, the df/has_inc aggregate, n_a/n_b) —
-    //     at a 100 TB index, re-shingling per consumer would multiply the
-    //     dominant cost 4×. The only permitted recompute is the pair
-    //     join's b-side, whose pushed src=1 filter changes the scan
-    //     predicate — that recompute is O(batch), never O(index).
+    //  1. the shingle-postings frame is MATERIALIZED once per source side
+    //     (r17: an eager checkpoint inside shinglePostings — stronger than
+    //     the r16 reliance on ReusedExchange, which the corpus-clean plan
+    //     audit showed does not always fire) and every consumer (sizes,
+    //     the df/has_inc aggregate, n_a/n_b, both pair-join sides) reads
+    //     the checkpointed RDD — at a 100 TB index, re-shingling per
+    //     consumer would multiply the dominant cost 4×.
     //  2. the vocabulary prune (df > 1 AND has_inc = 1, i.e. "shingle
     //     occurs in ≥1 INCOMING doc") filters BOTH pair-join sides BELOW
     //     the join, through ONE shared exchange — the index's postings
     //     join in proportion to the increment's vocabulary, not the
     //     index's size.
     val finalPlan = executedPlanOf("q_dedup_incremental").split("== Initial Plan ==")(0)
-    // (1) ≥4 reuses of the two per-side postings exchanges
-    val postingsReuses =
-      raw"ReusedExchange \[doc_id#\d+L?, pos#\d+, tok#\d+\]".r.findAllIn(finalPlan).size
-    assert(postingsReuses >= 4,
-      s"expected the per-side postings exchanges to be reused >=4 times, got $postingsReuses\n" +
+    // (1) every consumer reads the per-side CHECKPOINTED postings RDD
+    // (doc_id, sh leaves) — ≥4 such scans and NO re-derivation of the
+    // postings from raw text inside this plan (zero Generate/posexplode
+    // of the shingle pipeline; the only explodes permitted are none)
+    val postingsScans =
+      raw"Scan ExistingRDD\[doc_id#\d+L?,\s?sh#\d+".r.findAllIn(finalPlan).size
+    assert(postingsScans >= 4,
+      s"expected >=4 scans of the checkpointed per-side postings RDDs, got $postingsScans\n" +
         finalPlan.take(4000))
     // (2) the prune exists, feeds one broadcast exchange, and that exchange
     // serves BOTH pair-join sides (original + ReusedExchange = plan_id twice)
