@@ -299,6 +299,10 @@ object GraphQueries {
       // per rep at the sf0.01 pin). max() is idempotent under task
       // retries, so the observed value equals the aggregate the old job
       // computed; rounds/ranks are bit-identical (GraphQueriesSpec).
+      // (r18 re-adjudication of the r17 driver regression reading: idle
+      // 5-rep A/B of this observed-metric form vs the r16 separate-max-job
+      // shape measured 8.57 vs 8.87 s medians — a wash within noise, so
+      // the fewer-jobs form stays; the driver's 7.8 s was ambient.)
       val stepped = step(e, ranks).observe(s"pr_delta_$rounds", max(col("dlt")))
       val next = stepped.stableCheckpoint()
       val m = stepped.queryExecution.observedMetrics(s"pr_delta_$rounds")

@@ -119,10 +119,14 @@ class PlanAuditSpec extends SparkSpec {
     // (2) the prune exists, feeds one broadcast exchange, and that exchange
     // serves BOTH pair-join sides (original + ReusedExchange = plan_id twice)
     assert(finalPlan.contains("has_inc"), finalPlan.take(4000))
+    // (r18: the predicate's printed paren nesting changed with the plan —
+    // `Filter ((isnotnull(has_inc…` — so match `\(+` instead of one literal
+    // paren; DISTINCT ids assert uniqueness, occurrence count the reuse)
     val pruneIds =
-      raw"BroadcastExchange [^\n]*\[plan_id=(\d+)\]\n[^\n]*\n[^\n]*Filter \(isnotnull\(has_inc".r
+      raw"BroadcastExchange [^\n]*\[plan_id=(\d+)\]\n[^\n]*\n[^\n]*Filter \(+isnotnull\(has_inc".r
         .findAllMatchIn(finalPlan).map(_.group(1)).toList
-    assert(pruneIds.size == 1, s"expected ONE has_inc prune exchange, got $pruneIds")
+    assert(pruneIds.distinct.size == 1,
+      s"expected ONE distinct has_inc prune exchange, got $pruneIds")
     val uses = raw"\[plan_id=${pruneIds.head}\]".r.findAllIn(finalPlan).size
     assert(uses >= 2,
       s"the has_inc prune exchange must serve both pair-join sides, got $uses uses\n" +
