@@ -92,7 +92,7 @@ object HealthcareData {
       "revenue_cents" -> HealthcareQueries.cents(col("total_charge"))))
     val live = col(CdcApplier.MetaDeleted) === false
     val schema = graft.model.HealthcareSchema.all("visits")
-    var state = spark.read.parquet(s"$Root/visits")
+    var state = graft.RelationCache.parquet(spark, s"$Root/visits")
     var rollup = IncrementalRollup.full(state.filter(live), spec).stableCheckpoint()
     batches.foreach { case (at, evs) =>
       val vEvents = evs.filter(_.table == "visits")
@@ -122,20 +122,20 @@ object HealthcareData {
   def tables(spark: SparkSession): HealthcareTables = {
     ensure(spark)
     HealthcareTables(
-      spark.read.parquet(s"$Root/patients"),
-      spark.read.parquet(s"$Root/doctors"),
-      spark.read.parquet(s"$Root/appointments"),
-      spark.read.parquet(s"$Root/visits"))
+      graft.RelationCache.parquet(spark, s"$Root/patients"),
+      graft.RelationCache.parquet(spark, s"$Root/doctors"),
+      graft.RelationCache.parquet(spark, s"$Root/appointments"),
+      graft.RelationCache.parquet(spark, s"$Root/visits"))
   }
 
   /** Post-live-demo tables (patients are untouched by the demo). */
   def liveTables(spark: SparkSession): HealthcareTables = {
     ensure(spark)
     HealthcareTables(
-      spark.read.parquet(s"$Root/patients"),
-      spark.read.parquet(s"$Root/doctors_live"),
-      spark.read.parquet(s"$Root/appointments_live"),
-      spark.read.parquet(s"$Root/visits_live"))
+      graft.RelationCache.parquet(spark, s"$Root/patients"),
+      graft.RelationCache.parquet(spark, s"$Root/doctors_live"),
+      graft.RelationCache.parquet(spark, s"$Root/appointments_live"),
+      graft.RelationCache.parquet(spark, s"$Root/visits_live"))
   }
 
   /** Post-evolution appointments (state 4): the demo replayed with a source
@@ -144,7 +144,7 @@ object HealthcareData {
     */
   def evolvedAppointments(spark: SparkSession): DataFrame = {
     ensure(spark)
-    spark.read.parquet(s"$Root/appointments_evolved")
+    graft.RelationCache.parquet(spark, s"$Root/appointments_evolved")
   }
 
   /** Post-live-demo tables from the BUCKETED copy-on-write store — the same
@@ -244,6 +244,7 @@ object HealthcareData {
     sums.map(s => (s.batchId, s.inputRows, s.applyMillis, s.applyMillis <= 60000L))
       .toDF("batch_id", "input_rows", "apply_millis", "within_budget")
       .coalesce(1).write.mode("overwrite").parquet(s"$Root/cdc_metrics")
+    graft.RelationCache.invalidate(s"$Root/cdc_metrics")
   }
 
   /** Per-micro-batch apply metrics of the streamed replay ([[CdcMetrics]]
@@ -252,11 +253,14 @@ object HealthcareData {
   def cdcMetrics(spark: SparkSession): DataFrame = {
     ensure(spark)
     synchronized { if (!streamBuilt) { buildStreamed(spark); streamBuilt = true } }
-    spark.read.parquet(s"$Root/cdc_metrics")
+    graft.RelationCache.parquet(spark, s"$Root/cdc_metrics")
   }
 
-  private def write(df: DataFrame, table: String): Unit =
+  private def write(df: DataFrame, table: String): Unit = {
     df.coalesce(1).write.mode("overwrite").parquet(s"$Root/$table")
+    // fixture reads are RelationCache'd; a rewrite must drop stale listings
+    graft.RelationCache.invalidate(s"$Root/$table")
+  }
 
   private def build(spark: SparkSession): Unit = {
     import spark.implicits._

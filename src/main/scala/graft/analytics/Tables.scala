@@ -16,8 +16,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** r18: resolved relations are cached per (session, path) — catalog
+    * metadata (schema + file index), never rows; see [[graft.RelationCache]].
+    * The testdata is read-only by contract (TESTDATA.md), so the listing
+    * can never go stale within a session.
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.RelationCache.parquet(spark, s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

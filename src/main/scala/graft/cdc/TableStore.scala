@@ -30,12 +30,14 @@ final class TableStore(spark: SparkSession, root: String, outputFiles: Int = 0)
   override def read(table: String): DataFrame = {
     val v = currentVersion(table).getOrElse(
       throw new IllegalStateException(s"table $table has no committed version under $root"))
-    spark.read.parquet(Paths.get(root, table, s"v$v").toString)
+    // a committed version dir is immutable — safe to cache its resolved
+    // relation (schema + file index) per session; see graft.RelationCache
+    graft.RelationCache.parquet(spark, Paths.get(root, table, s"v$v").toString)
   }
 
   /** Time travel: any still-retained version is a consistent snapshot. */
   def readVersion(table: String, version: Long): DataFrame =
-    spark.read.parquet(Paths.get(root, table, s"v$version").toString)
+    graft.RelationCache.parquet(spark, Paths.get(root, table, s"v$version").toString)
 
   override def commitSnapshot(table: String, df: DataFrame, keyCol: String): Long =
     commit(table, df)

@@ -364,15 +364,26 @@ object BpeQueries {
     }
 
   private[pipeline] def applyBatchExpr(pairs: Seq[(String, String)],
-      sep: String): org.apache.spark.sql.Column = {
+      sep: String): org.apache.spark.sql.Column =
+    expr(applyBatchSql(pairs, sep, "syms"))
+
+  /** [[applyBatchExpr]] as SQL text over an arbitrary input reference `in`
+    * (a column name or a lambda variable) — the seam that lets the deep-OOV
+    * serving path compose 18 passes into ONE let-bound expression
+    * (r18; see q_bpe_encode_deep_oov's comment). `in` must be a bare
+    * identifier, referenced ~5× per level, so callers pass a lambda var
+    * bound once per level, never a subexpression.
+    */
+  private[pipeline] def applyBatchSql(pairs: Seq[(String, String)],
+      sep: String, in: String): String = {
     requireCleanSymbols(pairs)
     val entries = pairs
       .flatMap { case (l, r) => Seq(s"'$l|$r'", s"'$l$sep$r'") }.mkString(", ")
     val mtc = // match array: mtc[i] = merged token starting at i, or null
-      s"""transform(sequence(1, size(syms)), i ->
-         |  IF(i < size(syms),
+      s"""transform(sequence(1, size($in)), i ->
+         |  IF(i < size($in),
          |     try_element_at(map($entries),
-         |       concat(element_at(syms, i), '|', element_at(syms, i+1))),
+         |       concat(element_at($in, i), '|', element_at($in, i+1))),
          |     CAST(NULL AS STRING)))""".stripMargin
     // let-binding idiom: wrap the match array in a 1-element array and
     // transform over it, so `mt` is computed ONCE per row — inlining $mtc
@@ -380,15 +391,14 @@ object BpeQueries {
     // recompute the whole array per position (measured 3× slower than the
     // fold it was meant to replace)
     if (!pairs.exists(p => p._1 == p._2))
-      expr(
-        s"""element_at(transform(array($mtc), mt ->
-           |  filter(
-           |    zip_with(mt, sequence(1, size(syms)), (m, i) ->
-           |      IF(IF(i > 1, element_at(mt, i - 1), CAST(NULL AS STRING)) IS NOT NULL,
-           |         CAST(NULL AS STRING),
-           |         IF(m IS NOT NULL, m, element_at(syms, i)))),
-           |    x -> x IS NOT NULL)), 1)""".stripMargin)
-    else applyBatchFoldExpr(pairs, sep)
+      s"""element_at(transform(array($mtc), mt ->
+         |  filter(
+         |    zip_with(mt, sequence(1, size($in)), (m, i) ->
+         |      IF(IF(i > 1, element_at(mt, i - 1), CAST(NULL AS STRING)) IS NOT NULL,
+         |         CAST(NULL AS STRING),
+         |         IF(m IS NOT NULL, m, element_at($in, i)))),
+         |    x -> x IS NOT NULL)), 1)""".stripMargin
+    else applyBatchFoldSql(pairs, sep, in)
   }
 
   /** The sequential fold path of [[applyBatchExpr]] — exposed separately
@@ -396,24 +406,27 @@ object BpeQueries {
     * batches.
     */
   private[pipeline] def applyBatchFoldExpr(pairs: Seq[(String, String)],
-      sep: String): org.apache.spark.sql.Column = {
+      sep: String): org.apache.spark.sql.Column =
+    expr(applyBatchFoldSql(pairs, sep, "syms"))
+
+  private[pipeline] def applyBatchFoldSql(pairs: Seq[(String, String)],
+      sep: String, in: String): String = {
     requireCleanSymbols(pairs)
     val entries = pairs
       .flatMap { case (l, r) => Seq(s"'$l|$r'", s"'$l$sep$r'") }.mkString(", ")
-    expr(
-      s"""aggregate(
-         |  sequence(1, size(syms)),
-         |  named_struct('out', CAST(array() AS ARRAY<STRING>), 'sk', 0),
-         |  (acc, i) -> IF(acc.sk = 1,
-         |    named_struct('out', acc.out, 'sk', 0),
-         |    IF(i >= size(syms),
-         |       named_struct('out', concat(acc.out, array(element_at(syms, i))), 'sk', 0),
-         |       IF(try_element_at(map($entries),
-         |            concat(element_at(syms, i), '|', element_at(syms, i+1))) IS NULL,
-         |          named_struct('out', concat(acc.out, array(element_at(syms, i))), 'sk', 0),
-         |          named_struct('out', concat(acc.out, array(try_element_at(map($entries),
-         |            concat(element_at(syms, i), '|', element_at(syms, i+1))))), 'sk', 1)))),
-         |  acc -> acc.out)""".stripMargin)
+    s"""aggregate(
+       |  sequence(1, size($in)),
+       |  named_struct('out', CAST(array() AS ARRAY<STRING>), 'sk', 0),
+       |  (acc, i) -> IF(acc.sk = 1,
+       |    named_struct('out', acc.out, 'sk', 0),
+       |    IF(i >= size($in),
+       |       named_struct('out', concat(acc.out, array(element_at($in, i))), 'sk', 0),
+       |       IF(try_element_at(map($entries),
+       |            concat(element_at($in, i), '|', element_at($in, i+1))) IS NULL,
+       |          named_struct('out', concat(acc.out, array(element_at($in, i))), 'sk', 0),
+       |          named_struct('out', concat(acc.out, array(try_element_at(map($entries),
+       |            concat(element_at($in, i), '|', element_at($in, i+1))))), 'sk', 1)))),
+       |  acc -> acc.out)""".stripMargin
   }
 
   /** The deep training loop over a pre-built (word, freq, syms) symbol
@@ -712,7 +725,9 @@ object BpeQueries {
           path
         })
       })
-      spark.read.parquet(resolved)
+      // resolved artifact dirs are immutable after atomic publish — cache
+      // the relation metadata per session (graft.RelationCache)
+      graft.RelationCache.parquet(spark, resolved)
     }
 
     /** The final (word, freq, syms) vocabulary tokenization after `rounds`
@@ -995,26 +1010,32 @@ object BpeQueries {
       val unseen = docs.filter(length(col("source")) === 5)
       val st0 = deepPhraseState(unseen)
         .withColumn("n_raw", size(col("syms")).cast("long"))
-      // checkpoint EAGERLY before fanning out: the 18-deep alias chain of
-      // array exprs analyzes fine as one linear pipeline, but feeding it
-      // UN-truncated into two consumers (per-source agg + phrase explode)
-      // lets optimizer inlining duplicate the per-fold syms references —
-      // each fold references syms ~6x, so the tree goes exponential and
-      // analysis OOMs the driver (measured; the depth-18 chain alone
-      // collects in 0.1 s). The encoded corpus is the natural serving
-      // materialization point anyway — it is read twice below.
-      // ... and checkpoint every 6 passes inside the chain too: each
-      // .select eagerly re-analyzes the whole accumulated plan, so an
-      // unbroken k-deep chain pays O(k²) analyzer visits of these large
-      // array exprs — measured 5.5 s of single-threaded driver time per
-      // serving run at k=18 (execution itself is ~0.1 s/pass). Interval
-      // truncation makes plan work linear in k; the materialized frame
-      // is one row per doc either way.
-      val encoded = batches.zipWithIndex.foldLeft(st0) { case (df, (b, i)) =>
-        val next = df.select(col("word"), col("freq"), col("n_raw"),
-          applyBatchExpr(b, " ").as("syms"))
-        if ((i + 1) % 6 == 0) next.stableCheckpoint() else next
-      }.stableCheckpoint()
+      // r18 (guide §7.3 — driver-side work IS the bottleneck here): the
+      // r15-r17 shape was 18 chained `.select`s, one per pass, checkpointed
+      // every 6 — each select re-analyzes the whole accumulated plan, so
+      // the chain paid O(k²) analyzer visits of these large array exprs:
+      // the r18 tail probe measured 5.66 s of BUILD (driver analysis) vs
+      // 0.18 s of execution for the whole query. All 18 passes now compose
+      // into ONE let-bound expression — each level wraps the previous in
+      // `element_at(transform(array(<inner>), v -> applyBatch over v), 1)`,
+      // so the inner level is referenced ONCE (tree linear in k, immune to
+      // the optimizer-inlining blowup that OOM'd the un-truncated alias
+      // chain) and the analyzer sees the chain once, in one select. One
+      // eager checkpoint materializes the encoded corpus for the two
+      // consumers below, exactly as before. Execution semantics unchanged:
+      // the same 18 applyBatchExpr laws evaluate per row in pass order.
+      val composed = batches.zipWithIndex.foldLeft("syms") {
+        case (inner, (b, i)) =>
+          s"element_at(transform(array($inner), _s$i -> ${applyBatchSql(b, " ", s"_s$i")}), 1)"
+      }
+      // the unseen corpus is one parquet split: fan out before the 18-level
+      // interpreted eval or it runs on a single core. Width 8 by
+      // measurement (build 2.0 s at 4-wide, 1.38 at 8, 1.44 at 16): this
+      // is pure interpreted-HOF CPU, the regime where the shingle A/B also
+      // picked 8 (Fanout doc).
+      val encoded = Fanout(st0, "SPARK_GRAFT_OOV_FANOUT", default = 8)
+        .select(col("word"), col("freq"), col("n_raw"),
+          expr(composed).as("syms")).stableCheckpoint()
       val j = encoded.join(
         unseen.select(col("doc_id").cast("string").as("word"), col("source")),
         "word")

@@ -91,15 +91,23 @@ object DedupQueries {
     names
       // (r17: a pre-explode fan-out was prototyped and measured WORSE —
       // q_er_clusters wall 3.9 → 4.8 s, CPU 8.9 → 17.1 s; the deletion
-      // explode is cheap substring work and the following DISTINCT
-      // exchange already distributes everything downstream.)
+      // explode is cheap substring work and the saltedBucketPairs windows'
+      // variant exchange already distributes everything downstream.)
+      //
+      // r18 (guide §2.4 — remove shuffles outright): the old global
+      // `.distinct()` here was a full (custkey, variant) exchange +
+      // aggregate whose ONLY duplicates come from within one name's own
+      // deletion array (deleting either of two equal adjacent chars yields
+      // the same variant) — every variant of a custkey derives from that
+      // custkey's single row, so per-row array_distinct is EXACTLY the
+      // global distinct, map-side, no exchange. Plan: one Exchange fewer
+      // on both fuzzy faces.
       .select(col("c_custkey"),
-        explode(expr(
+        explode(array_distinct(expr(
           """concat(
             |  transform(sequence(1, length(c_name)),
             |    i -> concat(substr(c_name, 1, i-1), substr(c_name, i+1))),
-            |  array(c_name))""".stripMargin)).as("variant"))
-      .distinct()
+            |  array(c_name))""".stripMargin))).as("variant"))
 
   private def fuzzyNamePairs(s: SparkSession, d: String): DataFrame = {
     val names = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
@@ -143,6 +151,18 @@ object DedupQueries {
   def shinglePostings(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions
     import graft.operators.Checkpoints.StableOps
+    // r18 (verdict item 9): dropping the global DISTINCT is sound ONLY for
+    // key-unique doc_id inputs. The caller contract is enforced here in
+    // debug mode (-Dgraft.debug.assertUniqueDocs=1, set by
+    // ShinglePostingsContractSpec, which drives every registered consumer
+    // query through this assert) — a duplicate-id caller fails loudly in
+    // the suite instead of silently double-counting postings.
+    if (sys.props.get("graft.debug.assertUniqueDocs").contains("1")) {
+      val n = docs.count()
+      val nd = docs.select("doc_id").distinct().count()
+      require(n == nd,
+        s"shinglePostings caller fed duplicate doc_id rows: $n rows, $nd distinct ids")
+    }
     val fan = shingleFanout(docs)
     (if (fan <= 1) docs else docs
       // fan the raw doc rows out BEFORE the CPU-dominant shingle

@@ -79,7 +79,10 @@ object LinearProbeQueries {
     // the moment cells ride the same explode tagged j = −1 (the r16 shape
     // ran a second full pass + job for the 65 moment cells). Same sums,
     // same 2 145 + 65 bounded cells.
-    val cells = xy.select(explode(expr(
+    // r18: 4-wide fan-out before the 2210-cell explode (Fanout doc — the
+    // checkpointed xy is one partition at the gate corpus, and the r17
+    // single-core explode was the pass's critical path)
+    val cells = Fanout(xy, "SPARK_GRAFT_GRAM_FANOUT").select(explode(expr(
         s"""concat(
            |  flatten(transform(sequence(0, $Dim), i ->
            |    transform(sequence(i, $Dim), j ->

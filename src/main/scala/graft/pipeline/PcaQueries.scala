@@ -140,10 +140,12 @@ object PcaQueries {
          |FROM y GROUP BY 1, 2
          |ORDER BY vec_id""".stripMargin) { (spark, d) =>
       val e = Tables.embeddings(spark, d)
-      // (r17: a fan-out before the Gramian explode improved wall 2.85 →
-      // 1.81 s but multiplied process-CPU ~6x (5.8 → 33 CPU-s medians) —
-      // rejected for the same CPU-mover reason as quantizedComponents.)
-      val q = e.select(col("vec_id"), col("label"), qCol.as("q"))
+      // (r17: a 32-wide fan-out before the Gramian explode improved wall
+      // 2.85 → 1.81 s but multiplied process-CPU ~6x — rejected. r18
+      // root-caused the inflation as width-proportional (see Fanout);
+      // min(4, parallelism) keeps the wall win inside the CPU gate.)
+      val q = Fanout(e.select(col("vec_id"), col("label"), qCol.as("q")),
+        "SPARK_GRAFT_GRAM_FANOUT")
 
       // corpus passes 1+2: Gramian upper triangle + column sums — both
       // map-side-combinable, output d(d+1)/2 + d rows regardless of corpus

@@ -292,35 +292,75 @@ object RetrievalQueries {
       val shortlist = mmrShortlist(e).stableCheckpoint()
       // one row-fetch of shortlist vectors (broadcast semi-join on the
       // corpus), then the Q×24×23 pairwise sim frame — both bounded
-      val sims = mmrSims(e, shortlist).stableCheckpoint()
+      val sims = mmrSims(e, shortlist)
 
-      val step1 = shortlist
-        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("rel").desc, col("vec_id"))))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("vec_id"),
-          (lit(7L) * col("rel")).as("mmr_x1e10"), lit(1L).as("step"))
-      // greedy rounds 2..k over the bounded frames; eager checkpoint per
-      // round keeps the growing union's plan linear in k
-      var sel = step1.stableCheckpoint()
-      for (i <- 2 to MmrK) {
-        val ms = sims.join(sel.select(col("query_id"), col("vec_id").as("vb")),
-            Seq("query_id", "vb"))
-          .groupBy(col("query_id"), col("va").as("vec_id"))
-          .agg(max(col("sim")).as("ms"))
-        val next = shortlist
-          .join(sel.select("query_id", "vec_id"), Seq("query_id", "vec_id"), "left_anti")
-          .join(ms, Seq("query_id", "vec_id"))
-          .select(col("query_id"), col("vec_id"),
-            (lit(7L) * col("rel") - lit(3L) * col("ms")).as("mmr_x1e10"))
-          .withColumn("rn", row_number().over(Window.partitionBy("query_id")
-            .orderBy(col("mmr_x1e10").desc, col("vec_id"))))
-          .filter(col("rn") === 1)
-          .select(col("query_id"), col("vec_id"), col("mmr_x1e10"),
-            lit(i.toLong).as("step"))
-        sel = sel.union(next).stableCheckpoint()
-      }
-      sel.select("query_id", "step", "vec_id", "mmr_x1e10")
+      // r18 (guide §2.4/§1.2 — the distributed algorithm first): the 7
+      // greedy rounds were 7 global join+window+checkpoint barriers over
+      // Q×24-bounded frames — ~0.3 s of fixed stage/job overhead per round
+      // at ANY corpus size, and at 100 TB seven cluster-wide barriers for
+      // per-query work that is constant-sized. Each query's greedy state
+      // (24 candidates, 24×23 sims) is bounded by MmrN, NOT by the corpus,
+      // so the whole 8-step fold runs inside ONE map stage per query in
+      // the array domain: group the shortlist and sims per query_id, then
+      // fold sequence(2..k) with an accumulator of (selected, remaining
+      // candidates carrying their running max-sim-to-selected). The
+      // incremental max (ms' = greatest(ms, sim(c, just-picked))) is the
+      // same max the per-round join computed; argmax keys and integer
+      // fixed-point scores are bit-identical (oracle + MmrSpec re-prove).
+      // Plan: 9 jobs → 3; zero exchanges after the two grouping shuffles.
+      val cands = shortlist.groupBy("query_id")
+        .agg(collect_list(struct(col("vec_id"), col("rel"))).as("cs"))
+      val simmaps = sims.groupBy("query_id")
+        .agg(map_from_entries(collect_list(
+          struct(struct(col("va"), col("vb")).as("k"), col("sim").as("v"))))
+          .as("sm"))
+      val greedy = cands.join(simmaps, Seq("query_id"), "left")
+        .withColumn("sel", expr(
+          s"""aggregate(
+             |  sequence(2, $MmrK),
+             |  named_struct(
+             |    'sel', transform(
+             |      array(array_max(transform(cs,
+             |        c -> struct(c.rel AS rel, -c.vec_id AS nvid)))),
+             |      p -> named_struct('step', 1L, 'vec_id', -p.nvid,
+             |                        'mmr', 7L * p.rel)),
+             |    'rem', transform(
+             |      filter(cs, c -> c.vec_id !=
+             |        -array_max(transform(cs,
+             |           c2 -> struct(c2.rel AS rel, -c2.vec_id AS nvid))).nvid),
+             |      c -> named_struct('vec_id', c.vec_id, 'rel', c.rel,
+             |        'ms', try_element_at(sm, named_struct(
+             |          'va', c.vec_id,
+             |          'vb', -array_max(transform(cs,
+             |             c2 -> struct(c2.rel AS rel, -c2.vec_id AS nvid))).nvid))))),
+             |  (acc, i) -> IF(
+             |    size(filter(acc.rem, c -> c.ms IS NOT NULL)) = 0,
+             |    acc,
+             |    named_struct(
+             |      'sel', concat(acc.sel, transform(
+             |        array(array_max(transform(
+             |          filter(acc.rem, c -> c.ms IS NOT NULL),
+             |          c -> struct(7L * c.rel - 3L * c.ms AS score,
+             |                      -c.vec_id AS nvid)))),
+             |        p -> named_struct('step', CAST(i AS BIGINT),
+             |                          'vec_id', -p.nvid, 'mmr', p.score))),
+             |      'rem', transform(
+             |        filter(acc.rem, c -> c.vec_id <> -array_max(transform(
+             |          filter(acc.rem, c2 -> c2.ms IS NOT NULL),
+             |          c2 -> struct(7L * c2.rel - 3L * c2.ms AS score,
+             |                       -c2.vec_id AS nvid))).nvid),
+             |        c -> named_struct('vec_id', c.vec_id, 'rel', c.rel,
+             |          'ms', greatest(c.ms, try_element_at(sm, named_struct(
+             |            'va', c.vec_id,
+             |            'vb', -array_max(transform(
+             |              filter(acc.rem, c2 -> c2.ms IS NOT NULL),
+             |              c2 -> struct(7L * c2.rel - 3L * c2.ms AS score,
+             |                           -c2.vec_id AS nvid))).nvid))))))),
+             |  acc -> acc.sel)""".stripMargin))
+      greedy
+        .select(col("query_id"), explode(col("sel")).as("x"))
+        .select(col("query_id"), col("x.step").as("step"),
+          col("x.vec_id").as("vec_id"), col("x.mmr").as("mmr_x1e10"))
         .orderBy("query_id", "step")
     })
 

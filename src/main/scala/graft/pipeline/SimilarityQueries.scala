@@ -343,17 +343,25 @@ object SimilarityQueries {
     * the shared integer domain of both PQ faces and the IVF coarse stage.
     */
   private[pipeline] def quantizedComponents(
-      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    // (r17: a probe-side fan-out before the explode was prototyped and
-    // REJECTED on measurement — wall was ambiguous across runs and
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // (r17: a 32-wide probe-side fan-out before the explode was REJECTED —
     // process-CPU medians blew up 5-7x on every PQ face (q_ann_ivfpq_batch
-    // 8.6 → 61.6 CPU-s), which both reads as a plan regression under the
-    // CPU-mover gate and suggests the single-partition partial aggregation
-    // was doing the collapsing work far more cheaply than its fanned-out
-    // form. Kept serial-at-sf; at 100 TB the scan has many splits anyway.)
-    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "vf")))
+    // 8.6 → 61.6 CPU-s). r18 root-caused the mechanism on the shingle
+    // twin (bench/r18_cpu_probe.json): the inflation is per-task overhead
+    // of every downstream consumer stage running `width` partitions of the
+    // exploded stream, plus concurrency stalls billed as busy CPU — so the
+    // knob is WIDTH, not on/off. r18 idle A/B over the 8 PQ/Lloyd faces:
+    // width 1 = 17.7 s wall / 40 CPU-s, width 4 = 15.0 / 48 (every query
+    // ≤1.5x CPU — inside the mover gate), width 8 = 14.3 / 62 (serve_batch
+    // 2.17x CPU — gate fail). min(4, parallelism) kept; env override
+    // SPARK_GRAFT_PQ_FANOUT.)
+    val fan = sys.env.get("SPARK_GRAFT_PQ_FANOUT").map(_.toInt)
+      .getOrElse(math.min(4, e.sparkSession.sparkContext.defaultParallelism))
+    (if (fan <= 1) e else e.repartition(fan))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "vf")))
       .select(col("vec_id"), col("i"), expr("i DIV 16").as("sub"),
         (round(col("vf").cast("double") * 10000, 0).cast("long") + 10000L).as("v"))
+  }
 
   /** PQ index build over quantized components: 2-pass integer Lloyd per
     * subspace seeded from vec_ids 0..15 → (codebook `c1` of m×16 centroid
@@ -1270,9 +1278,10 @@ object SimilarityQueries {
       : org.apache.spark.sql.DataFrame = {
     val dim = 64
     val pScale = 256L // 8-bit rotation rows: |r_c| ≤ 2²⁶, dist16 ≤ 2⁵⁸
-    val q = e.select(col("vec_id"), expr(
+    // r18: 4-wide fan-out before the Gramian/rotation explodes (see Fanout)
+    val q = Fanout(e.select(col("vec_id"), expr(
       "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1024 + 0.5D) AS BIGINT))")
-      .as("q"))
+      .as("q")), "SPARK_GRAFT_GRAM_FANOUT")
     // bounded corpus aggregates: Gramian upper triangle + sums + count
     val gram = q.select(explode(expr(
         s"""flatten(transform(sequence(0, ${dim - 1}), i ->
