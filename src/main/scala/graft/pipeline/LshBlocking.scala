@@ -129,11 +129,17 @@ object LshBlocking {
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(keys: _*).orderBy(col(idCol))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    // r18: BOTH pair-join sides (aSide/bSide) consume this frame — without
+    // a pin, each side re-runs the whole upstream (variant derivation +
+    // the two windows); exchange reuse only dedupes the exchange, not the
+    // window/explode above it. Eager checkpoint = one computation.
+    import graft.operators.Checkpoints.StableOps
     val grouped = banded
       .withColumn("_idx", row_number().over(wOrd) - 1)
       .withColumn("_bsz", count(lit(1)).over(wAll))
       .withColumn("_g", floor(col("_idx") / cell))
       .withColumn("_gmax", floor((col("_bsz") - 1) / cell))
+      .stableCheckpoint()
     // member of group g participates in cells (g, q) for q ≥ g as the
     // A-side and (p, g) for p ≤ g as the B-side — every pair (x, y) with
     // gx ≤ gy meets in exactly cell (gx, gy)
